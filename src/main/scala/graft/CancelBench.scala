@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.DataGen
+
+/** Reference-parity benchmark main (reference main.rs:34-54): generate or
+  * discover the test_table parquet, load it hot into memory, then sweep
+  * cancellation wait times 10..MAX_WAIT and print the markdown table the
+  * reference's README publishes (README.md:72-124).
+  *
+  * Env knobs: GRAFT_DATA_DIR, GRAFT_NUM_FILES (7), GRAFT_ROWS_PER_FILE
+  * (5,000,000 in the reference; smaller default here to keep local runs
+  * in minutes), GRAFT_MAX_WAIT_MS (60).
+  */
+object CancelBench {
+  def main(args: Array[String]): Unit = {
+    val dataDir = sys.env.getOrElse("GRAFT_DATA_DIR", "/tmp/graft_test_table")
+    val numFiles = sys.env.getOrElse("GRAFT_NUM_FILES", "7").toInt
+    val rowsPerFile = sys.env.getOrElse("GRAFT_ROWS_PER_FILE", "500000").toLong
+    val maxWait = sys.env.getOrElse("GRAFT_MAX_WAIT_MS", "60").toLong
+
+    val spark = SparkSession.builder()
+      .master("local[4]") // reference target_partitions=4 (main.rs:124-125)
+      .appName("graft-cancel-bench")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.parquet.filterPushdown", "true") // main.rs:126
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    DataGen.findOrGenerate(spark, dataDir, numFiles, rowsPerFile)
+    DataGen.loadTestTable(spark, dataDir)
+
+    val results = Cancel.sweep(spark, 10L to maxWait,
+      s => { DataGen.distinctQuery(s).collect(); () })
+    println(Cancel.markdownTable(results))
+    spark.stop()
+  }
+}

@@ -1,0 +1,533 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+
+/** Core relational surface: scan, projection, filter pushdown, DISTINCT,
+  * joins (broadcast / shuffle / semi / anti / outer / correlated),
+  * aggregation (group-by, distinct-agg, having, rollup, cube), window
+  * functions, sorts / limits / offsets, set operations, scalar functions
+  * (string / date / math / conditional), scalar and correlated subqueries.
+  *
+  * Reference surface covered here: parquet listing scan (reference
+  * main.rs:131-144), projection (main.rs:122), DISTINCT-as-aggregate
+  * (main.rs:122 — Catalyst's ReplaceDistinctWithAggregate produces the same
+  * partial/final hash-aggregate shape DataFusion does), plus the natural
+  * relational closure the oracle suite exercises.
+  *
+  * Scale notes (100 TB design stance):
+  *  - dimension tables (region/nation/supplier) are explicitly
+  *    `broadcast()` so the big fact joins never shuffle the small side;
+  *  - fact-fact joins (lineitem x orders) shuffle on the join key once and
+  *    aggregate map-side first (Catalyst partial aggregation);
+  *  - every filter/projection is expressed declaratively so it reaches the
+  *    parquet scan (PushedFilters / ReadSchema — asserted in PlanSpec).
+  *
+  * Numeric determinism policy: double summation order differs between
+  * engines (and between Spark partitions), so any aggregated money value is
+  * cast to DECIMAL(12,2) first — exact, associative, identical in Spark and
+  * DuckDB — and the exact decimal result is cast back to DOUBLE at the end.
+  * Averages are computed as exact-decimal-sum / count in double.
+  */
+object Relational {
+
+  /** Exact-decimal cast for money/quantity columns (see class doc). */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private val one = lit(1).cast("decimal(12,2)")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- defs
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Reference parity: SELECT DISTINCT over mixed types (main.rs:122).
+    QueryDef(
+      "ref_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_returnflag", "l_linestatus", "l_quantity")
+          .distinct()
+          .orderBy("l_returnflag", "l_linestatus", "l_quantity"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus, l_quantity
+              FROM lineitem
+              ORDER BY l_returnflag, l_linestatus, l_quantity""")),
+
+    // Scan + projection: only 3 of 11 columns decoded (main.rs:122 analog).
+    QueryDef(
+      "q_scan_project",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+          // lineitem — sort all output columns for a total order.
+          .orderBy("l_orderkey", "l_linenumber", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+              FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice""")),
+
+    // Filter pushdown: timestamp + numeric predicates reach the scan.
+    QueryDef(
+      "q_filter_pushdown",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1999-01-01")) &&
+            col("l_quantity") > 45)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_quantity > 45
+              ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""")),
+
+    // TPC-H Q1 shape: partial+final hash aggregation over the fact table.
+    QueryDef(
+      "q1_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) *
+              (one + dec(col("l_tax")))).cast("double").as("sum_charge"),
+            (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+              .as("avg_qty"),
+            (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)))
+              .as("avg_price"),
+            (sum(dec(col("l_discount"))).cast("double") / count(lit(1)))
+              .as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+                CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
+                count(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // Broadcast join chain over dimensions (no shuffle of small sides).
+    QueryDef(
+      "q_join_broadcast",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = broadcast(t(s, dir, "nation"))
+        val r = broadcast(t(s, dir, "region"))
+        c.join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_customers,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name
+              ORDER BY r_name, n_name""")),
+
+    // TPC-H Q5 shape: fact-fact shuffle join + broadcast dims, 5 tables.
+    QueryDef(
+      "q_join_5way",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        val c = t(s, dir, "customer")
+        val n = broadcast(t(s, dir, "nation"))
+        val r = broadcast(t(s, dir, "region"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY r_name, n_name
+              ORDER BY r_name, n_name""")),
+
+    // Explicit sort-merge join (hint) on the two largest tables.
+    QueryDef(
+      "q_join_shuffle",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").hint("merge")
+        val o = t(s, dir, "orders")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("gross"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS gross
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Left-semi join (EXISTS).
+    QueryDef(
+      "q_semi_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+              ORDER BY c_custkey""")),
+
+    // Left-anti join (NOT EXISTS).
+    QueryDef(
+      "q_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+              ORDER BY c_custkey""")),
+
+    // Left outer join + null-skipping count aggregate.
+    QueryDef(
+      "q_outer_join_agg",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_pending"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_pending
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderstatus = 'P'
+              GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // Full outer join with nulls on both sides.
+    QueryDef(
+      "q_full_outer",
+      (s, dir) => {
+        val n = t(s, dir, "nation").filter(col("n_nationkey") < 13)
+        val sup = t(s, dir, "supplier").filter(col("s_nationkey") >= 7)
+        n.join(sup, col("n_nationkey") === col("s_nationkey"), "full_outer")
+          .select("n_nationkey", "n_name", "s_suppkey")
+          .orderBy(asc_nulls_first("n_nationkey"), asc_nulls_first("s_suppkey"))
+      },
+      Some("""SELECT n_nationkey, n_name, s_suppkey
+              FROM (SELECT * FROM nation WHERE n_nationkey < 13) n
+              FULL OUTER JOIN (SELECT * FROM supplier WHERE s_nationkey >= 7) s
+                ON n_nationkey = s_nationkey
+              ORDER BY n_nationkey NULLS FIRST, s_suppkey NULLS FIRST""")),
+
+    // Window: ranking + lag within partitions, top-3 per customer.
+    QueryDef(
+      "q_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rn"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn, prev_price
+              FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                      lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price
+                    FROM orders)
+              WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // Window: running sum over an ordered frame (exact decimal inside).
+    QueryDef(
+      "q_window_running",
+      (s, dir) => {
+        // (l_orderkey, l_linenumber) ties exist: adding l_extendedprice to
+        // the frame order makes the running-sum multiset deterministic,
+        // and sorting the output by running_rev resolves the remaining
+        // tie-pair ordering identically in both engines.
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "lineitem")
+          .select(
+            col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(dec(col("l_extendedprice"))).over(w).cast("double")
+              .as("running_rev"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
+                  PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+              FROM lineitem
+              ORDER BY l_suppkey, l_orderkey, l_linenumber, running_rev""")),
+
+    // Global sort + limit + offset (top-k with pagination).
+    QueryDef(
+      "q_sort_limit",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .offset(5)
+          .limit(20),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 5""")),
+
+    // Set operations: INTERSECT / EXCEPT (set semantics) + UNION ALL glue.
+    QueryDef(
+      "q_set_ops",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").as("nkey"))
+        val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nkey"))
+        c.intersect(sup).withColumn("op", lit("both"))
+          .unionAll(c.except(sup).withColumn("op", lit("cust_only")))
+          .select("op", "nkey")
+          .orderBy("op", "nkey")
+      },
+      Some("""SELECT 'both' AS op, nkey FROM
+                (SELECT c_nationkey AS nkey FROM customer
+                 INTERSECT SELECT s_nationkey FROM supplier)
+              UNION ALL
+              SELECT 'cust_only' AS op, nkey FROM
+                (SELECT c_nationkey AS nkey FROM customer
+                 EXCEPT SELECT s_nationkey FROM supplier)
+              ORDER BY op, nkey""")),
+
+    // String scalar functions.
+    QueryDef(
+      "q_string_fns",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            upper(col("c_name")).as("uname"),
+            substring(col("c_name"), 1, 8).as("prefix"),
+            length(col("c_name")).cast("long").as("name_len"),
+            concat_ws("-", col("c_mktsegment"), col("c_name")).as("tagged"),
+            when(col("c_name").like("%1%"), lit(1)).otherwise(lit(0))
+              .cast("long").as("has_one"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 8) AS prefix,
+                CAST(length(c_name) AS BIGINT) AS name_len,
+                concat_ws('-', c_mktsegment, c_name) AS tagged,
+                CAST(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS BIGINT) AS has_one
+              FROM customer ORDER BY c_custkey""")),
+
+    // Date/time scalar functions.
+    QueryDef(
+      "q_date_fns",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            dayofmonth(col("o_orderdate")).cast("long").as("d"),
+            date_trunc("month", col("o_orderdate")).as("month_start"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+                CAST(month(o_orderdate) AS BIGINT) AS m,
+                CAST(day(o_orderdate) AS BIGINT) AS d,
+                date_trunc('month', o_orderdate) AS month_start
+              FROM orders ORDER BY o_orderkey""")),
+
+    // Math scalar functions (rounded — libm last-ulp differences).
+    QueryDef(
+      "q_math_fns",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+            round(log(col("l_extendedprice")), 6).as("ln_price"),
+            round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+            abs(col("l_discount") - col("l_tax")).as("rate_gap"),
+            greatest(col("l_tax"), col("l_discount")).as("max_rate"))
+          .orderBy("l_orderkey", "l_linenumber", "sqrt_qty", "ln_price",
+            "disc_sq", "rate_gap", "max_rate"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                round(sqrt(l_quantity), 6) AS sqrt_qty,
+                round(ln(l_extendedprice), 6) AS ln_price,
+                round(power(l_discount, 2), 6) AS disc_sq,
+                abs(l_discount - l_tax) AS rate_gap,
+                greatest(l_tax, l_discount) AS max_rate
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, sqrt_qty, ln_price,
+                disc_sq, rate_gap, max_rate""")),
+
+    // CASE WHEN bucketing + aggregation.
+    QueryDef(
+      "q_case_agg",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            when(col("o_totalprice") < 50000.0, lit("low"))
+              .when(col("o_totalprice") < 150000.0, lit("mid"))
+              .otherwise(lit("high")).as("bucket"),
+            col("o_totalprice"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy("bucket"),
+      Some("""SELECT CASE WHEN o_totalprice < 50000.0 THEN 'low'
+                          WHEN o_totalprice < 150000.0 THEN 'mid'
+                          ELSE 'high' END AS bucket,
+                count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+              FROM orders GROUP BY 1 ORDER BY bucket""")),
+
+    // ROLLUP grouping sets.
+    QueryDef(
+      "q_rollup",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast("double").as("qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // CUBE grouping sets.
+    QueryDef(
+      "q_cube",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+              FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+              ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // COUNT(DISTINCT) aggregate.
+    QueryDef(
+      "q_distinct_agg",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            countDistinct(col("o_custkey")).as("n_cust"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // HAVING (post-aggregation filter).
+    QueryDef(
+      "q_having",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast("double").as("qty"))
+          .filter(col("n") > 30)
+          .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+              FROM lineitem GROUP BY l_partkey HAVING count(*) > 30
+              ORDER BY l_partkey""")),
+
+    // Scalar subquery in a predicate (same SQL text runs on both engines).
+    QueryDef(
+      "q_scalar_subquery",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, c_name, c_acctbal FROM customer
+                 WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) FROM customer)
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+              WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) FROM customer)
+              ORDER BY c_custkey""")),
+
+    // Correlated EXISTS subquery.
+    QueryDef(
+      "q_exists_correlated",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT p_partkey, p_name FROM part p
+                 WHERE EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+                 ORDER BY p_partkey""")
+      },
+      Some("""SELECT p_partkey, p_name FROM part p
+              WHERE EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+              ORDER BY p_partkey""")),
+
+    // Semi-structured: JSON field extraction from the events payload.
+    QueryDef(
+      "q_events_json",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+                CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+              FROM events ORDER BY event_id""")),
+
+    // Event-time bucketing aggregation (batch form of the streaming query).
+    QueryDef(
+      "q_events_hourly",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(
+            date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("total_value"))
+          .orderBy("hour", "event_type"),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+              FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+  )
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+import graft.functions.EngineFns._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  *
+  *  - brute-force cosine top-k (the exact baseline): broadcast the query
+  *    set, nested-loop against every candidate partition — at 100 TB this
+  *    is a single pass over the candidates with no shuffle except the
+  *    final per-query top-k (window over q_id);
+  *  - random-hyperplane LSH bucketing (the approximate scale path): one
+  *    shuffle on bucket id, candidates only compared within a bucket;
+  *  - embedding-cosine near-duplicate pairs (threshold join).
+  *
+  * Cosine is computed with a left-to-right double fold (EngineFns.dot), so
+  * the DuckDB oracle values are bit-identical — rank order included.
+  */
+object Similarity {
+
+  private val TopK = 5
+  private val NumQueries = 10
+  private val NearDupThreshold = 0.4
+  private val NumHyperplanes = 8 // 256 buckets
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** LSH bucket id: bit j = sign of dot(v, r_j); hyperplane components are
+    * deterministic pseudo-randoms in [-0.5, 0.5] from xxhash64(j, '_', k). */
+  private val bucketExpr =
+    s"""aggregate(
+          transform(sequence(0, ${NumHyperplanes - 1}), j ->
+            CASE WHEN aggregate(
+                   zip_with(embedding, sequence(0, 63), (v, k) ->
+                     cast(v as double) * ((pmod(xxhash64(concat(cast(j as string), '_', cast(k as string))), 2001) - 1000) / 1000.0)),
+                   cast(0.0 as double), (a, x) -> a + x) > 0
+                 THEN shiftleft(1, j) ELSE 0 END),
+          0, (a, x) -> a + x)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact brute-force cosine top-k for the first NumQueries vectors.
+    QueryDef(
+      "sim_topk_bruteforce",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = broadcast(
+          e.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        e.join(q, col("vec_id") =!= col("q_id"))
+          .select(
+            col("q_id"), col("vec_id"),
+            cosine(col("q_emb"), col("embedding")).as("cos"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                          FROM embeddings WHERE vec_id < $NumQueries),
+                    c AS (SELECT q_id, vec_id,
+                            ${cosineSql("q_emb", "embedding")} AS cos
+                          FROM q, embeddings WHERE vec_id != q_id),
+                    r AS (SELECT q_id, vec_id, cos,
+                            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+                          FROM c)
+               SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
+               FROM r WHERE rank <= $TopK ORDER BY q_id, rank""")),
+
+    // Approximate top-k via random-hyperplane LSH buckets (scale path).
+    // Deterministic but hash-family-specific — rows-only check; recall vs
+    // brute force is asserted in SimilaritySpec.
+    QueryDef(
+      "sim_ann_lsh",
+      (s, dir) => {
+        val bucketed = emb(s, dir)
+          .withColumn("bucket", expr(bucketExpr).cast("long"))
+        val q = bucketed.filter(col("vec_id") < NumQueries)
+          .select(
+            col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("bucket"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        bucketed.join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(
+            col("q_id"), col("vec_id"), col("bucket"),
+            cosine(col("q_emb"), col("embedding")).as("cos"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    // Embedding-cosine near-duplicate pairs (threshold join).
+    QueryDef(
+      "sim_embed_neardup",
+      (s, dir) => {
+        val a = emb(s, dir)
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        val b = emb(s, dir)
+          .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            cosine(col("a_emb"), col("b_emb")).as("cos"))
+          .filter(col("cos") >= NearDupThreshold)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ${cosineSql("a.embedding", "b.embedding")} AS cos
+               FROM embeddings a, embeddings b
+               WHERE a.vec_id < b.vec_id
+                 AND ${cosineSql("a.embedding", "b.embedding")} >= $NearDupThreshold
+               ORDER BY a_id, b_id"""))
+  )
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language
+  * identification (word-gram marker heuristic), and document
+  * fingerprinting. All are pure Catalyst column expressions (whole-stage
+  * codegen, no UDFs), so at 100 TB they run embarrassingly parallel per
+  * partition with no shuffle except the final presentation sort.
+  *
+  * Determinism: all ratios are (exact int) / (exact int) in double — the
+  * single division is IEEE-identical across engines, so the DuckDB oracle
+  * hash-matches without rounding tricks.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column. Spark `split` keeps trailing
+    * empty strings (limit = -1), matching DuckDB `string_split`. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "is", "in")
+
+  /** Fraction of tokens that are stopwords — a classic quality signal. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+      .cast("double") / size(toks).cast("double")
+  }
+
+  /** Mean token length (chars excluding spaces / token count). */
+  def avgWordLen(c: Column): Column =
+    length(regexp_replace(c, " ", "")).cast("double") /
+      size(tokens(c)).cast("double")
+
+  /** Fraction of characters outside [a-z ] — noise signal. */
+  def noiseRatio(c: Column): Column =
+    length(regexp_replace(c, "[a-z ]", "")).cast("double") /
+      length(c).cast("double")
+
+  /** Language marker word lists (word-gram heuristic). Order matters for
+    * deterministic tie-breaking: en > de > fr > es. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "de" -> Seq("der", "die", "und", "das", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "por", "una"))
+
+  def markerCount(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(markers.map(x => x: Any): _*)))
+      .cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "text_tokens",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            tokenCount(col("text")).as("n_tokens"),
+            length(col("text")).cast("long").as("len_chars"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(length(text) AS BIGINT) AS len_chars
+              FROM documents ORDER BY doc_id""")),
+
+    QueryDef(
+      "text_quality",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            tokenCount(col("text")).as("n_tokens"),
+            stopwordRatio(col("text")).as("stop_ratio"),
+            avgWordLen(col("text")).as("avg_word_len"),
+            noiseRatio(col("text")).as("noise_ratio"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to','is','in'))) AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+                CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+                CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) AS noise_ratio
+              FROM documents ORDER BY doc_id""")),
+
+    QueryDef(
+      "text_langid",
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id") +:
+              langMarkers.map { case (lang, ms) =>
+                markerCount(col("text"), ms).as(s"c_$lang")
+              }: _*)
+        val m = greatest(langMarkers.map { case (l, _) => col(s"c_$l") }: _*)
+        val pred = langMarkers
+          .foldLeft(when(m === 0, lit("und"))) { case (acc, (l, _)) =>
+            acc.when(col(s"c_$l") === m, lit(l))
+          }
+          .otherwise(lit("und"))
+        scored
+          .select(
+            col("doc_id"), pred.as("pred_lang"),
+            col("c_en"), col("c_de"), col("c_fr"), col("c_es"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH scored AS (
+                SELECT doc_id,
+                  CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','is','to'))) AS BIGINT) AS c_en,
+                  CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','nicht'))) AS BIGINT) AS c_de,
+                  CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','les','des'))) AS BIGINT) AS c_fr,
+                  CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','los','las','por','una'))) AS BIGINT) AS c_es
+                FROM documents)
+              SELECT doc_id,
+                CASE WHEN greatest(c_en,c_de,c_fr,c_es) = 0 THEN 'und'
+                     WHEN c_en = greatest(c_en,c_de,c_fr,c_es) THEN 'en'
+                     WHEN c_de = greatest(c_en,c_de,c_fr,c_es) THEN 'de'
+                     WHEN c_fr = greatest(c_en,c_de,c_fr,c_es) THEN 'fr'
+                     WHEN c_es = greatest(c_en,c_de,c_fr,c_es) THEN 'es'
+                     ELSE 'und' END AS pred_lang,
+                c_en, c_de, c_fr, c_es
+              FROM scored ORDER BY doc_id""")),
+
+    // Canonical fingerprint: md5 of the sorted token multiset — catches
+    // word-order-shuffled duplicates that exact dedup misses.
+    QueryDef(
+      "text_fingerprint",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            md5(concat_ws(" ", array_sort(split(lower(col("text")), " ")))
+              .cast("binary")).as("fp"),
+            substring(
+              md5(concat_ws(" ", array_sort(split(lower(col("text")), " ")))
+                .cast("binary")), 1, 8).as("fp_short"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS fp,
+                substr(md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')), 1, 8) AS fp_short
+              FROM documents ORDER BY doc_id"""))
+  )
+}
