@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.EngineFns._
+
+/** Dedup + text analysis on a planted corpus: write a documents.parquet
+  * with known exact and near duplicates into a temp sf-dir and run the
+  * registered queries end-to-end against it. */
+class DedupTextSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val plantedDir: String = {
+    val dir = Files.createTempDirectory("graft_planted").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while the sun sets slowly behind tall hills"
+    val near = base.replace("sun", "moon") // one token differs
+    val other = "completely different words describing an unrelated subject " +
+      "with zero overlap in any shingle of this meaningless placeholder prose"
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong), // exact dup of 0
+      (2L, near, "en", "src2", near.length.toLong), // near dup of 0
+      (3L, other, "en", "src3", other.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_exact collapses exact duplicates to min doc_id") {
+    val out = Registry.byName("dedup_exact").run(spark, plantedDir).collect()
+    assert(out.length === 3) // 4 docs, one exact dup removed
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(0L, 2L, 3L))
+  }
+
+  test("ngram jaccard finds exact and near dup pairs, not the unrelated doc") {
+    val pairs = Registry.byName("dedup_ngram_jaccard").run(spark, plantedDir)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard"))).toSeq
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((0L, 1L)) === 1.0) // exact dup
+    assert(byPair((0L, 2L)) > 0.7) // near dup: 1 of ~24 tokens changed
+    assert(!byPair.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH candidates include the planted near-dup pair") {
+    val pairs = Registry.byName("dedup_minhash_pairs").run(spark, plantedDir)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+  }
+
+  test("simhash: identical docs equal, near dups within 3 bits, distinct docs far") {
+    val sig = Registry.byName("dedup_simhash").run(spark, plantedDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sig(0L) === sig(1L))
+    val pairs = Registry.byName("dedup_simhash_pairs").run(spark, plantedDir)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("minhash signature estimates jaccard roughly") {
+    val sh = Seq((0L, "a b c d e f g h i j k l"), (1L, "a b c d e f g h i j k z"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val sigs = sh.select(col("doc_id"), minhashSig(col("sh"), 64).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val agree = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b } / 64.0
+    // true shingle jaccard here is 7/13 ~ 0.54; 64 perms => wide tolerance
+    assert(agree > 0.25 && agree < 0.85)
+  }
+
+  test("hash31 is deterministic, positive, engine-portable range") {
+    val vals = Seq("a", "b", "a").toDF("s").select(hash31(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(vals(0) === vals(2))
+    assert(vals.forall(v => v >= 0 && v < 2147483647L))
+  }
+
+  test("language id picks the marker-heavy language") {
+    val docs = Seq(
+      (0L, "der hund und die katze das haus und der baum", "x", "s", 1L),
+      (1L, "the cat and the dog of the house is to be", "x", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_lang").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.byName("text_langid").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(0L) === "de")
+    assert(out(1L) === "en")
+  }
+
+  test("token count and quality ratios on a known sentence") {
+    val df = Seq((0L, "aa bb cc", "x", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_tok").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tok = Registry.byName("text_tokens").run(spark, dir).collect()(0)
+    assert(tok.getAs[Long]("n_tokens") === 3L)
+    assert(tok.getAs[Long]("len_chars") === 8L)
+    val q = Registry.byName("text_quality").run(spark, dir).collect()(0)
+    assert(q.getAs[Double]("avg_word_len") === 2.0)
+    assert(q.getAs[Double]("stop_ratio") === 0.0)
+  }
+
+  test("fingerprint is word-order invariant") {
+    val df = Seq(
+      (0L, "alpha beta gamma", "x", "s", 1L),
+      (1L, "gamma alpha beta", "x", "s", 1L),
+      (2L, "alpha beta delta", "x", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_fp").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = Registry.byName("text_fingerprint").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    assert(fp(0L) === fp(1L))
+    assert(fp(0L) !== fp(2L))
+  }
+}

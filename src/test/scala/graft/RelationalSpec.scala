@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-checks of relational results against independently computed
+  * expectations on the smoke corpus. */
+class RelationalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private def run(name: String) =
+    Registry.byName(name).run(spark, TestSpark.sf)
+
+  test("ref_distinct equals group-by cardinality") {
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+    val expected = li
+      .groupBy("l_returnflag", "l_linestatus", "l_quantity").count().count()
+    assert(run("ref_distinct").count() === expected)
+  }
+
+  test("ref_distinct is idempotent") {
+    val d = run("ref_distinct")
+    assert(d.distinct().count() === d.count())
+  }
+
+  test("q1_agg totals reconcile with raw counts") {
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
+    val total = run("q1_agg")
+      .agg(sum("count_order")).collect()(0).getLong(0)
+    assert(total === li.count())
+  }
+
+  test("q_outer_join_agg covers every customer exactly once") {
+    val customers = Tables.load(spark, TestSpark.sf, "customer").count()
+    val out = run("q_outer_join_agg")
+    assert(out.count() === customers)
+  }
+
+  test("q_sort_limit returns 20 strictly ordered rows") {
+    val rows = run("q_sort_limit").collect()
+    assert(rows.length === 20)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_rollup grand total equals lineitem count") {
+    val li = Tables.load(spark, TestSpark.sf, "lineitem").count()
+    val grand = run("q_rollup")
+      .filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+      .collect()
+    assert(grand.length === 1)
+    assert(grand(0).getAs[Long]("n") === li)
+  }
+
+  test("semi and anti joins partition customers for the same predicate") {
+    val c = Tables.load(spark, TestSpark.sf, "customer")
+    val o = Tables.load(spark, TestSpark.sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(semi + anti === c.count())
+    assert(run("q_semi_join").count() === semi)
+  }
+
+  test("window rank never exceeds 3 and starts at 1 per customer") {
+    val out = run("q_window_rank")
+    assert(out.agg(max("rn")).collect()(0).getLong(0) <= 3L)
+    val firsts = out.groupBy("o_custkey").agg(min("rn").as("m"))
+    assert(firsts.filter(col("m") =!= 1L).count() === 0)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.EngineFns._
+
+/** Similarity search on planted vectors with known cosines. */
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_sim").toString
+    def pad(v: Seq[Float]): Seq[Float] = v ++ Seq.fill(64 - v.size)(0.0f)
+    val vecs = Seq(
+      (0L, pad(Seq(1f, 0f)), 0), // query
+      (1L, pad(Seq(1f, 0f)), 0), // identical -> cos 1
+      (2L, pad(Seq(0f, 1f)), 1), // orthogonal -> cos 0
+      (3L, pad(Seq(1f, 1f)), 1), // cos ~ 0.7071
+      (4L, pad(Seq(-1f, 0f)), 2) // opposite -> cos -1
+    ).toDF("vec_id", "embedding", "label")
+    vecs.coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("cosine column computes known values") {
+    val df = Seq((Seq(1f, 0f), Seq(1f, 1f))).toDF("a", "b")
+      .select(cosine(col("a"), col("b")).as("c"))
+    val c = df.collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("brute-force top-k ranks identical > diagonal > orthogonal > opposite") {
+    val out = Registry.byName("sim_topk_bruteforce").run(spark, dir)
+      .filter(col("q_id") === 0L).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(out.head._2 === 1L && math.abs(out.head._3 - 1.0) < 1e-12)
+    val order = out.sortBy(_._1).map(_._2).toSeq
+    assert(order === Seq(1L, 3L, 2L, 4L))
+  }
+
+  test("LSH buckets put identical vectors together and its cosines match brute force") {
+    val lsh = Registry.byName("sim_ann_lsh").run(spark, dir)
+      .filter(col("q_id") === 0L).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    assert(lsh.contains(1L)) // identical vector always shares the bucket
+    val brute = Registry.byName("sim_topk_bruteforce").run(spark, dir)
+      .filter(col("q_id") === 0L).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    lsh.foreach { case (id, c) => assert(c === brute(id)) }
+  }
+
+  test("near-dup pairs include the identical pair with cos 1") {
+    val out = Registry.byName("sim_embed_neardup").run(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")), r.getAs[Double]("cos")))
+      .toMap
+    assert(math.abs(out((0L, 1L)) - 1.0) < 1e-12)
+    assert(!out.contains((0L, 2L))) // orthogonal, below threshold
+  }
+
+  test("LSH on the real corpus never beats the exact maximum") {
+    val bruteMax = Registry.byName("sim_topk_bruteforce").run(spark, TestSpark.sf)
+      .filter(col("rank") === 1L).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    val lsh = Registry.byName("sim_ann_lsh").run(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Double]("cos")))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, c) => assert(c <= bruteMax(q) + 1e-12) }
+  }
+}
