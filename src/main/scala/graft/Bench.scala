@@ -28,13 +28,20 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
     val results = Registry.all.filter(_.bench).map { d =>
       val t0 = System.nanoTime()
+      val g0 = gcMs
       try d.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
       }
-      d.name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] ${d.name}: $sec%.2f s (gc ${gcMs - g0} ms)")
+      d.name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

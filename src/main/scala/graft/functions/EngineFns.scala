@@ -43,23 +43,34 @@ object EngineFns {
   /** MinHash signature (numPerms values) over a shingle-array column.
     * Permutation p: h_p(s) = ((2p+3) * hash31(s) + p) mod 2^31-1 — odd
     * multipliers keep the family injective mod the Mersenne prime; all
-    * arithmetic stays below 2^37 so 64-bit ops never overflow. */
+    * arithmetic stays below 2^37 so 64-bit ops never overflow.
+    *
+    * The md5 base hash is computed ONCE per shingle (not once per
+    * permutation): at 100 TB the md5 is the dominant cost and permuting
+    * a long is a few instructions. */
   def minhashSig(sh: Column, numPerms: Int): Column =
-    transform(sequence(lit(0), lit(numPerms - 1)), p =>
-      array_min(transform(sh, s =>
-        ((p * 2 + 3).cast("long") * hash31(s) + p) % 2147483647L)))
+    element_at(
+      transform(array(transform(sh, s => hash31(s))), hs =>
+        transform(sequence(lit(0), lit(numPerms - 1)), p =>
+          array_min(transform(hs, h =>
+            ((p * 2 + 3).cast("long") * h + p) % 2147483647L)))),
+      1)
 
   /** 16-bit SimHash of the token multiset, as a SQL expression over a
     * text column named `colName`. Bit j is set when the sum of ±1 votes
-    * (token hash bit j) is positive. */
+    * (token hash bit j) is positive. Token hashes are computed once and
+    * bound as a lambda variable (single-element-array "let"), then the 16
+    * bit-votes fold over plain longs — 16x fewer md5 evaluations than
+    * hashing inside the bit loop. */
   def simhash16Sql(colName: String): String = {
     val h = hash31Sql("t")
-    s"""aggregate(
-         transform(sequence(0, 15), j ->
-           CASE WHEN aggregate(split($colName, ' '), cast(0 as bigint),
-                  (acc, t) -> acc + (CASE WHEN (shiftright($h, j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-                THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
-         cast(0 as bigint), (a, x) -> a + x)"""
+    s"""element_at(transform(array(transform(split($colName, ' '), t -> $h)), hs ->
+         aggregate(
+           transform(sequence(0, 15), j ->
+             CASE WHEN aggregate(hs, cast(0 as bigint),
+                    (acc, hv) -> acc + (CASE WHEN (shiftright(hv, j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
+           cast(0 as bigint), (a, x) -> a + x)), 1)"""
   }
 
   /** Dot product of two float-array columns, folded left-to-right in

@@ -27,9 +27,19 @@ object Dedup {
   private val BandRows = 2 // 8 bands x 2 rows — recall-biased for low-J corpora
   private val JaccardThreshold = 0.015
 
+  /** Documents spread across all cores: the corpus ships as one parquet
+    * file (= one input split), which would serialize the md5/shingle
+    * expression work onto a single task. At 100 TB inputs arrive
+    * pre-split; locally the explicit round-robin repartition restores
+    * scan-side parallelism. Results stay deterministic — every query
+    * ends in a total-order sort. */
+  private def docsParallel(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+
   /** (doc_id, sh) with sh = distinct 3-word shingles. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    docsParallel(s, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
 
   /** Exact Jaccard for pairs sharing >= 1 shingle, via inverted index. */
@@ -158,7 +168,7 @@ object Dedup {
     QueryDef(
       "dedup_simhash",
       (s, dir) =>
-        Tables.load(s, dir, "documents")
+        docsParallel(s, dir)
           .select(col("doc_id"), expr(simhash16Sql("text")).as("simhash"))
           .orderBy("doc_id"),
       Some("""WITH v AS (
@@ -180,9 +190,12 @@ object Dedup {
     QueryDef(
       "dedup_simhash_pairs",
       (s, dir) => {
-        val sig = Tables.load(s, dir, "documents")
+        // Streamed side keeps the repartitioned parallelism; the other
+        // side is broadcast (signatures are 16 bytes/doc) so the O(n^2)
+        // Hamming scan fans out across all cores.
+        val sig = docsParallel(s, dir)
           .select(col("doc_id"), expr(simhash16Sql("text")).as("simhash"))
-        sig.as("x").join(sig.as("y"), col("x.doc_id") < col("y.doc_id"))
+        sig.as("x").join(broadcast(sig.as("y")), col("x.doc_id") < col("y.doc_id"))
           .select(
             col("x.doc_id").as("a_id"),
             col("y.doc_id").as("b_id"),

@@ -29,6 +29,19 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Embeddings with the self-dot-product materialized once per row (its
+    * projection sits below the join, so it is NOT recomputed per pair —
+    * at 100 TB that's the difference between 1 and k norm folds per
+    * candidate). cosine == dot / sqrt(normA * normB), the exact operation
+    * order of EngineFns.cosine, so oracle values are unchanged. */
+  private def embWithNorm(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      // one parquet file = one input split: spread rows across cores so
+      // the fold-heavy cosine work parallelizes (deterministic — every
+      // output has a total-order sort)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("norm", dot(col("embedding"), col("embedding")))
+
   /** LSH bucket id: bit j = sign of dot(v, r_j); hyperplane components are
     * deterministic pseudo-randoms in [-0.5, 0.5] from xxhash64(j, '_', k). */
   private val bucketExpr =
@@ -47,16 +60,18 @@ object Similarity {
     QueryDef(
       "sim_topk_bruteforce",
       (s, dir) => {
-        val e = emb(s, dir)
+        val e = embWithNorm(s, dir)
         val q = broadcast(
           e.filter(col("vec_id") < NumQueries)
-            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("norm").as("q_norm")))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("vec_id"))
         e.join(q, col("vec_id") =!= col("q_id"))
           .select(
             col("q_id"), col("vec_id"),
-            cosine(col("q_emb"), col("embedding")).as("cos"))
+            (dot(col("q_emb"), col("embedding")) /
+              sqrt(col("q_norm") * col("norm"))).as("cos"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= TopK)
           .orderBy("q_id", "rank")
@@ -78,19 +93,20 @@ object Similarity {
     QueryDef(
       "sim_ann_lsh",
       (s, dir) => {
-        val bucketed = emb(s, dir)
+        val bucketed = embWithNorm(s, dir)
           .withColumn("bucket", expr(bucketExpr).cast("long"))
         val q = bucketed.filter(col("vec_id") < NumQueries)
           .select(
             col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("bucket"))
+            col("norm").as("q_norm"), col("bucket"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("vec_id"))
         bucketed.join(broadcast(q), Seq("bucket"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(
             col("q_id"), col("vec_id"), col("bucket"),
-            cosine(col("q_emb"), col("embedding")).as("cos"))
+            (dot(col("q_emb"), col("embedding")) /
+              sqrt(col("q_norm") * col("norm"))).as("cos"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= TopK)
           .orderBy("q_id", "rank")
@@ -101,13 +117,15 @@ object Similarity {
     QueryDef(
       "sim_embed_neardup",
       (s, dir) => {
-        val a = emb(s, dir)
-          .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-        val b = emb(s, dir)
-          .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-        a.join(b, col("a_id") < col("b_id"))
+        val base = embWithNorm(s, dir)
+        val a = base.select(col("vec_id").as("a_id"),
+          col("embedding").as("a_emb"), col("norm").as("a_norm"))
+        val b = base.select(col("vec_id").as("b_id"),
+          col("embedding").as("b_emb"), col("norm").as("b_norm"))
+        a.join(broadcast(b), col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
-            cosine(col("a_emb"), col("b_emb")).as("cos"))
+            (dot(col("a_emb"), col("b_emb")) /
+              sqrt(col("a_norm") * col("b_norm"))).as("cos"))
           .filter(col("cos") >= NearDupThreshold)
           .orderBy("a_id", "b_id")
       },
