@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+
+/** Advanced analytics: pivot, exact percentiles, array scalar functions,
+  * as-of join (composed from union + window — Spark has no native as-of),
+  * and gap-based sessionization (declarative window form plus a typed
+  * flatMapGroups form, cross-checked in tests).
+  *
+  * Scale notes: the as-of composition is shuffle-optimal — one hash
+  * shuffle on the join key, then a per-partition ordered window scan;
+  * equivalent to a sort-merge as-of without materializing candidate
+  * ranges. Sessionization shuffles once on user_id; the window scan is
+  * linear per user.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+
+  /** Typed record for the flatMapGroups sessionizer. */
+  final case class Ev(event_id: Long, user_id: Long, ts_us: Long)
+  final case class SessionRow(event_id: Long, user_id: Long, session_idx: Long)
+
+  private val SessionGapUs: Long = 1800L * 1000000L // 30 min
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Pivot: group-by with column-per-category aggregation.
+    QueryDef(
+      "q_pivot",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(dec(col("l_quantity"))).cast("double"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "F",
+                CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "O"
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // quantile_cont; l_quantity is integral so interpolation is exact).
+    QueryDef(
+      "q_percentile",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("p25"),
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.75)").as("p75"),
+            expr("percentile(l_quantity, 0.95)").as("p95"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS p25,
+                quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.75) AS p75,
+                quantile_cont(l_quantity, 0.95) AS p95
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Array scalar functions over the embedding column.
+    QueryDef(
+      "q_array_fns",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("n_dims"),
+            element_at(col("embedding"), 1).cast("double").as("first_val"),
+            array_max(col("embedding")).cast("double").as("max_val"),
+            array_min(col("embedding")).cast("double").as("min_val"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+                CAST(len(embedding) AS BIGINT) AS n_dims,
+                CAST(embedding[1] AS DOUBLE) AS first_val,
+                CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
+                CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_val
+              FROM embeddings ORDER BY vec_id""")),
+
+    // As-of join: each error event matched to the latest purchase event of
+    // the same user at-or-before it. Composed as union + ordered window
+    // (last non-null carry-forward) — one shuffle on user_id, no range
+    // explosion. Oracle uses DuckDB's native ASOF JOIN.
+    QueryDef(
+      "q_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("src_id"),
+            lit(0).as("kind"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id").as("src_id"),
+            lit(1).as("kind"))
+        // (user_id, ts) is unique; kind orders a purchase before an error
+        // at an identical timestamp, matching ASOF's inclusive >=.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionAll(errors)
+          .withColumn("p_event_id",
+            last(when(col("kind") === 0, col("src_id")), ignoreNulls = true).over(w))
+          .withColumn("p_ts",
+            last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1 && col("p_event_id").isNotNull)
+          .select(
+            col("src_id").as("event_id"),
+            col("p_event_id"),
+            ((unix_micros(col("ts")) - unix_micros(col("p_ts"))).cast("double")
+              / 1000000.0).as("gap_seconds"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, p.event_id AS p_event_id,
+                CAST(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP)) AS DOUBLE) / 1000000.0 AS gap_seconds
+              FROM (SELECT * FROM events WHERE event_type = 'error') e
+              ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+                ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+              ORDER BY e.event_id""")),
+
+    // Gap-based sessionization (30-min inactivity) — declarative window
+    // form: flag session starts with lag, then a running sum numbers the
+    // sessions per user.
+    QueryDef(
+      "q_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val run = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("new_sess",
+            when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+              > SessionGapUs, 1).otherwise(0))
+          .select(
+            col("event_id"), col("user_id"),
+            sum(col("new_sess")).over(run).cast("long").as("session_idx"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH x AS (
+                 SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t,
+                   lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS pt
+                 FROM events)
+               SELECT event_id, user_id,
+                 CAST(sum(CASE WHEN pt IS NOT NULL AND epoch_us(t) - epoch_us(pt) > $SessionGapUs THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+               FROM x ORDER BY event_id""")),
+
+    // Same sessionization via typed groupByKey + flatMapGroups — the
+    // imperative per-key escape hatch (rows-only; cross-checked against
+    // the window form in AnalyticsSpec). At 100 TB the in-memory per-user
+    // sort bounds state by events-per-user, not partition size.
+    QueryDef(
+      "sessionize_stateful",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"))
+          .as[Ev]
+          .groupByKey(_.user_id)
+          .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
+            val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+            var idx = 0L
+            var prev = Long.MinValue
+            evs.iterator.map { e =>
+              if (prev != Long.MinValue && e.ts_us - prev > SessionGapUs) idx += 1
+              prev = e.ts_us
+              SessionRow(e.event_id, uid, idx)
+            }
+          }
+          .toDF()
+          .orderBy("event_id")
+      },
+      None)
+  )
+}

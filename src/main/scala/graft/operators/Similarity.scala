@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
 import graft.functions.EngineFns._
+import graft.functions.CosineSimilarity
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
   *
@@ -29,18 +30,11 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** Embeddings with the self-dot-product materialized once per row (its
-    * projection sits below the join, so it is NOT recomputed per pair —
-    * at 100 TB that's the difference between 1 and k norm folds per
-    * candidate). cosine == dot / sqrt(normA * normB), the exact operation
-    * order of EngineFns.cosine, so oracle values are unchanged. */
-  private def embWithNorm(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir)
-      // one parquet file = one input split: spread rows across cores so
-      // the fold-heavy cosine work parallelizes (deterministic — every
-      // output has a total-order sort)
-      .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("norm", dot(col("embedding"), col("embedding")))
+  /** Embeddings spread across cores: one parquet file = one input split,
+    * which would serialize all pairwise work onto a single task.
+    * Deterministic — every output has a total-order sort. */
+  private def embParallel(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).repartition(s.sparkContext.defaultParallelism)
 
   /** LSH bucket id: bit j = sign of dot(v, r_j); hyperplane components are
     * deterministic pseudo-randoms in [-0.5, 0.5] from xxhash64(j, '_', k). */
@@ -60,18 +54,18 @@ object Similarity {
     QueryDef(
       "sim_topk_bruteforce",
       (s, dir) => {
-        val e = embWithNorm(s, dir)
+        // CosineSimilarity is a native codegen expression: one fused loop
+        // per pair (dot + both norms), bit-identical to the oracle SQL.
+        val e = embParallel(s, dir)
         val q = broadcast(
           e.filter(col("vec_id") < NumQueries)
-            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-              col("norm").as("q_norm")))
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("vec_id"))
         e.join(q, col("vec_id") =!= col("q_id"))
           .select(
             col("q_id"), col("vec_id"),
-            (dot(col("q_emb"), col("embedding")) /
-              sqrt(col("q_norm") * col("norm"))).as("cos"))
+            CosineSimilarity(s, col("q_emb"), col("embedding")).as("cos"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= TopK)
           .orderBy("q_id", "rank")
@@ -93,20 +87,19 @@ object Similarity {
     QueryDef(
       "sim_ann_lsh",
       (s, dir) => {
-        val bucketed = embWithNorm(s, dir)
+        val bucketed = embParallel(s, dir)
           .withColumn("bucket", expr(bucketExpr).cast("long"))
         val q = bucketed.filter(col("vec_id") < NumQueries)
           .select(
             col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("norm").as("q_norm"), col("bucket"))
+            col("bucket"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("vec_id"))
         bucketed.join(broadcast(q), Seq("bucket"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(
             col("q_id"), col("vec_id"), col("bucket"),
-            (dot(col("q_emb"), col("embedding")) /
-              sqrt(col("q_norm") * col("norm"))).as("cos"))
+            CosineSimilarity(s, col("q_emb"), col("embedding")).as("cos"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= TopK)
           .orderBy("q_id", "rank")
@@ -117,15 +110,12 @@ object Similarity {
     QueryDef(
       "sim_embed_neardup",
       (s, dir) => {
-        val base = embWithNorm(s, dir)
-        val a = base.select(col("vec_id").as("a_id"),
-          col("embedding").as("a_emb"), col("norm").as("a_norm"))
-        val b = base.select(col("vec_id").as("b_id"),
-          col("embedding").as("b_emb"), col("norm").as("b_norm"))
+        val base = embParallel(s, dir)
+        val a = base.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        val b = base.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
         a.join(broadcast(b), col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
-            (dot(col("a_emb"), col("b_emb")) /
-              sqrt(col("a_norm") * col("b_norm"))).as("cos"))
+            CosineSimilarity(s, col("a_emb"), col("b_emb")).as("cos"))
           .filter(col("cos") >= NearDupThreshold)
           .orderBy("a_id", "b_id")
       },

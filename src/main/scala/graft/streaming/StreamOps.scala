@@ -55,7 +55,45 @@ object StreamOps {
     s.table(sink).orderBy("hour", "event_type")
   }
 
+  /** Streaming deduplication: dropDuplicates over the event-id key keeps
+    * per-key state in the state store (bounded by the watermark at 100 TB
+    * rates); the deduped append stream lands in a memory sink and is
+    * summarized batch-side. */
+  def streamingDedup(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val sink = s"graft_stream_dedup_${nameCounter.incrementAndGet()}"
+    val q = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    s.table(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "stream_dedup",
+      (s, dir) => streamingDedup(s, dir),
+      Some("""SELECT event_type, count(DISTINCT event_id) AS n
+              FROM events GROUP BY event_type ORDER BY event_type"""),
+      bench = false),
     QueryDef(
       "stream_hourly",
       (s, dir) => hourlyByType(s, dir),

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.CosineSimilarity
+
+/** Analytics operators: pivot/percentile/array/as-of/sessionization. */
+class AnalyticsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(name: String) =
+    Registry.byName(name).run(spark, TestSpark.sf)
+
+  test("pivot columns reconcile with the plain group-by") {
+    val p = run("q_pivot").collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("F") + r.getAs[Double]("O"))).toMap
+    val flat = Tables.load(spark, TestSpark.sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("q"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("q")).toMap
+    p.foreach { case (k, v) => assert(math.abs(v - flat(k)) < 1e-6) }
+  }
+
+  test("percentiles are ordered and within the data range") {
+    run("q_percentile").collect().foreach { r =>
+      val Seq(p25, p50, p75, p95) =
+        Seq("p25", "p50", "p75", "p95").map(r.getAs[Double])
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95)
+      assert(p25 >= 1.0 && p95 <= 50.0)
+    }
+  }
+
+  test("as-of join matches are at-or-before and are the latest purchase") {
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val out = run("q_asof_join").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Double]("gap_seconds") >= 0.0))
+    // independently verify one match with a driver-side scan
+    val first = out.head
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val errors = ev.filter(col("event_type") === "error")
+      .filter(col("event_id") === first.getAs[Long]("event_id"))
+      .select("user_id", "ts").collect().head
+    val best = purchases
+      .filter(p => p._2 == errors.getLong(0) && p._3 <= errors.getTimestamp(1).getTime)
+      .maxBy(_._3)
+    assert(best._1 === first.getAs[Long]("p_event_id"))
+  }
+
+  test("window and stateful sessionization agree exactly") {
+    val a = run("q_sessionize").collect().map(_.toString).toSeq
+    val b = run("sessionize_stateful").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  test("session indexes start at 0 and increase by at most 1") {
+    val rows = run("q_sessionize")
+      .orderBy("user_id", "event_id").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    rows.values.foreach { evs =>
+      val idx = evs.map(_.getAs[Long]("session_idx"))
+      assert(idx.min === 0L)
+    }
+  }
+
+  test("native cosine expression equals the HOF formulation bit-for-bit") {
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),
+      (Seq(0.1f, -0.2f, 0.3f), Seq(-0.4f, 0.5f, -0.6f)))
+      .toDF("a", "b")
+    val native = df.select(CosineSimilarity(spark, col("a"), col("b")))
+      .collect().map(_.getDouble(0)).toSeq
+    val hof = df.select(graft.functions.EngineFns.cosine(col("a"), col("b")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(native === hof)
+  }
+
+  test("stream_dedup equals batch distinct counts") {
+    val streamed = streaming.StreamOps.streamingDedup(spark, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    val batch = Tables.load(spark, TestSpark.sf, "events")
+      .groupBy("event_type").agg(countDistinct("event_id").as("n"))
+      .orderBy("event_type").collect().map(_.toString).toSeq
+    assert(streamed === batch)
+  }
+}

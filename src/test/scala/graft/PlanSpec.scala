@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the declarative plans must actually
+  * produce the scale-friendly shapes they were designed for — filters and
+  * projections reaching the parquet scan, small sides broadcast, distinct
+  * compiling to partial/final hash aggregation, codegen in the hot path.
+  * These are the properties that keep the same code fast at 100 TB. */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("GreaterThan(l_quantity"), s"no pushed predicate in:\n$p")
+  }
+
+  test("column pruning: scan reads only the projected lineitem columns") {
+    val p = plan("q_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_shipdate") && !read.contains("l_partkey"),
+      s"scan reads unprojected columns: $read")
+  }
+
+  test("dimension joins are broadcast, not shuffled") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("5-way join broadcasts dims and shuffles only the fact-fact join") {
+    val p = plan("q_join_5way")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("distinct compiles to partial + final hash aggregate (reference shape)") {
+    val p = plan("ref_distinct")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected 2 HashAggregates:\n$p")
+    assert(p.contains("Exchange hashpartitioning"), s"no hash exchange:\n$p")
+  }
+
+  /** AQE only materializes codegen spans once stages run: execute the
+    * query, then read the final adaptive plan. */
+  /** Codegen-mode explain lists every WholeStageCodegen subtree with its
+    * generated source. AQE defers stage planning (0 subtrees before
+    * execution), so pin it off for the inspection. */
+  private def codegenExplain(name: String): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Registry.byName(name).run(spark, TestSpark.sf)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("aggregations run inside whole-stage codegen") {
+    val p = codegenExplain("q1_agg")
+    assert(p.contains("WholeStageCodegen subtrees"), s"no codegen explain:\n${p.take(500)}")
+    assert(!p.startsWith("Found 0 WholeStageCodegen"), "no codegen subtree at all")
+  }
+
+  test("native cosine expression compiles into generated code (no fallback)") {
+    val p = codegenExplain("sim_topk_bruteforce")
+    // the fused loop from CosineSimilarity.doGenCode must appear in the
+    // generated source — proves no interpreted fallback in the hot path
+    assert(p.contains("getFloat"), s"native cosine loop not in generated code")
+  }
+
+  test("semi/anti joins stay joins (no subquery materialization)") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+}
