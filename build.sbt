@@ -26,6 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Whole-stage codegen emits one Janino class per stage; across a
+  // 40+-query run the default 240m JIT code cache fills up, compilation
+  // silently stops, and late queries run interpreted (observed as random
+  // 10-50x slowdowns late in Bench runs).
+  "-XX:ReservedCodeCacheSize=1g",
   // 16g default: large enough for sf0.1 shuffles at local[32], small
   // enough that G1 full collections stay short (48g heaps showed
   // multi-second pauses dominating bench times).

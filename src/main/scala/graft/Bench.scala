@@ -21,10 +21,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the JVM/codegen once on the smallest scale so per-query times
-    // measure execution, not first-use class loading.
-    Registry.all.headOption.foreach { d =>
-      try d.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Warm every query once at the smallest scale: whole-stage codegen
+    // classes are cached by plan structure, and first-compilation of the
+    // biggest expression trees costs 10-30s — without the warm-up that
+    // cost lands on whichever sf query compiles the stage first.
+    val warmDir = "/root/testdata/sf0.001"
+    Registry.all.filter(_.bench).foreach { d =>
+      try d.run(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 

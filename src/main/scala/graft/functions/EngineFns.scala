@@ -51,10 +51,17 @@ object EngineFns {
   def minhashSig(sh: Column, numPerms: Int): Column =
     element_at(
       transform(array(transform(sh, s => hash31(s))), hs =>
-        transform(sequence(lit(0), lit(numPerms - 1)), p =>
-          array_min(transform(hs, h =>
-            ((p * 2 + 3).cast("long") * h + p) % 2147483647L)))),
+        minhashSigFromHashes(hs, numPerms)),
       1)
+
+  /** MinHash signature over an already-hashed shingle array. When `hs` is
+    * a materialized column (not an inline expression), referencing it from
+    * the 16 permutation lambdas is free — pair this with a shuffle barrier
+    * to keep the md5 work out of downstream stages' codegen. */
+  def minhashSigFromHashes(hs: Column, numPerms: Int): Column =
+    transform(sequence(lit(0), lit(numPerms - 1)), p =>
+      array_min(transform(hs, h =>
+        ((p * 2 + 3).cast("long") * h + p) % 2147483647L)))
 
   /** 16-bit SimHash of the token multiset, as a SQL expression over a
     * text column named `colName`. Bit j is set when the sum of ±1 votes

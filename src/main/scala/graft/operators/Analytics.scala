@@ -150,6 +150,47 @@ object Analytics {
                    OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
                FROM x ORDER BY event_id""")),
 
+    // Semi-structured round-trip: rows serialized to JSON text and parsed
+    // back in-plan (to_json / from_json), then aggregated — the values
+    // must survive the text round-trip exactly.
+    QueryDef(
+      "q_json_roundtrip",
+      (s, dir) => {
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, event_type STRING, value DOUBLE")
+        t(s, dir, "events")
+          .select(to_json(struct(col("event_id"), col("event_type"), col("value"))).as("js"))
+          .select(from_json(col("js"), schema).as("r"))
+          .select(col("r.event_type").as("event_type"), col("r.value").as("value"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("total_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Delimited-text round-trip (to_csv / from_csv) with the same
+    // invariant.
+    QueryDef(
+      "q_csv_roundtrip",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(to_csv(struct(col("event_id"), col("event_type"), col("value"))).as("c"))
+          .select(from_csv(col("c"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "event_id BIGINT, event_type STRING, value DOUBLE"),
+            Map.empty[String, String]).as("r"))
+          .select(col("r.event_type").as("event_type"), col("r.value").as("value"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("total_value"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Same sessionization via typed groupByKey + flatMapGroups — the
     // imperative per-key escape hatch (rows-only; cross-checked against
     // the window form in AnalyticsSpec). At 100 TB the in-memory per-user

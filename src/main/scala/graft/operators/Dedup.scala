@@ -42,6 +42,19 @@ object Dedup {
     docsParallel(s, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
 
+  /** (doc_id, sh, sig): MinHash signatures with the md5 hash array
+    * materialized behind a shuffle barrier. Without the barrier the whole
+    * md5+shingle expression tree is inlined into every downstream stage
+    * (sort, explode, join), and compiling that generated code dominates
+    * wall time; behind the exchange, downstream codegen sees a plain
+    * array<bigint> column. */
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .withColumn("hs", transform(col("sh"), x => hash31(x)))
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("sig", minhashSigFromHashes(col("hs"), NumPerms))
+      .drop("hs")
+
   /** Exact Jaccard for pairs sharing >= 1 shingle, via inverted index. */
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
@@ -103,8 +116,7 @@ object Dedup {
     QueryDef(
       "dedup_minhash",
       (s, dir) =>
-        shingled(s, dir)
-          .select(col("doc_id"), minhashSig(col("sh"), NumPerms).as("sig"))
+        signatures(s, dir)
           .select(col("doc_id"), posexplode(col("sig")))
           .select(
             col("doc_id"),
@@ -134,9 +146,9 @@ object Dedup {
     QueryDef(
       "dedup_minhash_pairs",
       (s, dir) => {
-        val sh = shingled(s, dir)
-        val sig = sh.select(col("doc_id"), minhashSig(col("sh"), NumPerms).as("sig"))
-        val bands = sig.select(
+        val withSig = signatures(s, dir)
+        val sh = withSig.select(col("doc_id"), col("sh"))
+        val bands = withSig.select(
           col("doc_id"),
           explode(transform(sequence(lit(0), lit(NumPerms / BandRows - 1)), b =>
             struct(

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.functions.EngineFns.hash31
 
 /** Text-analysis operators for LLM training-data pipelines over the
   * `documents` table: token counting, quality scoring, language
@@ -56,6 +57,9 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Token counting: whitespace tokens + a BPE-ish sub-word regex
+    // (letter runs / digit runs / single punctuation, the shape of a
+    // byte-pair pre-tokenizer).
     QueryDef(
       "text_tokens",
       (s, dir) =>
@@ -63,10 +67,13 @@ object TextAnalysis {
           .select(
             col("doc_id"),
             tokenCount(col("text")).as("n_tokens"),
+            size(expr("regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ])', 0)"))
+              .cast("long").as("n_bpeish"),
             length(col("text")).cast("long").as("len_chars"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ])')) AS BIGINT) AS n_bpeish,
                 CAST(length(text) AS BIGINT) AS len_chars
               FROM documents ORDER BY doc_id""")),
 
@@ -129,8 +136,12 @@ object TextAnalysis {
                 c_en, c_de, c_fr, c_es
               FROM scored ORDER BY doc_id""")),
 
-    // Canonical fingerprint: md5 of the sorted token multiset — catches
-    // word-order-shuffled duplicates that exact dedup misses.
+    // Fingerprints: md5 of the sorted token multiset (order-invariant,
+    // catches shuffled duplicates) + an order-SENSITIVE polynomial
+    // rolling hash over token hashes, h = fold((acc*65599 + h31(t)) mod
+    // 2^31-1). The zero seed collapses to the first element, so Spark's
+    // aggregate(0, ...) and DuckDB's seedless list_reduce fold
+    // identically.
     QueryDef(
       "text_fingerprint",
       (s, dir) =>
@@ -141,11 +152,18 @@ object TextAnalysis {
               .cast("binary")).as("fp"),
             substring(
               md5(concat_ws(" ", array_sort(split(lower(col("text")), " ")))
-                .cast("binary")), 1, 8).as("fp_short"))
+                .cast("binary")), 1, 8).as("fp_short"),
+            aggregate(
+              transform(split(col("text"), " "), t => hash31(t)),
+              lit(0L),
+              (acc, h) => (acc * 65599L + h) % 2147483647L).as("rolling_fp"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
                 md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS fp,
-                substr(md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')), 1, 8) AS fp_short
+                substr(md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')), 1, 8) AS fp_short,
+                list_reduce(list_transform(string_split(text, ' '),
+                  t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647),
+                  (acc, h) -> (acc * 65599 + h) % 2147483647) AS rolling_fp
               FROM documents ORDER BY doc_id"""))
   )
 }
