@@ -28,6 +28,7 @@ object Registry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
+      sources.Formats.defs ++
       streaming.StreamOps.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap

@@ -176,6 +176,42 @@ object Dedup {
       },
       None),
 
+    // Corpus-level MinHash via a typed custom Aggregator: element-wise
+    // min over per-document signatures = the signature of each source's
+    // concatenated shingle set (minhash union property). Associative +
+    // commutative, so Spark runs it with map-side partial aggregation.
+    QueryDef(
+      "dedup_minhash_by_source",
+      (s, dir) => {
+        import s.implicits._
+        val minhashUnion = udaf(new graft.functions.MinHashAgg(NumPerms))
+        signatures(s, dir)
+          .join(broadcast(docsParallel(s, dir).select("doc_id", "source")), Seq("doc_id"))
+          .groupBy("source")
+          .agg(minhashUnion(col("sig")).as("src_sig"))
+          .select(col("source"), posexplode(col("src_sig")))
+          .select(col("source"), col("pos").cast("long").as("perm_id"),
+            col("col").as("sig_val"))
+          .orderBy("source", "perm_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(string_split(text,' ')) - 1),
+                  i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+                FROM documents),
+              sig AS (
+                SELECT doc_id, list_transform(range(0, 16), p ->
+                  list_aggregate(list_transform(sh, s ->
+                    ((2*p + 3) * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) + p) % 2147483647),
+                  'min')) AS sg
+                FROM d)
+              SELECT doc.source, CAST(i - 1 AS BIGINT) AS perm_id, min(sig.sg[i]) AS sig_val
+              FROM sig
+              JOIN documents doc USING (doc_id),
+                   (SELECT unnest(generate_series(1, 16)) AS i) idx
+              GROUP BY doc.source, i
+              ORDER BY source, perm_id""")),
+
     // SimHash signature per document (16-bit, engine-portable arithmetic).
     QueryDef(
       "dedup_simhash",

@@ -106,6 +106,41 @@ object Similarity {
       },
       None),
 
+    // IVF-style ANN (scale path #2): a deterministic centroid sample
+    // partitions the space (assign = argmax cosine to centroid, i.e.
+    // nprobe=1 inverted list); queries search only their own list. Two
+    // broadcast joins + one window — no all-pairs work.
+    QueryDef(
+      "sim_ann_ivf",
+      (s, dir) => {
+        val e = embParallel(s, dir)
+        val centroids = broadcast(
+          e.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("c_id"))
+        val assigned = e.join(centroids)
+          .select(col("vec_id"), col("embedding"),
+            col("c_id"), CosineSimilarity(s, col("embedding"), col("c_emb")).as("c_cos"))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("c_id").as("list_id"))
+        val q = broadcast(
+          assigned.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("list_id")))
+        val wRank = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        assigned.join(q, Seq("list_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), col("list_id").cast("long"),
+            CosineSimilarity(s, col("q_emb"), col("embedding")).as("cos"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= TopK)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // Embedding-cosine near-duplicate pairs (threshold join).
     QueryDef(
       "sim_embed_neardup",

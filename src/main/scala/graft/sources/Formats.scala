@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.{QueryDef, Tables}
+
+/** Source/sink coverage beyond parquet: CSV, JSON-lines and ORC file
+  * round-trips. Each operator writes a lineitem projection to a scratch
+  * directory in the chosen format, reads it back (explicit schema — no
+  * inference pass at scale), and aggregates; the oracle computes the same
+  * aggregate from the original parquet, so the round-trip must preserve
+  * values exactly (doubles survive via shortest-representation text in
+  * CSV/JSON and natively in ORC).
+  */
+object Formats {
+
+  private val RoundTripAgg: String =
+    """SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  private def roundTrip(s: SparkSession, dir: String, fmt: String): DataFrame = {
+    val sub = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_fmt_${fmt}_${math.abs(dir.hashCode)}"
+    sub.write.mode("overwrite").format(fmt).save(scratch)
+    val schema = StructType.fromDDL(
+      "l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, l_quantity DOUBLE")
+    s.read.format(fmt).schema(schema).load(scratch)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_fmt_csv", (s, dir) => roundTrip(s, dir, "csv"), Some(RoundTripAgg)),
+    QueryDef("q_fmt_json", (s, dir) => roundTrip(s, dir, "json"), Some(RoundTripAgg)),
+    QueryDef("q_fmt_orc", (s, dir) => roundTrip(s, dir, "orc"), Some(RoundTripAgg)))
+}
