@@ -49,8 +49,15 @@ object Cancel {
     Thread.sleep(waitMs)
     val t0 = System.nanoTime()
     cancelled = true
+    // A CancellationToken stays signalled (reference main.rs:61-97); a
+    // single cancelJobsWithTag is a no-op if the query is still in
+    // driver-side planning with no job launched yet. Re-signal until the
+    // worker observes cancellation, so a job that starts after the first
+    // cancel is still killed immediately.
     sc.cancelJobsWithTag(tag)
-    done.await()
+    while (!done.await(25, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+      sc.cancelJobsWithTag(tag)
+    }
     Result(waitMs, (System.nanoTime() - t0) / 1000000L)
   }
 

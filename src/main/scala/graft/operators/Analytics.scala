@@ -150,6 +150,30 @@ object Analytics {
                    OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
                FROM x ORDER BY event_id""")),
 
+    // Skew-mitigation salted join: events (fact, skewed by user) joined
+    // to a derived per-user dimension through Salting.saltedJoin. The
+    // oracle is the PLAIN join — salting must not change semantics.
+    QueryDef(
+      "q_salted_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val userDim = ev.groupBy("user_id")
+          .agg(count(lit(1)).as("user_events"),
+            sum(dec(col("value"))).cast("double").as("user_value"))
+        graft.functions.Salting
+          .saltedJoin(ev, userDim, "user_id", col("event_id"), saltBuckets = 8)
+          .select(col("event_id"), col("user_id"), col("user_events"),
+            col("user_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, u.user_events, u.user_value
+              FROM events e
+              JOIN (SELECT user_id, count(*) AS user_events,
+                      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS user_value
+                    FROM events GROUP BY user_id) u
+                ON e.user_id = u.user_id
+              ORDER BY e.event_id""")),
+
     // Semi-structured round-trip: rows serialized to JSON text and parsed
     // back in-plan (to_json / from_json), then aggregated — the values
     // must survive the text round-trip exactly.
