@@ -150,6 +150,70 @@ object Analytics {
                    OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
                FROM x ORDER BY event_id""")),
 
+    // Range join with an equi-key anchor: lineitems shipped within 30
+    // days of their order's date. The equi-key keeps it a hash join with
+    // a residual range predicate — never a cartesian range explosion.
+    QueryDef(
+      "q_range_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        li.join(o, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAY"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_fast_lines"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_fast_lines
+              FROM lineitem JOIN orders
+                ON l_orderkey = o_orderkey
+               AND l_shipdate >= o_orderdate
+               AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Multiset set-operations (bag semantics).
+    QueryDef(
+      "q_set_ops_all",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").as("nkey"))
+        val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nkey"))
+        c.intersectAll(sup).groupBy("nkey").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all"))
+          .unionAll(
+            c.exceptAll(sup).groupBy("nkey").agg(count(lit(1)).as("n"))
+              .withColumn("op", lit("except_all")))
+          .select("op", "nkey", "n")
+          .orderBy("op", "nkey")
+      },
+      Some("""SELECT 'except_all' AS op, nkey, count(*) AS n FROM
+                (SELECT c_nationkey AS nkey FROM customer
+                 EXCEPT ALL SELECT s_nationkey FROM supplier)
+              GROUP BY nkey
+              UNION ALL
+              SELECT 'intersect_all' AS op, nkey, count(*) AS n FROM
+                (SELECT c_nationkey AS nkey FROM customer
+                 INTERSECT ALL SELECT s_nationkey FROM supplier)
+              GROUP BY nkey
+              ORDER BY op, nkey""")),
+
+    // Sketch aggregates: HLL distinct counts and t-digest percentiles
+    // beside their exact counterparts. Deterministic (hash-based, order-
+    // independent merge) but engine-specific — rows-only; error bounds
+    // asserted in AnalyticsSpec.
+    QueryDef(
+      "q_approx_sketches",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            approx_count_distinct(col("o_custkey")).as("approx_cust"),
+            countDistinct(col("o_custkey")).as("exact_cust"),
+            expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"),
+            expr("percentile(o_totalprice, 0.5)").as("exact_median"))
+          .orderBy("o_orderstatus"),
+      None),
+
     // Skew-mitigation salted join: events (fact, skewed by user) joined
     // to a derived per-user dimension through Salting.saltedJoin. The
     // oracle is the PLAIN join — salting must not change semantics.

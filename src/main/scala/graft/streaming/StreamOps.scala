@@ -2,9 +2,11 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{QueryDef, Tables}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.QueryDef
+import graft.operators.Analytics.{Ev, SessionRow}
 
 /** Structured Streaming surface: event-time windowed aggregation with a
   * watermark over the `events` table, driven synchronously from its
@@ -87,7 +89,85 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  /** Carried session state per user: last event time and current
+    * session index. */
+  final case class SessState(lastTsUs: Long, idx: Long)
+
+  private val SessionGapUs: Long = 1800L * 1000000L // 30 min, = Analytics
+
+  /** flatMapGroupsWithState handler: assign gap-based session indexes,
+    * carrying (lastTs, idx) across micro-batches. Within a batch the
+    * group's events are sorted; across batches correctness relies on
+    * time-ordered arrival per key (standard for log ingestion). */
+  def sessionizeGroup(uid: Long, it: Iterator[Ev],
+      state: GroupState[SessState]): Iterator[SessionRow] = {
+    val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var (prev, idx) = state.getOption
+      .map(s => (s.lastTsUs, s.idx)).getOrElse((Long.MinValue, 0L))
+    val out = evs.map { e =>
+      if (prev != Long.MinValue && e.ts_us - prev > SessionGapUs) idx += 1
+      prev = e.ts_us
+      SessionRow(e.event_id, uid, idx)
+    }
+    if (evs.nonEmpty) state.update(SessState(prev, idx))
+    out.iterator
+  }
+
+  /** Typed streaming events (raw ns long → µs) for stateful operators. */
+  def eventStream(s: SparkSession, dir: String): Dataset[Ev] = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[Ev]
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState: per-user state
+    * store carries (lastTs, sessionIdx) across micro-batches; update
+    * mode emits each event's session assignment as it arrives. With the
+    * whole file in one batch this equals the batch window form — which
+    * is exactly what the oracle checks. */
+  def sessionizeStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sink = s"graft_stream_sessionize_${nameCounter.incrementAndGet()}"
+    val q = eventStream(s, dir)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(sessionizeGroup)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    s.table(sink)
+      .select(col("event_id"), col("user_id"), col("session_idx"))
+      .orderBy("event_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "stream_sessionize",
+      (s, dir) => sessionizeStream(s, dir),
+      Some(s"""WITH x AS (
+                 SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t,
+                   lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS pt
+                 FROM events)
+               SELECT event_id, user_id,
+                 CAST(sum(CASE WHEN pt IS NOT NULL AND epoch_us(t) - epoch_us(pt) > $SessionGapUs THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+               FROM x ORDER BY event_id"""),
+      bench = false),
     QueryDef(
       "stream_dedup",
       (s, dir) => streamingDedup(s, dir),

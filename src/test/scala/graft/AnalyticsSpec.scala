@@ -78,6 +78,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(native === hof)
   }
 
+  test("approx sketches stay within tolerance of exact values") {
+    run("q_approx_sketches").collect().foreach { r =>
+      val approxC = r.getAs[Long]("approx_cust").toDouble
+      val exactC = r.getAs[Long]("exact_cust").toDouble
+      assert(math.abs(approxC - exactC) / exactC < 0.1,
+        s"HLL error too large: $approxC vs $exactC")
+      val approxM = r.getAs[Double]("approx_median")
+      val exactM = r.getAs[Double]("exact_median")
+      assert(math.abs(approxM - exactM) / exactM < 0.05,
+        s"median sketch error too large: $approxM vs $exactM")
+    }
+  }
+
+  test("range join counts only lineitems inside the window") {
+    val out = run("q_range_join").collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getAs[Long]("n_fast_lines")).sum
+    val all = Tables.load(spark, TestSpark.sf, "lineitem")
+      .join(Tables.load(spark, TestSpark.sf, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(total < all) // the range predicate must exclude something
+  }
+
   test("stream_dedup equals batch distinct counts") {
     val streamed = streaming.StreamOps.streamingDedup(spark, TestSpark.sf)
       .collect().map(_.toString).toSeq

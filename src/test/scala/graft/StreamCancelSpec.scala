@@ -27,6 +27,42 @@ class StreamCancelSpec extends AnyFunSuite {
     assert(formats.subsetOf(Set("png", "jpeg", "wav")))
   }
 
+  test("stream_sessionize equals the batch window sessionization") {
+    val streamed = StreamOps.sessionizeStream(spark, TestSpark.sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Registry.byName("q_sessionize").run(spark, TestSpark.sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+  }
+
+  test("sessionization state carries across micro-batches") {
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.operators.Analytics.{Ev, SessionRow}
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = input.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreamOps.SessState, SessionRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(StreamOps.sessionizeGroup)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_xbatch_sessions").start()
+    try {
+      input.addData(Ev(1L, 7L, 0L), Ev(2L, 7L, 10L * 1000000L))
+      q.processAllAvailable()
+      // 2nd batch: 4000s later — past the 30-min gap, same user
+      input.addData(Ev(3L, 7L, 4000L * 1000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("graft_xbatch_sessions")
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_idx"))
+      .toMap
+    assert(out(1L) === 0L && out(2L) === 0L)
+    assert(out(3L) === 1L) // new session, state remembered across batches
+  }
+
   test("cancellation latency is finite and bounded") {
     val li = Tables.load(spark, TestSpark.sf, "lineitem")
     li.persist(); li.count()
