@@ -27,6 +27,7 @@ object Cancel {
       query: SparkSession => Unit, tag: String = "graft-cancel"): Result = {
     val sc = spark.sparkContext
     @volatile var cancelled = false
+    @volatile var workerError: Throwable = null
     val done = new CountDownLatch(1)
     val worker = new Thread(() => {
       sc.addJobTag(tag)
@@ -36,7 +37,12 @@ object Cancel {
           try query(spark)
           catch {
             case _: Throwable if cancelled => // cancellation observed
-            case e: Throwable => throw e
+            case e: Throwable =>
+              // A genuine failure before cancellation would otherwise end
+              // the loop and make the measured latency a meaningless ~0 ms
+              // — record it so the caller fails loudly instead.
+              workerError = e
+              throw e
           }
         }
       } finally {
@@ -57,6 +63,11 @@ object Cancel {
     sc.cancelJobsWithTag(tag)
     while (!done.await(25, java.util.concurrent.TimeUnit.MILLISECONDS)) {
       sc.cancelJobsWithTag(tag)
+    }
+    if (workerError != null) {
+      throw new IllegalStateException(
+        s"query failed before cancellation (wait=$waitMs ms) — latency not measured",
+        workerError)
     }
     Result(waitMs, (System.nanoTime() - t0) / 1000000L)
   }

@@ -27,7 +27,21 @@ object Analytics {
   final case class Ev(event_id: Long, user_id: Long, ts_us: Long)
   final case class SessionRow(event_id: Long, user_id: Long, session_idx: Long)
 
-  private val SessionGapUs: Long = 1800L * 1000000L // 30 min
+  /** Session inactivity gap, shared by all three sessionization forms
+    * (window, flatMapGroups, streaming flatMapGroupsWithState). */
+  val SessionGapUs: Long = 1800L * 1000000L // 30 min
+
+  /** The sessionization oracle — shared verbatim by q_sessionize and
+    * stream_sessionize so the three forms cannot drift apart. */
+  val SessionizeOracleSql: String =
+    s"""WITH x AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t,
+            lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS pt
+          FROM events)
+        SELECT event_id, user_id,
+          CAST(sum(CASE WHEN pt IS NOT NULL AND epoch_us(t) - epoch_us(pt) > $SessionGapUs THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        FROM x ORDER BY event_id"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -141,14 +155,7 @@ object Analytics {
             sum(col("new_sess")).over(run).cast("long").as("session_idx"))
           .orderBy("event_id")
       },
-      Some(s"""WITH x AS (
-                 SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t,
-                   lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS pt
-                 FROM events)
-               SELECT event_id, user_id,
-                 CAST(sum(CASE WHEN pt IS NOT NULL AND epoch_us(t) - epoch_us(pt) > $SessionGapUs THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-               FROM x ORDER BY event_id""")),
+      Some(SessionizeOracleSql)),
 
     // Range join with an equi-key anchor: lineitems shipped within 30
     // days of their order's date. The equi-key keeps it a hash join with

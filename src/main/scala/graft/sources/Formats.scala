@@ -23,7 +23,10 @@ object Formats {
   private def roundTrip(s: SparkSession, dir: String, fmt: String): DataFrame = {
     val sub = Tables.load(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
-    val scratch = s"${sys.props("java.io.tmpdir")}/graft_fmt_${fmt}_${math.abs(dir.hashCode)}"
+    // per-process-unique scratch: a fixed path would let two concurrent
+    // JVMs (Verify + Bench) clobber each other's round-trip files
+    val scratch = java.nio.file.Files
+      .createTempDirectory(s"graft_fmt_$fmt").toString
     sub.write.mode("overwrite").format(fmt).save(scratch)
     val schema = StructType.fromDDL(
       "l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, l_quantity DOUBLE")

@@ -93,7 +93,7 @@ object StreamOps {
     * session index. */
   final case class SessState(lastTsUs: Long, idx: Long)
 
-  private val SessionGapUs: Long = 1800L * 1000000L // 30 min, = Analytics
+  private def SessionGapUs: Long = graft.operators.Analytics.SessionGapUs
 
   /** flatMapGroupsWithState handler: assign gap-based session indexes,
     * carrying (lastTs, idx) across micro-batches. Within a batch the
@@ -159,14 +159,7 @@ object StreamOps {
     QueryDef(
       "stream_sessionize",
       (s, dir) => sessionizeStream(s, dir),
-      Some(s"""WITH x AS (
-                 SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t,
-                   lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS pt
-                 FROM events)
-               SELECT event_id, user_id,
-                 CAST(sum(CASE WHEN pt IS NOT NULL AND epoch_us(t) - epoch_us(pt) > $SessionGapUs THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-               FROM x ORDER BY event_id"""),
+      Some(graft.operators.Analytics.SessionizeOracleSql),
       bench = false),
     QueryDef(
       "stream_dedup",
