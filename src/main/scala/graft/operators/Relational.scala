@@ -500,6 +500,97 @@ object Relational {
                             WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
               ORDER BY p_partkey""")),
 
+    // Window functions, second batch: dense_rank / ntile / first / cume_dist.
+    QueryDef(
+      "q_window_more",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"), col("o_orderstatus"),
+            dense_rank().over(w).cast("long").as("dr"),
+            ntile(4).over(w).cast("long").as("nt"),
+            first(col("o_orderkey")).over(w).as("fv"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+                CAST(dense_rank() OVER w AS BIGINT) AS dr,
+                CAST(ntile(4) OVER w AS BIGINT) AS nt,
+                first_value(o_orderkey) OVER w AS fv,
+                CAST(cume_dist() OVER w AS DOUBLE) AS cd
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+              ORDER BY o_orderkey""")),
+
+    // String scalar functions, second batch.
+    QueryDef(
+      "q_string_more",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            lpad(col("c_name"), 25, "*").as("lp"),
+            rpad(col("c_name"), 25, "-").as("rp"),
+            translate(col("c_name"), "0", "O").as("tr"),
+            expr("replace(c_name, 'Customer', 'C')").as("rep"),
+            instr(col("c_name"), "1").cast("long").as("pos1"),
+            reverse(col("c_name")).as("rev"),
+            expr("left(c_name, 4)").as("l4"),
+            expr("right(c_name, 3)").as("r3"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+                lpad(c_name, 25, '*') AS lp,
+                rpad(c_name, 25, '-') AS rp,
+                translate(c_name, '0', 'O') AS tr,
+                replace(c_name, 'Customer', 'C') AS rep,
+                CAST(instr(c_name, '1') AS BIGINT) AS pos1,
+                reverse(c_name) AS rev,
+                left(c_name, 4) AS l4,
+                right(c_name, 3) AS r3
+              FROM customer ORDER BY c_custkey""")),
+
+    // Timestamp interval arithmetic.
+    QueryDef(
+      "q_date_arith",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            (col("o_orderdate") + expr("INTERVAL 5 DAYS")).as("plus5"),
+            (col("o_orderdate") - expr("INTERVAL 2 DAYS")).as("minus2"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                o_orderdate + INTERVAL 5 DAY AS plus5,
+                o_orderdate - INTERVAL 2 DAY AS minus2,
+                CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+              FROM orders ORDER BY o_orderkey""")),
+
+    // Null-handling scalar functions over real outer-join nulls.
+    QueryDef(
+      "q_null_fns",
+      (s, dir) => {
+        val n = t(s, dir, "nation").filter(col("n_nationkey") < 13)
+        val sup = t(s, dir, "supplier").filter(col("s_nationkey") >= 7)
+        n.join(sup, col("n_nationkey") === col("s_nationkey"), "full_outer")
+          .select(
+            coalesce(col("n_name"), lit("NONE")).as("nm"),
+            coalesce(col("s_suppkey"), lit(-1L)).cast("long").as("sk"),
+            expr("nullif(coalesce(n_nationkey, s_nationkey), 7)")
+              .cast("long").as("key_not7"))
+          .orderBy("nm", "sk")
+      },
+      Some("""SELECT coalesce(n_name, 'NONE') AS nm,
+                CAST(coalesce(s_suppkey, -1) AS BIGINT) AS sk,
+                CAST(nullif(coalesce(n_nationkey, s_nationkey), 7) AS BIGINT) AS key_not7
+              FROM (SELECT * FROM nation WHERE n_nationkey < 13) n
+              FULL OUTER JOIN (SELECT * FROM supplier WHERE s_nationkey >= 7) s
+                ON n_nationkey = s_nationkey
+              ORDER BY nm, sk""")),
+
     // Semi-structured: JSON field extraction from the events payload.
     QueryDef(
       "q_events_json",

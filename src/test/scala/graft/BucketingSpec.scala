@@ -43,4 +43,17 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("partitioned layout enables partition pruning at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val filtered = spark.read.parquet(dir)
+      .filter(col("event_type") === "error")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"no partition filter in:\n$plan")
+    val expected = ev.filter(col("event_type") === "error").count()
+    assert(filtered.count() === expected)
+  }
 }
