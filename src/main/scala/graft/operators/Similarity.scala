@@ -106,6 +106,34 @@ object Similarity {
       },
       None),
 
+    // Custom whole-operator top-k (LogicalPlan + SparkStrategy +
+    // SparkPlan): per-partition bounded heaps instead of materializing
+    // and sorting the full query x candidate cross product. Same oracle
+    // as the brute-force window form — results are bit-identical.
+    QueryDef(
+      "sim_topk_custom_op",
+      (s, dir) => {
+        val e = embParallel(s, dir)
+        val queries = e.filter(col("vec_id") < NumQueries)
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+          .sortBy(_._1).toSeq
+        graft.plans.CosineTopKOp
+          .topK(s, e.select("vec_id", "embedding"), queries, TopK)
+          .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                          FROM embeddings WHERE vec_id < $NumQueries),
+                    c AS (SELECT q_id, vec_id,
+                            ${cosineSql("q_emb", "embedding")} AS cos
+                          FROM q, embeddings WHERE vec_id != q_id),
+                    r AS (SELECT q_id, vec_id, cos,
+                            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+                          FROM c)
+               SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
+               FROM r WHERE rank <= $TopK ORDER BY q_id, rank""")),
+
     // IVF-style ANN (scale path #2): a deterministic centroid sample
     // partitions the space (assign = argmax cosine to centroid, i.e.
     // nprobe=1 inverted list); queries search only their own list. Two

@@ -60,6 +60,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out.contains((0L, 2L))) // orthogonal, below threshold
   }
 
+  test("custom top-k operator equals brute force bit-for-bit") {
+    val brute = Registry.byName("sim_topk_bruteforce").run(spark, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    val custom = Registry.byName("sim_topk_custom_op").run(spark, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    assert(custom === brute)
+  }
+
+  test("custom top-k plans through CosineTopKExec") {
+    val df = Registry.byName("sim_topk_custom_op").run(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("CosineTopK"), s"custom exec missing:\n$plan")
+  }
+
   test("LSH on the real corpus never beats the exact maximum") {
     val bruteMax = Registry.byName("sim_topk_bruteforce").run(spark, TestSpark.sf)
       .filter(col("rank") === 1L).collect()
