@@ -42,18 +42,34 @@ object Dedup {
     docsParallel(s, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
 
-  /** (doc_id, sh, sig): MinHash signatures with the md5 hash array
-    * materialized behind a shuffle barrier. Without the barrier the whole
-    * md5+shingle expression tree is inlined into every downstream stage
-    * (sort, explode, join), and compiling that generated code dominates
-    * wall time; behind the exchange, downstream codegen sees a plain
-    * array<bigint> column. */
-  private def signatures(s: SparkSession, dir: String): DataFrame =
-    shingled(s, dir)
-      .withColumn("hs", transform(col("sh"), x => hash31(x)))
-      .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("sig", minhashSigFromHashes(col("hs"), NumPerms))
-      .drop("hs")
+  /** (doc_id, sh, sig): MinHash signatures computed on the fully
+    * whole-stage-codegen path — explode shingles to rows, hash each with
+    * the scalar (codegen'd) md5 expression, then take the 16 permutation
+    * minima as plain min aggregates. Higher-order-function lambdas are
+    * interpreted in Spark, so the HOF formulation (minhashSig, still used
+    * for per-row signatures in tests) evaluates 480k md5s in the
+    * interpreter; this shape keeps everything in generated code and
+    * map-side partial aggregation. Values are identical: per-doc per-perm
+    * min over the same distinct-shingle hash multiset. */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val hashed = sh
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), hash31(col("shingle")).as("h"))
+    val permMins = (0 until NumPerms).map { p =>
+      min((lit(p * 2 + 3).cast("long") * col("h") + p) % 2147483647L).as(s"sig_$p")
+    }
+    val sig = hashed.groupBy("doc_id")
+      .agg(permMins.head, permMins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(p => col(s"sig_$p")): _*).as("sig"))
+    // left join + null-array fallback preserves the HOF form's behavior
+    // for shingle-less docs (16 NULL signature slots, not a dropped row)
+    sh.join(sig, Seq("doc_id"), "left")
+      .withColumn("sig",
+        coalesce(col("sig"),
+          array_repeat(lit(null).cast("long"), NumPerms)))
+  }
 
   /** Exact Jaccard for pairs sharing >= 1 shingle, via inverted index. */
   private def jaccardPairs(sh: DataFrame): DataFrame = {
