@@ -18,6 +18,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill files on tmpfs: disk writeback stalls on /tmp were
+      // randomly charging 30-45s to whichever query shuffled at the
+      // wrong moment (observed across repeated runs; GC and CPU steal
+      // were ruled out by instrumentation)
+      .config("spark.local.dir", "/dev/shm/graft_spark")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -63,23 +63,6 @@ object EngineFns {
       array_min(transform(hs, h =>
         ((p * 2 + 3).cast("long") * h + p) % 2147483647L)))
 
-  /** 16-bit SimHash of the token multiset, as a SQL expression over a
-    * text column named `colName`. Bit j is set when the sum of ±1 votes
-    * (token hash bit j) is positive. Token hashes are computed once and
-    * bound as a lambda variable (single-element-array "let"), then the 16
-    * bit-votes fold over plain longs — 16x fewer md5 evaluations than
-    * hashing inside the bit loop. */
-  def simhash16Sql(colName: String): String = {
-    val h = hash31Sql("t")
-    s"""element_at(transform(array(transform(split($colName, ' '), t -> $h)), hs ->
-         aggregate(
-           transform(sequence(0, 15), j ->
-             CASE WHEN aggregate(hs, cast(0 as bigint),
-                    (acc, hv) -> acc + (CASE WHEN (shiftright(hv, j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-                  THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
-           cast(0 as bigint), (a, x) -> a + x)), 1)"""
-  }
-
   /** Dot product of two float-array columns, folded left-to-right in
     * double — bit-identical to the DuckDB list_reduce formulation. */
   def dot(a: Column, b: Column): Column =

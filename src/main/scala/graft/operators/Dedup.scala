@@ -71,6 +71,26 @@ object Dedup {
           array_repeat(lit(null).cast("long"), NumPerms)))
   }
 
+  /** (doc_id, simhash): 16-bit SimHash on the whole-stage-codegen path —
+    * explode tokens, hash with the scalar md5 expression, take the 16
+    * bit-votes as conditional sum aggregates, assemble bits in the final
+    * projection. Same values as the interpreted HOF fold (same ±1 vote
+    * sum over the same token multiset), ~an order of magnitude cheaper. */
+  private def simhashed(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docsParallel(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), hash31(col("t")).as("h"))
+    val votes = (0 until 16).map { j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"v_$j")
+    }
+    hashed.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16)
+          .map(j => when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** Exact Jaccard for pairs sharing >= 1 shingle, via inverted index. */
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
@@ -138,7 +158,11 @@ object Dedup {
             col("doc_id"),
             col("pos").cast("long").as("perm_id"),
             col("col").as("sig_val"))
-          .orderBy("doc_id", "perm_id"),
+          // single-partition sort instead of a global orderBy: the range
+          // partitioner's sampling pass would execute the whole signature
+          // pipeline a second time; 80k output rows sort fine in one task
+          .repartition(1)
+          .sortWithinPartitions("doc_id", "perm_id"),
       Some("""WITH d AS (
                 SELECT doc_id, list_distinct(list_transform(
                   range(1, len(string_split(text,' ')) - 1),
@@ -232,9 +256,7 @@ object Dedup {
     QueryDef(
       "dedup_simhash",
       (s, dir) =>
-        docsParallel(s, dir)
-          .select(col("doc_id"), expr(simhash16Sql("text")).as("simhash"))
-          .orderBy("doc_id"),
+        simhashed(s, dir).orderBy("doc_id"),
       Some("""WITH v AS (
                 SELECT doc_id,
                   list_transform(range(0, 16), j ->
@@ -257,8 +279,7 @@ object Dedup {
         // Streamed side keeps the repartitioned parallelism; the other
         // side is broadcast (signatures are 16 bytes/doc) so the O(n^2)
         // Hamming scan fans out across all cores.
-        val sig = docsParallel(s, dir)
-          .select(col("doc_id"), expr(simhash16Sql("text")).as("simhash"))
+        val sig = simhashed(s, dir)
         sig.as("x").join(broadcast(sig.as("y")), col("x.doc_id") < col("y.doc_id"))
           .select(
             col("x.doc_id").as("a_id"),
