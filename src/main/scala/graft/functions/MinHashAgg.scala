@@ -12,16 +12,25 @@ import org.apache.spark.sql.expressions.Aggregator
   * partial aggregation and the result is partitioning-independent — the
   * property that lets one signature summarize an arbitrarily large
   * group at 100 TB without reshuffling documents.
+  *
+  * Input elements are boxed and nullable: shingle-less documents (< 3
+  * tokens) carry an all-NULL signature array, and NULL slots are skipped
+  * exactly like the oracle's null-ignoring min(). (A group consisting
+  * ONLY of null signatures finishes as Long.MaxValue sentinels — such
+  * groups don't occur in the corpus; callers that could see them should
+  * filter empty signatures first.)
   */
-class MinHashAgg(numPerms: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+class MinHashAgg(numPerms: Int)
+    extends Aggregator[Seq[java.lang.Long], Array[Long], Seq[Long]] {
 
   override def zero: Array[Long] = Array.fill(numPerms)(Long.MaxValue)
 
-  override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+  override def reduce(buf: Array[Long], sig: Seq[java.lang.Long]): Array[Long] = {
     var i = 0
     val n = math.min(buf.length, sig.length)
     while (i < n) {
-      if (sig(i) < buf(i)) buf(i) = sig(i)
+      val s = sig(i)
+      if (s != null && s.longValue < buf(i)) buf(i) = s.longValue
       i += 1
     }
     buf

@@ -26,6 +26,16 @@ object Dedup {
   private val NumPerms = 16
   private val BandRows = 2 // 8 bands x 2 rows — recall-biased for low-J corpora
   private val JaccardThreshold = 0.015
+  // Stop-shingle document-frequency cap (SCALE.md): a shingle that occurs
+  // in more documents than this is dropped from the inverted index before
+  // the posting self-join. The join shuffle is sum(DF^2) over shingles, so
+  // one viral shingle ("and of the") otherwise costs DF^2 ~ |corpus|^2 at
+  // 100 TB. Dropping ultra-common shingles is the standard approximation:
+  // they carry no near-dup signal (they appear in unrelated docs) while
+  // dominating the candidate count. The default is far above this
+  // corpus's max DF (sf0.1 max ~ 60), so the local oracle comparison is
+  // byte-exact; production sets it to ~0.1% of corpus size.
+  private val MaxShingleDF = 10000
 
   /** Documents spread across all cores: the corpus ships as one parquet
     * file (= one input split), which would serialize the md5/shingle
@@ -91,10 +101,21 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** Exact Jaccard for pairs sharing >= 1 shingle, via inverted index. */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
+  /** Exact Jaccard for pairs sharing >= 1 shingle, via inverted index.
+    * Shingles with document frequency above `maxDf` are dropped from the
+    * index (stop-shingle cap — see MaxShingleDF). The viral-shingle set
+    * is tiny by construction, so it ships as a broadcast anti-join;
+    * the DF aggregation itself is map-side combined. Package-visible so
+    * DedupSpec can exercise the cap with a synthetic viral shingle. */
+  private[graft] def jaccardPairs(
+      sh: DataFrame, maxDf: Int = MaxShingleDF): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val postings = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val allPostings = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val viral = allPostings.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("shingle")
+    val postings = allPostings.join(broadcast(viral), Seq("shingle"), "left_anti")
     val a = postings.select(col("shingle"), col("doc_id").as("a_id"))
     val b = postings.select(col("shingle"), col("doc_id").as("b_id"))
     a.join(b, Seq("shingle"))
@@ -158,11 +179,12 @@ object Dedup {
             col("doc_id"),
             col("pos").cast("long").as("perm_id"),
             col("col").as("sig_val"))
-          // single-partition sort instead of a global orderBy: the range
-          // partitioner's sampling pass would execute the whole signature
-          // pipeline a second time; 80k output rows sort fine in one task
-          .repartition(1)
-          .sortWithinPartitions("doc_id", "perm_id"),
+          // plain parallel range sort. With AQE on, the sort's range-
+          // sampling pass reads the child's materialized shuffle output
+          // rather than recomputing the signature pipeline, so the former
+          // repartition(1) single-task funnel (a scale-killer: all rows
+          // through one task) is not needed to avoid double execution.
+          .orderBy("doc_id", "perm_id"),
       Some("""WITH d AS (
                 SELECT doc_id, list_distinct(list_transform(
                   range(1, len(string_split(text,' ')) - 1),
@@ -270,24 +292,148 @@ object Dedup {
                   CASE WHEN bits[j + 1] = 1 THEN 1 << j ELSE 0 END)) AS BIGINT) AS simhash
               FROM v ORDER BY doc_id""")),
 
-    // SimHash near-dup pairs by Hamming distance <= 3. Self-join is fine
-    // at corpus scale here; at 100 TB the same query runs over 4-bit
-    // chunk blocking (pigeonhole) — documented in SCALE.md.
+    // SimHash near-dup pairs by Hamming distance <= 3, via 4-bit chunk
+    // blocking (pigeonhole): split each 16-bit signature into 4 chunks;
+    // two signatures within Hamming distance 3 differ in at most 3 bits,
+    // so at least one of the 4 chunks is IDENTICAL. Equi-join on
+    // (chunk_idx, chunk_val) produces every qualifying pair as a hash-
+    // join candidate — candidates ~ sum(bucket^2) over 64 buckets, never
+    // |docs|^2, and no BroadcastNestedLoopJoin anywhere in the plan.
+    // (The naive all-pairs form survives only in DedupSpec as the
+    // equivalence check.) Exact Hamming is verified on candidates.
     QueryDef(
       "dedup_simhash_pairs",
+      (s, dir) => simhashChunkPairs(simhashed(s, dir)),
+      // cross-join oracle is fine for DuckDB at sf0.01; the Spark plan is
+      // the chunk-blocked equi-join, identical output for distance <= 3
+      Some("""WITH v AS (
+                SELECT doc_id,
+                  list_transform(range(0, 16), j ->
+                    CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+                      CASE WHEN ((CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) >> j) & 1 = 1
+                           THEN 1 ELSE -1 END)) > 0
+                    THEN 1 ELSE 0 END) AS bits
+                FROM documents),
+              s AS (
+                SELECT doc_id,
+                  CAST(list_sum(list_transform(range(0, 16), j ->
+                    CASE WHEN bits[j + 1] = 1 THEN 1 << j ELSE 0 END)) AS BIGINT) AS simhash
+                FROM v)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              FROM s a, s b
+              WHERE a.doc_id < b.doc_id
+                AND bit_count(xor(a.simhash, b.simhash)) <= 3
+              ORDER BY a_id, b_id""")),
+
+    // Cluster collapse: near-dup candidate pairs -> connected components
+    // -> one representative (min doc_id) per component -> the (doc_id,
+    // rep_id) map over the WHOLE corpus (rep_id = self for docs with no
+    // near-dup). This is the end product an LLM-data pipeline wants:
+    // filter doc_id = rep_id and you have the deduplicated corpus.
+    QueryDef(
+      "dedup_cluster",
       (s, dir) => {
-        // Streamed side keeps the repartitioned parallelism; the other
-        // side is broadcast (signatures are 16 bytes/doc) so the O(n^2)
-        // Hamming scan fans out across all cores.
-        val sig = simhashed(s, dir)
-        sig.as("x").join(broadcast(sig.as("y")), col("x.doc_id") < col("y.doc_id"))
-          .select(
-            col("x.doc_id").as("a_id"),
-            col("y.doc_id").as("b_id"),
-            expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
-          .filter(col("hamming") <= 3)
-          .orderBy("a_id", "b_id")
+        val pairs = jaccardPairs(shingled(s, dir))
+          .filter(col("jaccard") >= JaccardThreshold)
+          .select("a_id", "b_id")
+        val docs = Tables.load(s, dir, "documents").select("doc_id")
+        connectedComponents(docs, pairs)
+          .select(col("doc_id"), col("rep_id"))
+          .orderBy("doc_id")
       },
-      None)
+      // transitive closure via recursive CTE: rep = min reachable id
+      Some(s"""WITH RECURSIVE d AS (
+                 SELECT doc_id, list_distinct(list_transform(
+                   range(1, len(string_split(text,' ')) - 1),
+                   i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+                 FROM documents),
+               pairs AS (
+                 SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM d a, d b
+                 WHERE a.doc_id < b.doc_id
+                   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= $JaccardThreshold),
+               edges AS (
+                 SELECT a_id AS u, b_id AS v FROM pairs
+                 UNION ALL SELECT b_id, a_id FROM pairs),
+               reach(u, v) AS (
+                 SELECT u, v FROM edges
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+               rep AS (
+                 SELECT u AS doc_id, least(u, min(v)) AS rep_id
+                 FROM reach GROUP BY u)
+               SELECT doc.doc_id, COALESCE(rep.rep_id, doc.doc_id) AS rep_id
+               FROM documents doc LEFT JOIN rep ON doc.doc_id = rep.doc_id
+               ORDER BY doc.doc_id"""))
   )
+
+  /** SimHash Hamming-<=3 pairs by pigeonhole chunk blocking; see the
+    * dedup_simhash_pairs QueryDef. Package-visible for the DedupSpec
+    * equivalence check against the naive all-pairs form. */
+  private[graft] def simhashChunkPairs(sig: DataFrame): DataFrame = {
+    val chunks = sig.select(
+        col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("chunk_idx"))
+      .withColumn("chunk_val",
+        expr("shiftright(simhash, chunk_idx * 4) & 15"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+      // a pair can collide on several chunks — dedup before the filter
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Connected components by iterative min-label propagation, entirely in
+    * DataFrames (no driver-side graph state; the driver only runs the
+    * convergence loop). Each iteration is one shuffle join of the label
+    * set against the edge list; iterations = O(component diameter), which
+    * for near-dup clusters is tiny (dup clusters are dense). Labels are
+    * persisted per iteration and the previous generation unpersisted, so
+    * lineage stays bounded at 100 TB.
+    *
+    * @param vertices (doc_id) — the full corpus
+    * @param pairs    (a_id, b_id) undirected near-dup candidate edges
+    * @return (doc_id, rep_id) with rep_id = min doc_id of the component */
+  private[graft] def connectedComponents(
+      vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    // localCheckpoint (NOT persist) per generation: persist caches data
+    // but keeps the logical plan, so an iterative join loop builds a
+    // plan that doubles every iteration — planning (and plan-string
+    // logging) goes exponential and the job wedges around iteration 15.
+    // Checkpointing rewrites each generation to a LogicalRDD, keeping
+    // every iteration's plan O(1). Local (executor-block) checkpoints
+    // are the right scale choice too: one extra generation of blocks,
+    // no HDFS round-trip; a 100 TB deployment with preemptible
+    // executors would switch to reliable checkpoint() on the same loop.
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint()
+    var labels = vertices.select(
+      col("doc_id").as("u"), col("doc_id").as("rep_id")).localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 50) {
+      // candidate label for u = min rep over itself and its neighbors
+      val neighborMin = edges
+        .join(labels.select(col("u").as("v"), col("rep_id").as("n_rep")), Seq("v"))
+        .groupBy("u").agg(min(col("n_rep")).as("n_rep"))
+      val next = labels.join(neighborMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("rep_id"), coalesce(col("n_rep"), col("rep_id"))).as("rep_id"),
+          coalesce(col("n_rep") < col("rep_id"), lit(false)).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select("u", "rep_id")
+      iters += 1
+    }
+    labels.select(col("u").as("doc_id"), col("rep_id"))
+  }
 }

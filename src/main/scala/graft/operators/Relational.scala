@@ -600,8 +600,11 @@ object Relational {
             col("event_id"),
             get_json_object(col("props"), "$.k").cast("long").as("k"))
           .orderBy("event_id"),
+      // real JSON parse on both sides (DuckDB's bundled json extension),
+      // not a regex stand-in — escaped quotes or reordered keys would
+      // make a regex diverge from Spark's get_json_object
       Some("""SELECT event_id,
-                CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events ORDER BY event_id""")),
 
     // Event-time bucketing aggregation (batch form of the streaming query).

@@ -169,9 +169,12 @@ object Similarity {
       },
       None),
 
-    // Embedding-cosine near-duplicate pairs (threshold join).
+    // Embedding-cosine near-duplicate pairs — exact baseline (all-pairs
+    // broadcast join). Kept as the oracle-checked reference the bucketed
+    // scale path below is measured against; usable in production only
+    // for corpora small enough to broadcast.
     QueryDef(
-      "sim_embed_neardup",
+      "sim_embed_neardup_exact",
       (s, dir) => {
         val base = embParallel(s, dir)
         val a = base.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
@@ -187,6 +190,73 @@ object Similarity {
                FROM embeddings a, embeddings b
                WHERE a.vec_id < b.vec_id
                  AND ${cosineSql("a.embedding", "b.embedding")} >= $NearDupThreshold
-               ORDER BY a_id, b_id"""))
+               ORDER BY a_id, b_id""")),
+
+    // Embedding-cosine near-duplicate pairs — the 100 TB path: banded
+    // random-hyperplane LSH. 16 hyperplanes = 4 bands x 4 bits; a pair is
+    // a candidate iff SOME band's 4 sign-bits agree, so candidate
+    // generation is an equi-join on (band, band_val) — work proportional
+    // to bucket collisions, never |corpus|^2 — and candidates are then
+    // verified with the exact cosine, so precision is 1.0 by
+    // construction. Recall is the LSH collision probability
+    // 1-(1-p^4)^4 with p = 1 - theta/pi: ~0.95 at cos 0.9 (the realistic
+    // near-dup regime), lower at this corpus's permissive 0.4 threshold —
+    // measured and asserted against the exact baseline in SimilaritySpec.
+    // Rows-only correctness check (candidate *sets* are hash-family-
+    // specific); the exact operator above carries the oracle.
+    QueryDef(
+      "sim_embed_neardup",
+      (s, dir) => {
+        val bands = bandKeys(embParallel(s, dir))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+          .distinct()
+        val e = emb(s, dir)
+        cand
+          .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), Seq("a_id"))
+          .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            CosineSimilarity(s, col("a_emb"), col("b_emb")).as("cos"))
+          .filter(col("cos") >= NearDupThreshold)
+          .orderBy("a_id", "b_id")
+      },
+      None)
   )
+
+  /** (vec_id, band, band_val): banded sign-bit LSH keys on the whole-
+    * stage-codegen path — explode dimensions, broadcast-join the
+    * deterministic hyperplane components, aggregate per-plane dots, then
+    * pack each band's 4 sign bits. The per-plane dot is summed in
+    * DECIMAL so the sign (hence the bucket) is independent of partition
+    * fold order — float addition would make near-zero dots flip buckets
+    * between runs. Hyperplane family is the same xxhash64-derived grid
+    * as bucketExpr. */
+  private[graft] def bandKeys(
+      e: DataFrame, numPlanes: Int = 16, bitsPerBand: Int = 4): DataFrame = {
+    val s = e.sparkSession
+    // one flat range, not range x range: a crossJoin would plan a (tiny
+    // but assert-tripping) CartesianProduct
+    val planes = s.range(numPlanes.toLong * 64)
+      .select((col("id") / 64).cast("long").as("j"),
+        pmod(col("id"), lit(64L)).as("k"))
+      .select(col("j"), col("k"), expr(
+        "(pmod(xxhash64(concat(cast(j as string), '_', cast(k as string))), 2001) - 1000) / 1000.0"
+      ).as("r"))
+    val dims = e.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("k", "v")))
+    dims.join(broadcast(planes), Seq("k"))
+      .groupBy("vec_id", "j")
+      .agg(sum(col("v").cast("decimal(20,10)") * col("r").cast("decimal(6,3)"))
+        .as("dot"))
+      .select(col("vec_id"),
+        (col("j") / bitsPerBand).cast("int").as("band"),
+        when(col("dot") > 0,
+            expr(s"shiftleft(1, cast(pmod(j, $bitsPerBand) as int))"))
+          .otherwise(lit(0)).as("bitval"))
+      .groupBy("vec_id", "band")
+      .agg(sum(col("bitval")).cast("long").as("band_val"))
+  }
 }

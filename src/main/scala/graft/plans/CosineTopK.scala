@@ -91,6 +91,12 @@ case class CosineTopKExec(
       val heaps = Array.fill(nq)(PriorityQueue.empty[(Double, Long)](worstFirst))
       while (iter.hasNext) {
         val row = iter.next()
+        // null id/embedding: CosineSimilarity (the brute-force path) is
+        // null-safe and yields NULL, which the window filter then drops —
+        // skipping the row here keeps the two paths bit-identical
+        if (row.isNullAt(0) || row.isNullAt(1)) {
+          // skip
+        } else {
         val vecId = row.getLong(0)
         val emb = row.getArray(1)
         var qi = 0
@@ -104,7 +110,17 @@ case class CosineTopKExec(
               val yv = emb.getFloat(i).toDouble
               dot += xv * yv; nb += yv * yv; i += 1
             }
-            val cos = dot / math.sqrt(qNorms(qi) * nb)
+            // CosineSimilarity truncates BOTH vectors to the common
+            // length; the precomputed full-length query norm is only
+            // valid when the candidate is at least as long as the query
+            val qn =
+              if (n == q.length) qNorms(qi)
+              else {
+                var s = 0.0; var j = 0
+                while (j < n) { val v = q(j).toDouble; s += v * v; j += 1 }
+                s
+              }
+            val cos = dot / math.sqrt(qn * nb)
             val h = heaps(qi)
             if (h.size < kk) h.enqueue((cos, vecId))
             else if (worstFirst.compare(h.head, (cos, vecId)) > 0) {
@@ -112,6 +128,7 @@ case class CosineTopKExec(
             }
           }
           qi += 1
+        }
         }
       }
       val project = UnsafeProjection.create(schema.map(_.dataType).toArray)
@@ -135,8 +152,19 @@ case class CosineTopKExec(
   * `experimental.extraStrategies` API) and run the operator, finishing
   * the per-partition partials with a cheap k-bounded window merge. */
 object CosineTopKOp {
+
+  /** Queries ride in the serialized operator (driver memory + task
+    * closure), so the query set must be small — that is the operator's
+    * contract: few probes against an arbitrarily large candidate set.
+    * Larger query sets should use the LSH/IVF paths instead. */
+  val MaxQueries = 4096
+
   def topK(spark: SparkSession, candidates: DataFrame,
       queries: Seq[(Long, Array[Float])], k: Int): DataFrame = {
+    require(queries.nonEmpty, "CosineTopK: query set is empty")
+    require(queries.size <= MaxQueries,
+      s"CosineTopK: ${queries.size} queries exceeds MaxQueries=$MaxQueries " +
+        "(queries are broadcast in the operator; use sim_ann_lsh/ivf for large query sets)")
     if (!spark.experimental.extraStrategies.contains(CosineTopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ CosineTopKStrategy

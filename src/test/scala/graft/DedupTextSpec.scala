@@ -73,6 +73,74 @@ class DedupTextSpec extends AnyFunSuite {
     assert(agree > 0.25 && agree < 0.85)
   }
 
+  test("simhash chunk-blocking produces exactly the all-pairs pair set") {
+    // the naive quadratic form, kept ONLY here as the equivalence check
+    // for the shipped pigeonhole equi-join
+    val sig = Registry.byName("dedup_simhash").run(spark, TestSpark.sf)
+    val naive = sig.as("x")
+      .join(broadcast(sig.as("y")), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val chunked = Registry.byName("dedup_simhash_pairs").run(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(chunked === naive)
+    assert(chunked.nonEmpty)
+  }
+
+  test("stop-shingle DF cap drops viral shingles from the inverted index") {
+    // 12 docs all share one viral shingle ("spam spam spam"); docs 0/1
+    // additionally share a genuine near-dup shingle set
+    val a = "alpha beta gamma delta epsilon zeta"
+    val docs = (0L until 12L).map { i =>
+      val body = if (i <= 1) a else s"unique$i words$i here$i now$i filler$i tail$i"
+      (i, s"$body spam spam spam")
+    }.toDF("doc_id", "text")
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    // cap 10 < DF(spam-shingles)=12: viral postings are dropped, so only
+    // the genuine 0-1 overlap survives as a candidate pair
+    val capped = operators.Dedup.jaccardPairs(docs, maxDf = 10)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((0L, 1L)))
+    // without the cap every one of the 66 pairs is a candidate
+    val uncapped = operators.Dedup.jaccardPairs(docs, maxDf = 1000)
+      .select("a_id", "b_id").collect().length
+    assert(uncapped === 66)
+  }
+
+  test("connected components: chain, triangle and singleton collapse to min id") {
+    val vertices = (0L to 6L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val rep = operators.Dedup.connectedComponents(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedup_cluster collapses the planted 3-way duplicate group") {
+    // docs 0, 1 (exact dup) and 2 (near dup) form one cluster; 3 is alone
+    val rep = Registry.byName("dedup_cluster").run(spark, plantedDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+  }
+
+  test("minhash by_source survives shingle-less documents (null signatures)") {
+    val dir = Files.createTempDirectory("graft_short").toString
+    Seq(
+      (0L, "only two", "en", "srcA", 8L), // < 3 tokens -> all-NULL signature
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "srcA", 46L),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota", "en", "srcB", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.byName("dedup_minhash_by_source").run(spark, dir).collect()
+    // srcA's signature = srcB's doc-1-only signature ignoring the null doc-0
+    assert(out.length === 32) // 2 sources x 16 perms
+    val bySrc = out.groupBy(_.getString(0))
+    assert(bySrc("srcA").forall(r => !r.isNullAt(2)))
+  }
+
   test("hash31 is deterministic, positive, engine-portable range") {
     val vals = Seq("a", "b", "a").toDF("s").select(hash31(col("s")).as("h"))
       .collect().map(_.getLong(0))

@@ -76,4 +76,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_semi_join").contains("LeftSemi"))
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
+
+  test("dedup_minhash has no single-partition exchange (scale funnel)") {
+    val p = plan("dedup_minhash")
+    assert(!p.contains("SinglePartition"), s"single-partition funnel in:\n$p")
+    assert(p.contains("rangepartitioning"), s"expected a parallel range sort:\n$p")
+  }
+
+  test("simhash pairs plan is a hash equi-join, not a nested-loop scan") {
+    val p = plan("dedup_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"O(n^2) join shipped:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product shipped:\n$p")
+  }
+
+  test("bucketed embedding near-dup plan has no nested-loop or cartesian join") {
+    val p = plan("sim_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"O(n^2) join shipped:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product shipped:\n$p")
+  }
 }

@@ -52,12 +52,46 @@ class SimilaritySpec extends AnyFunSuite {
     lsh.foreach { case (id, c) => assert(c === brute(id)) }
   }
 
-  test("near-dup pairs include the identical pair with cos 1") {
-    val out = Registry.byName("sim_embed_neardup").run(spark, dir).collect()
+  test("exact near-dup pairs include the identical pair with cos 1") {
+    val out = Registry.byName("sim_embed_neardup_exact").run(spark, dir).collect()
       .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")), r.getAs[Double]("cos")))
       .toMap
     assert(math.abs(out((0L, 1L)) - 1.0) < 1e-12)
     assert(!out.contains((0L, 2L))) // orthogonal, below threshold
+  }
+
+  test("bucketed near-dup finds identical vectors and never a false positive") {
+    val out = Registry.byName("sim_embed_neardup").run(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")), r.getAs[Double]("cos")))
+      .toMap
+    // identical vectors share every band -> always a candidate
+    assert(math.abs(out((0L, 1L)) - 1.0) < 1e-12)
+    assert(!out.contains((0L, 2L)))
+  }
+
+  test("bucketed near-dup: precision 1.0 and measured recall vs exact") {
+    val exact = Registry.byName("sim_embed_neardup_exact").run(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Registry.byName("sim_embed_neardup").run(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair is verified with the exact cosine -> subset
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    // recall at this corpus's permissive 0.4 threshold; production
+    // near-dup thresholds (>= 0.9) sit far higher on the LSH s-curve
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("custom top-k rejects empty and oversized query sets") {
+    val e = Registry.byName("sim_topk_bruteforce").run(spark, dir) // any df
+    intercept[IllegalArgumentException] {
+      graft.plans.CosineTopKOp.topK(spark, e, Seq.empty, 5)
+    }
+    val tooMany = (0 until graft.plans.CosineTopKOp.MaxQueries + 1)
+      .map(i => i.toLong -> Array(1.0f))
+    intercept[IllegalArgumentException] {
+      graft.plans.CosineTopKOp.topK(spark, e, tooMany, 5)
+    }
   }
 
   test("custom top-k operator equals brute force bit-for-bit") {
