@@ -202,9 +202,9 @@ object Dedup {
 
     // MinHash + LSH banding: candidate pairs from band-bucket collisions,
     // then exact Jaccard verification. This is the 100 TB dedup path —
-    // the only shuffle is groupBy(band_id, band_key). Rows-only check
-    // (band keys are engine-portable too, but candidate sets are the
-    // point here, not a SQL-expressible relation).
+    // the only shuffle is groupBy(band_id, band_key). The band keys are
+    // engine-portable (md5-derived signatures, comma-joined), so the
+    // whole candidate relation is oracle-checked in DuckDB.
     QueryDef(
       "dedup_minhash_pairs",
       (s, dir) => {
@@ -236,7 +236,33 @@ object Dedup {
               .as("jaccard"))
           .orderBy("a_id", "b_id")
       },
-      None),
+      Some(s"""WITH d AS (
+                 SELECT doc_id, list_distinct(list_transform(
+                   range(1, len(string_split(text,' ')) - 1),
+                   i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+                 FROM documents),
+               sig AS (
+                 SELECT doc_id, list_transform(range(0, 16), p ->
+                   list_aggregate(list_transform(sh, s ->
+                     ((2*p + 3) * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) + p) % 2147483647),
+                   'min')) AS sg
+                 FROM d),
+               bands AS (
+                 SELECT doc_id, b,
+                   array_to_string(sg[2*b + 1 : 2*b + 2], ',') AS band_key
+                 FROM sig, (SELECT unnest(range(0, 8)) AS b) bs),
+               cand AS (
+                 SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                 FROM bands x JOIN bands y
+                   ON x.b = y.b AND x.band_key = y.band_key
+                    AND x.doc_id < y.doc_id)
+               SELECT c.a_id, c.b_id,
+                 CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                   / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard
+               FROM cand c
+               JOIN d da ON da.doc_id = c.a_id
+               JOIN d db ON db.doc_id = c.b_id
+               ORDER BY a_id, b_id""")),
 
     // Corpus-level MinHash via a typed custom Aggregator: element-wise
     // min over per-document signatures = the signature of each source's
