@@ -287,9 +287,12 @@ object Analytics {
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // Same sessionization via typed groupByKey + flatMapGroups — the
-    // imperative per-key escape hatch (rows-only; cross-checked against
-    // the window form in AnalyticsSpec). At 100 TB the in-memory per-user
-    // sort bounds state by events-per-user, not partition size.
+    // imperative per-key escape hatch. (user_id, ts) is unique in the
+    // events corpus, so the per-key (ts, event_id) sort here and the
+    // window form's ts ordering agree and this shares q_sessionize's
+    // oracle (also cross-checked in AnalyticsSpec). At 100 TB the
+    // in-memory per-user sort bounds state by events-per-user, not
+    // partition size.
     QueryDef(
       "sessionize_stateful",
       (s, dir) => {
@@ -312,6 +315,6 @@ object Analytics {
           .toDF()
           .orderBy("event_id")
       },
-      None)
+      Some(SessionizeOracleSql))
   )
 }

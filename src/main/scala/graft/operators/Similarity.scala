@@ -223,7 +223,50 @@ object Similarity {
           .filter(col("cos") >= NearDupThreshold)
           .orderBy("a_id", "b_id")
       },
-      None)
+      None),
+
+    // Exact per-label centroids, flattened to (label, dim, centroid, n).
+    // Vector mean per group is the building block for IVF training /
+    // cluster quality checks; the per-dimension sum goes through DECIMAL
+    // so the centroid is identical under any partitioning (float
+    // addition order would differ run-to-run), with one double division
+    // at the end. One hash shuffle on (label, dim), map-side partials —
+    // the same shape at 100 TB.
+    QueryDef(
+      "emb_centroid",
+      (s, dir) =>
+        embParallel(s, dir)
+          .select(col("label").cast("long").as("label"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          // float -> double is exact in both engines; double ->
+          // DECIMAL(38,25) rounds 25 digits below the float's own
+          // precision, where both engines see the same binary expansion
+          // (a cast straight from FLOAT rounded at 1e-10 and the two
+          // engines' float-to-decimal routes disagreed in the 10th digit)
+          .agg(
+            (sum(col("v").cast("double").cast("decimal(38,25)")).cast("double") /
+              count(lit(1)).cast("double")).as("centroid"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("dim").cast("long").as("dim"),
+            col("centroid"), col("n"))
+          .orderBy("label", "dim"),
+      // decimal<->double parity: Spark's double->decimal cast quantizes
+      // the double's SHORTEST STRING representation (BigDecimal.valueOf),
+      // not its binary expansion, and its decimal->double cast rounds
+      // correctly once; DuckDB does the opposite on both (binary
+      // expansion in, int128*10^-k double-rounding out). Routing both
+      // DuckDB conversions through VARCHAR reproduces Spark's semantics
+      // exactly (verified bit-exact on all 640 sf0.01 and 640 sf0.1
+      // centroid values).
+      Some("""SELECT CAST(label AS BIGINT) AS label,
+                CAST(i - 1 AS BIGINT) AS dim,
+                CAST(CAST(sum(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(38,25))) AS VARCHAR) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS centroid,
+                count(*) AS n
+              FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx
+              GROUP BY label, i
+              ORDER BY label, dim"""))
   )
 
   /** (vec_id, band, band_val): banded sign-bit LSH keys on the whole-

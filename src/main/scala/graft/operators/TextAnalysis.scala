@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.EngineFns.hash31
@@ -164,6 +165,117 @@ object TextAnalysis {
                 list_reduce(list_transform(string_split(text, ' '),
                   t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647),
                   (acc, h) -> (acc * 65599 + h) % 2147483647) AS rolling_fp
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // Sequence packing: assign documents to fixed-token-budget training
+    // packs (next-fit by doc_id order within each source). pack_id =
+    // floor(cumulative-tokens-before / budget) — a pure window running
+    // sum, so the whole operator is one shuffle on source + an ordered
+    // scan per partition; at 100 TB that is the same shape as any
+    // windowed query and the pack assignment is deterministic under any
+    // parallelism (integer arithmetic only).
+    QueryDef(
+      "text_pack",
+      (s, dir) => {
+        val budget = 2048L
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            tokenCount(col("text")).as("n_tokens"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            expr(s"cum_before div $budget").as("pack_id"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents),
+              c AS (
+                SELECT doc_id, source, n_tokens,
+                  COALESCE(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                FROM t)
+              SELECT doc_id, source, n_tokens,
+                CAST(cum_before // 2048 AS BIGINT) AS pack_id
+              FROM c ORDER BY source, doc_id""")),
+
+    // Stratified sampling: deterministic hash-bucket sampling with a
+    // per-language rate (downsample the dominant language — the standard
+    // corpus-balancing step). The keep decision is a pure function of
+    // (source, doc_id) via the engine-portable md5 hash, so the sample
+    // is reproducible across engines, partitionings and reruns, and the
+    // operator is map-only (no shuffle, no RNG state).
+    QueryDef(
+      "sample_stratified",
+      (s, dir) => {
+        val bucket = pmod(
+          hash31(concat_ws("|", col("source"), col("doc_id").cast("string"))),
+          lit(100L))
+        val rate = when(col("lang") === "en", 30L)
+          .when(col("lang") === "zh", 80L)
+          .otherwise(60L)
+        Tables.load(s, dir, "documents")
+          .withColumn("bucket", bucket)
+          .filter(col("bucket") < rate)
+          .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (
+                SELECT doc_id, lang, source,
+                  (CAST(concat('0x', substr(md5(concat(source, '|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                    % 2147483647) % 100 AS bucket
+                FROM documents)
+              SELECT doc_id, lang, source, bucket
+              FROM b
+              WHERE bucket < CASE WHEN lang = 'en' THEN 30
+                                  WHEN lang = 'zh' THEN 80
+                                  ELSE 60 END
+              ORDER BY doc_id""")),
+
+    // Quality filtering: the decision step on top of text_quality's
+    // signals — every document gets a verdict and the FIRST failing
+    // reason (short-circuit order matters and is identical in both
+    // engines). Map-only; at 100 TB this is the gate in front of every
+    // downstream stage.
+    QueryDef(
+      "text_filter_quality",
+      (s, dir) => {
+        val nTokens = tokenCount(col("text"))
+        val reason = when(nTokens < 8, "too_short")
+          .when(stopwordRatio(col("text")) > 0.35, "too_stoppy")
+          .when(noiseRatio(col("text")) > 0.25, "noisy")
+          .when(avgWordLen(col("text")) < 3.0, "short_words")
+          .otherwise("keep")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), reason.as("verdict"),
+            (reason === "keep").as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (
+                SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to','is','in'))) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+                  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+                  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) AS noise_ratio
+                FROM documents)
+              SELECT doc_id,
+                CASE WHEN n_tokens < 8 THEN 'too_short'
+                     WHEN stop_ratio > 0.35 THEN 'too_stoppy'
+                     WHEN noise_ratio > 0.25 THEN 'noisy'
+                     WHEN avg_word_len < 3.0 THEN 'short_words'
+                     ELSE 'keep' END AS verdict,
+                CASE WHEN n_tokens < 8 THEN 'too_short'
+                     WHEN stop_ratio > 0.35 THEN 'too_stoppy'
+                     WHEN noise_ratio > 0.25 THEN 'noisy'
+                     WHEN avg_word_len < 3.0 THEN 'short_words'
+                     ELSE 'keep' END = 'keep' AS kept
+              FROM q ORDER BY doc_id"""))
   )
 }

@@ -155,7 +155,67 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** Raw event stream with a µs timestamp column. */
+  private def rawEventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so the state
+    * store only retains one hour of clicks per user — the canonical
+    * bounded-state stream-stream join. The memory sink's append output
+    * is aggregated batch-side into clicks-per-purchase for the
+    * deterministic oracle comparison (the batch join is the oracle). */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = rawEventStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = rawEventStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val sink = s"graft_stream_ivj_${nameCounter.incrementAndGet()}"
+    val q = purchases.join(clicks,
+        expr("""p_user = c_user AND
+                c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"""))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    s.table(sink)
+      .groupBy(col("p_id").as("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks_1h"))
+      .orderBy("purchase_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "stream_interval_join",
+      (s, dir) => intervalJoin(s, dir),
+      Some("""SELECT p.event_id AS purchase_id, count(*) AS n_clicks_1h
+              FROM events p JOIN events c
+                ON c.user_id = p.user_id
+               AND p.event_type = 'purchase' AND c.event_type = 'click'
+               AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+               AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+              GROUP BY purchase_id ORDER BY purchase_id"""),
+      bench = false),
     QueryDef(
       "stream_sessionize",
       (s, dir) => sessionizeStream(s, dir),
