@@ -36,17 +36,45 @@ object Similarity {
   private def embParallel(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).repartition(s.sparkContext.defaultParallelism)
 
-  /** LSH bucket id: bit j = sign of dot(v, r_j); hyperplane components are
-    * deterministic pseudo-randoms in [-0.5, 0.5] from xxhash64(j, '_', k). */
-  private val bucketExpr =
-    s"""aggregate(
-          transform(sequence(0, ${NumHyperplanes - 1}), j ->
-            CASE WHEN aggregate(
-                   zip_with(embedding, sequence(0, 63), (v, k) ->
-                     cast(v as double) * ((pmod(xxhash64(concat(cast(j as string), '_', cast(k as string))), 2001) - 1000) / 1000.0)),
-                   cast(0.0 as double), (a, x) -> a + x) > 0
-                 THEN shiftleft(1, j) ELSE 0 END),
-          0, (a, x) -> a + x)"""
+  /** Scala-side md5 hash31 — the same arithmetic as EngineFns.hash31 /
+    * the DuckDB oracle, evaluated once at plan-build time. */
+  private def hash31Scala(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 2147483647L
+  }
+
+  /** Hyperplane component r(j, k) in [-0.5, 0.5], derived from the
+    * md5-based hash31 of "j_k" — engine-portable (the DuckDB oracle
+    * recomputes the identical value from md5 in SQL). Folded to literal
+    * constants HERE because higher-order-function lambdas are
+    * interpreted per row: leaving the md5 inside the lambda re-hashed
+    * 8 x 64 strings for every input row. */
+  private lazy val planeConsts: IndexedSeq[IndexedSeq[Double]] =
+    IndexedSeq.tabulate(NumHyperplanes, 64) { (j, k) =>
+      (hash31Scala(s"${j}_$k") % 2001 - 1000).toDouble / 1000.0
+    }
+
+  /** LSH bucket id: bit j = sign of dot(v, r_j). The dot folds
+    * left-to-right in double (zero seed), same recipe as cosine, so the
+    * bucket — and everything downstream — is oracle-checkable. */
+  private def bucketCol: org.apache.spark.sql.Column =
+    (0 until NumHyperplanes).map { j =>
+      val dot = aggregate(
+        zip_with(col("embedding"),
+          array(planeConsts(j).map(lit): _*),
+          (v, r) => v.cast("double") * r),
+        lit(0.0), (a, x) => a + x)
+      when(dot > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** DuckDB mirror of bucketCol (same hash family, same fold order). */
+  private val bucketSql =
+    s"""CAST(list_sum(list_transform(range(0, $NumHyperplanes), j ->
+          CASE WHEN list_reduce(list_transform(list_zip(embedding, range(0, 64)), p ->
+                 CAST(p[1] AS DOUBLE) * ((((CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', CAST(p[2] AS VARCHAR))), 1, 15)) AS BIGINT) % 2147483647) % 2001) - 1000) / 1000.0)),
+                 (x, y) -> x + y) > 0
+               THEN (1 << j) ELSE 0 END)) AS BIGINT)"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -82,13 +110,14 @@ object Similarity {
                FROM r WHERE rank <= $TopK ORDER BY q_id, rank""")),
 
     // Approximate top-k via random-hyperplane LSH buckets (scale path).
-    // Deterministic but hash-family-specific — rows-only check; recall vs
-    // brute force is asserted in SimilaritySpec.
+    // The hash family is md5-derived, so buckets — and therefore the
+    // entire approximate result — are oracle-checked bit-for-bit; recall
+    // vs brute force is additionally asserted in SimilaritySpec.
     QueryDef(
       "sim_ann_lsh",
       (s, dir) => {
         val bucketed = embParallel(s, dir)
-          .withColumn("bucket", expr(bucketExpr).cast("long"))
+          .withColumn("bucket", bucketCol.cast("long"))
         val q = bucketed.filter(col("vec_id") < NumQueries)
           .select(
             col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -104,7 +133,20 @@ object Similarity {
           .filter(col("rank") <= TopK)
           .orderBy("q_id", "rank")
       },
-      None),
+      Some(s"""WITH b AS (
+                 SELECT vec_id, embedding, $bucketSql AS bucket
+                 FROM embeddings),
+               q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket
+                     FROM b WHERE vec_id < $NumQueries),
+               c AS (SELECT q.q_id, b.vec_id, b.bucket,
+                       ${cosineSql("q.q_emb", "b.embedding")} AS cos
+                     FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.q_id),
+               r AS (SELECT q_id, vec_id, bucket, cos,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+                     FROM c)
+               SELECT q_id, vec_id, bucket, cos, CAST(rank AS BIGINT) AS rank
+               FROM r WHERE rank <= $TopK ORDER BY q_id, rank"""),
+      ),
 
     // Custom whole-operator top-k (LogicalPlan + SparkStrategy +
     // SparkPlan): per-partition bounded heaps instead of materializing
@@ -167,7 +209,31 @@ object Similarity {
           .filter(col("rank") <= TopK)
           .orderBy("q_id", "rank")
       },
-      None),
+      // nprobe=1 IVF is pure relational algebra over the portable cosine
+      // fold, so the approximate result is oracle-checked exactly
+      Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+                             FROM embeddings WHERE vec_id % 50 = 0),
+               scored AS (SELECT e.vec_id, e.embedding, cent.c_id,
+                            ${cosineSql("e.embedding", "cent.c_emb")} AS c_cos
+                          FROM embeddings e, cent),
+               assigned AS (
+                 SELECT vec_id, embedding, c_id AS list_id FROM (
+                   SELECT vec_id, embedding, c_id,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS arn
+                   FROM scored) WHERE arn = 1),
+               q AS (SELECT vec_id AS q_id, embedding AS q_emb, list_id
+                     FROM assigned WHERE vec_id < $NumQueries),
+               c AS (SELECT q.q_id, a.vec_id, a.list_id,
+                       ${cosineSql("q.q_emb", "a.embedding")} AS cos
+                     FROM assigned a JOIN q
+                       ON a.list_id = q.list_id AND a.vec_id != q.q_id),
+               r AS (SELECT q_id, vec_id, list_id, cos,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+                     FROM c)
+               SELECT q_id, vec_id, CAST(list_id AS BIGINT) AS list_id, cos,
+                 CAST(rank AS BIGINT) AS rank
+               FROM r WHERE rank <= $TopK ORDER BY q_id, rank"""),
+      ),
 
     // Embedding-cosine near-duplicate pairs — exact baseline (all-pairs
     // broadcast join). Kept as the oracle-checked reference the bucketed

@@ -94,4 +94,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"O(n^2) join shipped:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product shipped:\n$p")
   }
+
+  test("text_pack is one window shuffle plus the presentation sort") {
+    val p = plan("text_pack")
+    assert("Exchange".r.findAllIn(p).size === 2,
+      s"expected exactly hash(source) + range sort exchanges:\n$p")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+  }
+
+  test("sample_stratified is map-only except the presentation sort") {
+    val p = plan("sample_stratified")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"expected only the final range-sort exchange:\n$p")
+  }
+
+  test("emb_centroid aggregates map-side before its single hash shuffle") {
+    val p = plan("emb_centroid")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"no partial aggregation:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected one hash exchange:\n$p")
+  }
 }
