@@ -77,6 +77,24 @@ object Bench {
       case _ => 0L
     }
 
+  /** Execute one registry query to completion against the noop sink.
+    * Returns (wall seconds, ok) — a query that throws reports ok=false
+    * and its JSON entry must never masquerade as a fast success
+    * (BenchSpec covers the failure path). */
+  def runOne(spark: SparkSession, d: QueryDef, sfDir: String): (Double, Boolean) = {
+    val t0 = System.nanoTime()
+    val ok =
+      try {
+        d.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] FAILED ${d.name}: $e")
+          false
+      }
+    ((System.nanoTime() - t0) / 1e9, ok)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -125,19 +143,9 @@ object Bench {
 
     for (pass <- 1 to bestOf) {
       defs.foreach { d =>
-        val t0 = System.nanoTime()
         val g0 = gcMs; val j0 = jitMs; val c0 = procCpuMs
         val s0 = meter.snap()
-        val ok =
-          try {
-            d.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-            true
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] FAILED ${d.name}: $e")
-              false
-          }
-        val sec = (System.nanoTime() - t0) / 1e9
+        val (sec, ok) = runOne(spark, d, sfDir)
         val s1 = meter.snap()
         System.err.println(
           f"[bench] p$pass ${d.name}: $sec%.2f s ok=$ok gc=${gcMs - g0}ms " +

@@ -9,40 +9,55 @@ import graft.{QueryDef, Tables}
   * over a typed Dataset (the Scala analog of mapInPandas batch UDFs), and
   * frame sampling via sequence + explode.
   *
-  * The container has no image/audio codecs, so `FakeCodec.decode` is a
-  * clearly-marked deterministic stand-in — the Spark-side plumbing
-  * (schema, batch iteration, partitioning, flat typed output) is real and
-  * oracle-/test-covered. The binary payloads themselves are derived from
-  * `documents.text` bytes since the corpus ships no media blobs.
+  * The container has no image/audio codecs and the corpus ships no media
+  * blobs, so mm_decode SYNTHESIZES payloads in-plan: a real PNG
+  * signature + big-endian IHDR-style dimensions, or a real RIFF/WAVE
+  * header + little-endian sample rate, followed by the document's text
+  * bytes. `HeaderCodec.decode` then does what actual media metadata
+  * extraction does — magic-byte sniffing and endian-aware field parsing
+  * over raw bytes — and the oracle recomputes the planted ground truth
+  * from `documents` directly, so a parser bug is a correctness failure.
+  * A production deployment swaps the synthetic payload column for real
+  * blobs and extends decode() to full-frame decoding; the mapPartitions
+  * plumbing (schema, batching, partitioning) is unchanged.
   */
 object Multimodal {
 
   /** Typed record for the decode stage. */
   final case class MediaIn(doc_id: Long, payload: Array[Byte])
   final case class MediaMeta(
-      doc_id: Long, format: String, width: Int, height: Int,
-      n_bytes: Long, checksum: Long)
+      doc_id: Long, format: String, width: Long, height: Long,
+      sample_rate: Long, n_payload_bytes: Long)
 
-  /** STUB: deterministic fake decoder standing in for a real image/audio
-    * codec (none available in this environment). Real deployments swap
-    * this body for e.g. a JNI codec call; the surrounding mapPartitions
-    * plumbing is unchanged. */
-  object FakeCodec {
+  /** Real header parsing over raw bytes: PNG signature (8 bytes) +
+    * 4-byte big-endian width/height, or RIFF....WAVE + 4-byte
+    * little-endian sample rate. Unknown magic falls through with the
+    * byte count only — never throws. */
+  object HeaderCodec {
+    private val PngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+
+    private def be32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def hasPrefix(b: Array[Byte], p: Array[Byte], off: Int): Boolean =
+      b.length >= off + p.length &&
+        p.indices.forall(i => b(off + i) == p(i))
+
     def decode(in: MediaIn): MediaMeta = {
       val b = in.payload
-      val checksum = b.foldLeft(17L)((acc, x) => acc * 31 + (x & 0xff))
-      val fmt = (checksum % 3) match {
-        case 0 => "png"
-        case 1 => "jpeg"
-        case _ => "wav"
-      }
-      MediaMeta(
-        doc_id = in.doc_id,
-        format = fmt,
-        width = 64 + (b.length % 512),
-        height = 64 + ((checksum % 512).toInt + 512) % 512,
-        n_bytes = b.length.toLong,
-        checksum = checksum)
+      if (hasPrefix(b, PngMagic, 0) && b.length >= 16)
+        MediaMeta(in.doc_id, "png", be32(b, 8), be32(b, 12), 0L, b.length - 16L)
+      else if (hasPrefix(b, "RIFF".getBytes, 0) &&
+          hasPrefix(b, "WAVE".getBytes, 8) && b.length >= 16)
+        MediaMeta(in.doc_id, "wav", 0L, 0L, le32(b, 12), b.length - 16L)
+      else
+        MediaMeta(in.doc_id, "unknown", 0L, 0L, 0L, b.length.toLong)
     }
   }
 
@@ -80,19 +95,49 @@ object Multimodal {
       Some("""SELECT doc_id, CAST(unnest(range(0, n_chars % 10 + 1)) AS BIGINT) AS frame_idx
               FROM documents ORDER BY doc_id, frame_idx""")),
 
-    // Batch decode via mapPartitions over a typed Dataset — the decode
-    // body is the FakeCodec stub; partition-parallel, no shuffle.
+    // Batch decode via mapPartitions over a typed Dataset: synthesize a
+    // real PNG or RIFF/WAVE header (planted dimensions / sample rate) in
+    // front of the text bytes in-plan, then parse it back with
+    // HeaderCodec. Partition-parallel, no shuffle; the oracle recomputes
+    // the planted ground truth, so the byte-level parser is
+    // correctness-gated.
     QueryDef(
       "mm_decode",
       (s, dir) => {
         import s.implicits._
+        def be32(c: String) = s"lpad(hex($c), 8, '0')"
+        // parenthesize every $c substitution: the interpolated expression
+        // would otherwise rebind under div/% precedence
+        def le32(c: String) =
+          s"""concat(lpad(hex(($c) % 256), 2, '0'),
+                     lpad(hex((($c) div 256) % 256), 2, '0'),
+                     lpad(hex((($c) div 65536) % 256), 2, '0'),
+                     lpad(hex((($c) div 16777216) % 256), 2, '0'))"""
+        val payload = expr(s"""
+          CASE WHEN doc_id % 2 = 0
+            THEN concat(unhex('89504E470D0A1A0A'),
+                        unhex(${be32("n_chars % 512 + 64")}),
+                        unhex(${be32("doc_id % 512 + 64")}),
+                        cast(text as binary))
+            ELSE concat(unhex('52494646'),
+                        unhex(${le32("octet_length(cast(text as binary)) + 8")}),
+                        unhex('57415645'),
+                        unhex(${le32("8000 + (doc_id % 4) * 11025")}),
+                        cast(text as binary))
+          END""")
         docs(s, dir)
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .select(col("doc_id"), payload.as("payload"))
           .as[MediaIn]
-          .mapPartitions(_.map(FakeCodec.decode))
+          .mapPartitions(_.map(HeaderCodec.decode))
           .toDF()
           .orderBy("doc_id")
       },
-      None)
+      Some("""SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+                CASE WHEN doc_id % 2 = 0 THEN n_chars % 512 + 64 ELSE 0 END AS width,
+                CASE WHEN doc_id % 2 = 0 THEN doc_id % 512 + 64 ELSE 0 END AS height,
+                CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 + (doc_id % 4) * 11025 END AS sample_rate,
+                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_payload_bytes
+              FROM documents ORDER BY doc_id"""))
   )
 }
