@@ -411,9 +411,12 @@ object Dedup {
       .select(
         col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
-      // a pair can collide on several chunks — dedup before the filter
-      .distinct()
+      // a pair can collide on several chunks — dedup, but AFTER the
+      // Hamming filter: the filter is a cheap map-side expression while
+      // distinct is a shuffle, so it should see only qualifying pairs,
+      // not every chunk collision
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 

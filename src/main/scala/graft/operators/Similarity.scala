@@ -268,8 +268,8 @@ object Similarity {
     // 1-(1-p^4)^4 with p = 1 - theta/pi: ~0.95 at cos 0.9 (the realistic
     // near-dup regime), lower at this corpus's permissive 0.4 threshold —
     // measured and asserted against the exact baseline in SimilaritySpec.
-    // Rows-only correctness check (candidate *sets* are hash-family-
-    // specific); the exact operator above carries the oracle.
+    // The band keys are md5-derived with exact decimal dots, so the
+    // approximate result itself is ALSO oracle-checked bit-for-bit.
     QueryDef(
       "sim_embed_neardup",
       (s, dir) => {
@@ -289,7 +289,19 @@ object Similarity {
           .filter(col("cos") >= NearDupThreshold)
           .orderBy("a_id", "b_id")
       },
-      None),
+      Some(s"""WITH ${bandKeysSql()},
+               cand AS (
+                 SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+                 FROM bandvals x JOIN bandvals y
+                   ON x.band = y.band AND x.band_val = y.band_val
+                    AND x.vec_id < y.vec_id)
+               SELECT c.a_id, c.b_id,
+                 ${cosineSql("a.embedding", "b.embedding")} AS cos
+               FROM cand c
+               JOIN embeddings a ON a.vec_id = c.a_id
+               JOIN embeddings b ON b.vec_id = c.b_id
+               WHERE ${cosineSql("a.embedding", "b.embedding")} >= $NearDupThreshold
+               ORDER BY a_id, b_id""")),
 
     // Exact per-label centroids, flattened to (label, dim, centroid, n).
     // Vector mean per group is the building block for IVF training /
@@ -338,11 +350,17 @@ object Similarity {
   /** (vec_id, band, band_val): banded sign-bit LSH keys on the whole-
     * stage-codegen path — explode dimensions, broadcast-join the
     * deterministic hyperplane components, aggregate per-plane dots, then
-    * pack each band's 4 sign bits. The per-plane dot is summed in
-    * DECIMAL so the sign (hence the bucket) is independent of partition
-    * fold order — float addition would make near-zero dots flip buckets
-    * between runs. Hyperplane family is the same xxhash64-derived grid
-    * as bucketExpr. */
+    * pack each band's 4 sign bits.
+    *
+    * Numeric contract: the per-plane dot is sum(v_decimal * n) with
+    * v_decimal = the double-widened float quantized through its shortest
+    * string representation to DECIMAL(30,20) and n an INTEGER hyperplane
+    * component in [-1000, 1000] from the md5-based hash31 of "j_k" —
+    * exact and commutative, so the sign (hence the bucket) is identical
+    * under any partitioning AND reproducible in DuckDB (float addition
+    * would flip near-zero dots between runs; an engine-private hash
+    * would make the bands uncheckable). sign(sum(v*n)) equals
+    * sign(dot(v, n/1000)), the usual hyperplane test. */
   private[graft] def bandKeys(
       e: DataFrame, numPlanes: Int = 16, bitsPerBand: Int = 4): DataFrame = {
     val s = e.sparkSession
@@ -352,13 +370,13 @@ object Similarity {
       .select((col("id") / 64).cast("long").as("j"),
         pmod(col("id"), lit(64L)).as("k"))
       .select(col("j"), col("k"), expr(
-        "(pmod(xxhash64(concat(cast(j as string), '_', cast(k as string))), 2001) - 1000) / 1000.0"
-      ).as("r"))
+        "pmod(cast(conv(substr(md5(cast(concat(cast(j as string), '_', cast(k as string)) as binary)), 1, 15), 16, 10) as bigint), 2147483647) % 2001 - 1000"
+      ).cast("decimal(4,0)").as("n"))
     val dims = e.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("k", "v")))
     dims.join(broadcast(planes), Seq("k"))
       .groupBy("vec_id", "j")
-      .agg(sum(col("v").cast("decimal(20,10)") * col("r").cast("decimal(6,3)"))
+      .agg(sum(col("v").cast("double").cast("decimal(30,20)") * col("n"))
         .as("dot"))
       .select(col("vec_id"),
         (col("j") / bitsPerBand).cast("int").as("band"),
@@ -368,4 +386,25 @@ object Similarity {
       .groupBy("vec_id", "band")
       .agg(sum(col("bitval")).cast("long").as("band_val"))
   }
+
+  /** DuckDB mirror of bandKeys (same hash family, exact decimal dots). */
+  private[graft] def bandKeysSql(numPlanes: Int = 16, bitsPerBand: Int = 4): String =
+    s"""grid AS (
+          SELECT j, k,
+            CAST((CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', CAST(k AS VARCHAR))), 1, 15)) AS BIGINT)
+                  % 2147483647) % 2001 - 1000 AS DECIMAL(4,0)) AS n
+          FROM (SELECT unnest(range(0, $numPlanes)) AS j) js,
+               (SELECT unnest(range(0, 64)) AS k) ks),
+        dims AS (
+          SELECT vec_id, i - 1 AS k,
+            CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(30,20)) AS v
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+        dots AS (
+          SELECT d.vec_id, g.j, sum(d.v * g.n) AS dot
+          FROM dims d JOIN grid g ON g.k = d.k
+          GROUP BY d.vec_id, g.j),
+        bandvals AS (
+          SELECT vec_id, CAST(j // $bitsPerBand AS INTEGER) AS band,
+            CAST(sum(CASE WHEN dot > 0 THEN (1 << CAST(j % $bitsPerBand AS INTEGER)) ELSE 0 END) AS BIGINT) AS band_val
+          FROM dots GROUP BY vec_id, j // $bitsPerBand)"""
 }
