@@ -443,6 +443,48 @@ object Relational {
               FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
               ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
 
+    // Explicit GROUPING SETS (beyond rollup/cube): the Spark 4 Dataset
+    // groupingSets API — same Expand + single-shuffle plan shape as cube.
+    QueryDef(
+      "q_grouping_sets",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderpriority")), Seq.empty),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy(asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                      (o_orderpriority), ())
+              ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // RANGE window frame (value-based, not row-based): running sum of
+    // order totals within a sliding price band per customer. One hash
+    // shuffle on the partition key + an ordered scan, like any window.
+    QueryDef(
+      "q_window_range",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-1000L, 0L)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .withColumn("band_total",
+            sum(dec(col("o_totalprice"))).over(w).cast("double"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_totalprice
+                  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS band_total
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
     // COUNT(DISTINCT) aggregate.
     QueryDef(
       "q_distinct_agg",
