@@ -352,6 +352,69 @@ object Dedup {
                 AND bit_count(xor(a.simhash, b.simhash)) <= 3
               ORDER BY a_id, b_id""")),
 
+    // Wide (60-bit) SimHash signature per document — the scale variant;
+    // see simhashedWide. Oracle mirrors the two md5-derived hashes.
+    QueryDef(
+      "dedup_simhash_wide",
+      (s, dir) => simhashedWide(s, dir).orderBy("doc_id"),
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents),
+              h AS (
+                SELECT doc_id,
+                  CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+                  CAST(concat('0x', substr(md5(concat('x', t)), 1, 15)) AS BIGINT) % 2147483647 AS h2
+                FROM tok),
+              v AS (
+                SELECT doc_id, j,
+                  sum(CASE WHEN ((CASE WHEN j < 30 THEN h1 >> CAST(j AS INTEGER)
+                                       ELSE h2 >> CAST(j - 30 AS INTEGER) END) & 1) = 1
+                           THEN 1 ELSE -1 END) AS vote
+                FROM h, (SELECT unnest(range(0, 60)) AS j) js
+                GROUP BY doc_id, j)
+              SELECT doc_id,
+                CAST(sum(CASE WHEN vote > 0
+                              THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                              ELSE 0 END) AS BIGINT) AS simhash
+              FROM v GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Wide-SimHash near-dup pairs: 4 x 15-bit chunk pigeonhole equi-join
+    // (Hamming <= 3 => one 15-bit chunk identical). 32768 bucket values
+    // per chunk keep collisions - and therefore the join - sparse at any
+    // corpus size; this is the shipped 100 TB shape. The cross-join
+    // oracle is for the small-scale check only.
+    QueryDef(
+      "dedup_simhash_wide_pairs",
+      (s, dir) =>
+        simhashChunkPairs(simhashedWide(s, dir), numChunks = 4, chunkBits = 15),
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents),
+              h AS (
+                SELECT doc_id,
+                  CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+                  CAST(concat('0x', substr(md5(concat('x', t)), 1, 15)) AS BIGINT) % 2147483647 AS h2
+                FROM tok),
+              v AS (
+                SELECT doc_id, j,
+                  sum(CASE WHEN ((CASE WHEN j < 30 THEN h1 >> CAST(j AS INTEGER)
+                                       ELSE h2 >> CAST(j - 30 AS INTEGER) END) & 1) = 1
+                           THEN 1 ELSE -1 END) AS vote
+                FROM h, (SELECT unnest(range(0, 60)) AS j) js
+                GROUP BY doc_id, j),
+              sg AS (
+                SELECT doc_id,
+                  CAST(sum(CASE WHEN vote > 0
+                                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS simhash
+                FROM v GROUP BY doc_id)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              FROM sg a, sg b
+              WHERE a.doc_id < b.doc_id
+                AND bit_count(xor(a.simhash, b.simhash)) <= 3
+              ORDER BY a_id, b_id""")),
+
     // Cluster collapse: near-dup candidate pairs -> connected components
     // -> one representative (min doc_id) per component -> the (doc_id,
     // rep_id) map over the WHOLE corpus (rep_id = self for docs with no
@@ -395,15 +458,45 @@ object Dedup {
                ORDER BY doc.doc_id"""))
   )
 
+  /** (doc_id, simhash): 60-bit wide SimHash — the production-scale
+    * variant. Bits 0-29 vote on hash31(token), bits 30-59 on
+    * hash31('x' || token) (two independent md5-derived 30-bit hashes;
+    * both engine-portable). Same codegen shape as the 16-bit form:
+    * explode tokens, two scalar hashes, 60 conditional-sum votes,
+    * assemble in the final projection. The 16-bit signature saturates on
+    * large corpora (at sf0.1, 22% of ALL pairs land within Hamming 3, so
+    * any blocking still materializes a quadratic-ish result); 60 bits
+    * keeps Hamming-<=3 pairs to genuine near-duplicates and the 15-bit
+    * chunk buckets sparse (32768 values per chunk). */
+  private def simhashedWide(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docsParallel(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        hash31(col("t")).as("h1"),
+        hash31(concat(lit("x"), col("t"))).as("h2"))
+    val votes = (0 until 60).map { j =>
+      val src = if (j < 30) s"h1, $j" else s"h2, ${j - 30}"
+      sum(when(expr(s"(shiftright($src) & 1) = 1"), 1).otherwise(-1)).as(s"v_$j")
+    }
+    hashed.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60)
+          .map(j => when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** SimHash Hamming-<=3 pairs by pigeonhole chunk blocking; see the
     * dedup_simhash_pairs QueryDef. Package-visible for the DedupSpec
     * equivalence check against the naive all-pairs form. */
-  private[graft] def simhashChunkPairs(sig: DataFrame): DataFrame = {
+  private[graft] def simhashChunkPairs(
+      sig: DataFrame, numChunks: Int = 4, chunkBits: Int = 4): DataFrame = {
+    val mask = (1L << chunkBits) - 1
     val chunks = sig.select(
         col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("chunk_idx"))
+        explode(sequence(lit(0), lit(numChunks - 1))).as("chunk_idx"))
       .withColumn("chunk_val",
-        expr("shiftright(simhash, chunk_idx * 4) & 15"))
+        expr(s"shiftright(simhash, chunk_idx * $chunkBits) & $mask"))
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") &&
           col("x.chunk_val") === col("y.chunk_val") &&

@@ -89,6 +89,26 @@ class DedupTextSpec extends AnyFunSuite {
     assert(chunked.nonEmpty)
   }
 
+  test("wide simhash: identical docs equal, chunk pairs equal the all-pairs set") {
+    val sig = Registry.byName("dedup_simhash_wide").run(spark, plantedDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) === sig(1L)) // exact dup -> identical 60-bit signature
+    val pairs = Registry.byName("dedup_simhash_wide_pairs").run(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    // equivalence on the real corpus: chunk-blocked == naive all-pairs
+    val wide = Registry.byName("dedup_simhash_wide").run(spark, TestSpark.sf)
+    val naive = wide.as("x")
+      .join(broadcast(wide.as("y")), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val chunked = Registry.byName("dedup_simhash_wide_pairs").run(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(chunked === naive)
+  }
+
   test("stop-shingle DF cap drops viral shingles from the inverted index") {
     // 12 docs all share one viral shingle ("spam spam spam"); docs 0/1
     // additionally share a genuine near-dup shingle set
