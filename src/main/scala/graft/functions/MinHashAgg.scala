@@ -26,6 +26,9 @@ class MinHashAgg(numPerms: Int)
   override def zero: Array[Long] = Array.fill(numPerms)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], sig: Seq[java.lang.Long]): Array[Long] = {
+    // a wholly-NULL input array contributes nothing, matching the
+    // null-ignoring min semantics applied per-slot below
+    if (sig == null) return buf
     var i = 0
     val n = math.min(buf.length, sig.length)
     while (i < n) {

@@ -204,10 +204,10 @@ object Analytics {
               GROUP BY nkey
               ORDER BY op, nkey""")),
 
-    // Sketch aggregates: HLL distinct counts and t-digest percentiles
-    // beside their exact counterparts. Deterministic (hash-based, order-
-    // independent merge) but engine-specific — rows-only; error bounds
-    // asserted in AnalyticsSpec.
+    // Sketch aggregates: HLL distinct counts and t-digest percentiles.
+    // Deterministic (hash-based, order-independent merge) but engine-
+    // specific — rows-only; error bounds are asserted vs the exact
+    // companion query below in AnalyticsSpec.
     QueryDef(
       "q_approx_sketches",
       (s, dir) =>
@@ -215,11 +215,30 @@ object Analytics {
           .groupBy("o_orderstatus")
           .agg(
             approx_count_distinct(col("o_custkey")).as("approx_cust"),
-            countDistinct(col("o_custkey")).as("exact_cust"),
-            expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"),
-            expr("percentile(o_totalprice, 0.5)").as("exact_median"))
+            expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"))
           .orderBy("o_orderstatus"),
       None),
+
+    // Exact companions of the sketch aggregates, split into their own
+    // oracle-checked query (round-2 advice: exact columns hidden inside
+    // the rows-only sketch query could regress unnoticed). The median is
+    // computed over integral CENTS so the 0.5-interpolation midpoint is
+    // exact in double regardless of each engine's interpolation formula;
+    // the final /100.0 is the same IEEE division in both engines.
+    QueryDef(
+      "q_sketch_exact",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            countDistinct(col("o_custkey")).as("exact_cust"),
+            expr("percentile(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint), 0.5) / 100.0")
+              .as("exact_median"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+                count(DISTINCT o_custkey) AS exact_cust,
+                quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT), 0.5) / 100.0 AS exact_median
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // Skew-mitigation salted join: events (fact, skewed by user) joined
     // to a derived per-user dimension through Salting.saltedJoin. The

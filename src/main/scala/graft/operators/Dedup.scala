@@ -39,20 +39,23 @@ object Dedup {
 
   /** Documents spread across all cores: the corpus ships as one parquet
     * file (= one input split), which would serialize the md5/shingle
-    * expression work onto a single task. At 100 TB inputs arrive
-    * pre-split; locally the explicit round-robin repartition restores
-    * scan-side parallelism. Results stay deterministic — every query
-    * ends in a total-order sort. */
-  private def docsParallel(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    * expression work onto a single task. The round-robin repartition is
+    * CONDITIONAL on the scan actually being under-split (round-2 advice:
+    * it was an unconditional extra full shuffle baked into every dedup
+    * operator — pure waste on a pre-split 100 TB input). Results stay
+    * deterministic — every query ends in a total-order sort. */
+  private def docsParallel(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val p = s.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions >= p) d else d.repartition(p)
+  }
 
   /** (doc_id, sh) with sh = distinct 3-word shingles. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docsParallel(s, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
 
-  /** (doc_id, sh, sig): MinHash signatures computed on the fully
+  /** (doc_id, sig): MinHash signatures computed on the fully
     * whole-stage-codegen path — explode shingles to rows, hash each with
     * the scalar (codegen'd) md5 expression, then take the 16 permutation
     * minima as plain min aggregates. Higher-order-function lambdas are
@@ -60,9 +63,15 @@ object Dedup {
     * for per-row signatures in tests) evaluates 480k md5s in the
     * interpreter; this shape keeps everything in generated code and
     * map-side partial aggregation. Values are identical: per-doc per-perm
-    * min over the same distinct-shingle hash multiset. */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
+    * min over the same distinct-shingle hash multiset.
+    *
+    * The shingle expression appears exactly ONCE in the resulting plan
+    * (round-2 advice: the former formulation joined the signature
+    * aggregate back to the full shingle frame, so every doc was shingled
+    * twice). The doc_id-completing left join below prunes to the doc_id
+    * column, which Catalyst strips the shingle projection from entirely;
+    * shingle-less docs keep their 16-NULL-slot signature. */
+  private def signaturesFrom(sh: DataFrame): DataFrame = {
     val hashed = sh
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), hash31(col("shingle")).as("h"))
@@ -73,13 +82,14 @@ object Dedup {
       .agg(permMins.head, permMins.tail: _*)
       .select(col("doc_id"),
         array((0 until NumPerms).map(p => col(s"sig_$p")): _*).as("sig"))
-    // left join + null-array fallback preserves the HOF form's behavior
-    // for shingle-less docs (16 NULL signature slots, not a dropped row)
-    sh.join(sig, Seq("doc_id"), "left")
+    sh.select("doc_id").join(sig, Seq("doc_id"), "left")
       .withColumn("sig",
         coalesce(col("sig"),
           array_repeat(lit(null).cast("long"), NumPerms)))
   }
+
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    signaturesFrom(shingled(s, dir))
 
   /** (doc_id, simhash): 16-bit SimHash on the whole-stage-codegen path —
     * explode tokens, hash with the scalar md5 expression, take the 16
@@ -108,7 +118,12 @@ object Dedup {
     * the DF aggregation itself is map-side combined. Package-visible so
     * DedupSpec can exercise the cap with a synthetic viral shingle. */
   private[graft] def jaccardPairs(
-      sh: DataFrame, maxDf: Int = MaxShingleDF): DataFrame = {
+      shIn: DataFrame, maxDf: Int = MaxShingleDF): DataFrame = {
+    // the shingle frame feeds four subtrees (sizes, DF count, and both
+    // sides of the posting self-join — alias renames defeat exchange
+    // reuse); one localCheckpoint computes the shingle expression once
+    // and every consumer reads the materialized blocks
+    val sh = shIn.localCheckpoint()
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val allPostings = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val viral = allPostings.groupBy("shingle")
@@ -208,8 +223,12 @@ object Dedup {
     QueryDef(
       "dedup_minhash_pairs",
       (s, dir) => {
-        val withSig = signatures(s, dir)
-        val sh = withSig.select(col("doc_id"), col("sh"))
+        // shingles feed two genuinely distinct consumers here (the
+        // signature pipeline and the exact-Jaccard verification of
+        // candidates): one disk-backed localCheckpoint materializes the
+        // shingle frame so neither recomputes the shingle expression
+        val sh = shingled(s, dir).localCheckpoint()
+        val withSig = signaturesFrom(sh)
         val bands = withSig.select(
           col("doc_id"),
           explode(transform(sequence(lit(0), lit(NumPerms / BandRows - 1)), b =>
@@ -331,8 +350,14 @@ object Dedup {
       "dedup_simhash_pairs",
       (s, dir) => simhashChunkPairs(simhashed(s, dir)),
       // cross-join oracle is fine for DuckDB at sf0.01; the Spark plan is
-      // the chunk-blocked equi-join, identical output for distance <= 3
-      Some("""WITH v AS (
+      // the chunk-blocked equi-join, identical output for distance <= 3.
+      // bench=false: 16 bits SATURATE — at sf0.1 ~22% of all pairs sit
+      // within Hamming 3, so the RESULT SET is quadratic-ish in corpus
+      // size regardless of blocking. Kept as the didactic variant
+      // (oracle-checked + chunk-vs-naive equivalence in DedupTextSpec);
+      // the production 60-bit dedup_simhash_wide_pairs is benched.
+      bench = false,
+      oracle = Some("""WITH v AS (
                 SELECT doc_id,
                   list_transform(range(0, 16), j ->
                     CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
@@ -513,13 +538,23 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Connected components by iterative min-label propagation, entirely in
-    * DataFrames (no driver-side graph state; the driver only runs the
-    * convergence loop). Each iteration is one shuffle join of the label
-    * set against the edge list; iterations = O(component diameter), which
-    * for near-dup clusters is tiny (dup clusters are dense). Labels are
-    * persisted per iteration and the previous generation unpersisted, so
-    * lineage stays bounded at 100 TB.
+  /** Connected components by min-label propagation WITH pointer doubling,
+    * entirely in DataFrames (no driver-side graph state; the driver only
+    * runs the convergence loop). Each iteration (a) takes the min label
+    * over each vertex's neighbors (one shuffle join against the edge
+    * list) and (b) chases one level of label indirection — rep :=
+    * label(rep) — which halves the remaining distance to the component
+    * minimum each round, so iterations are O(log diameter) instead of
+    * O(diameter). A 50-iteration cap therefore covers components of
+    * diameter ~2^49; chain-shaped corpora (sliding-window/template docs)
+    * that would exceed a plain-propagation cap converge in ~log2 rounds.
+    * Labels are localCheckpoint'ed per generation so lineage stays
+    * bounded at 100 TB.
+    *
+    * If the cap is ever hit without convergence the method THROWS —
+    * a silently non-converged representative map looks valid but
+    * mislabels documents, which for a dedup pipeline means silently
+    * dropping non-duplicates (round-2 advice).
     *
     * @param vertices (doc_id) — the full corpus
     * @param pairs    (a_id, b_id) undirected near-dup candidate edges
@@ -542,20 +577,36 @@ object Dedup {
       col("doc_id").as("u"), col("doc_id").as("rep_id")).localCheckpoint()
     var changed = 1L
     var iters = 0
-    while (changed > 0 && iters < 50) {
-      // candidate label for u = min rep over itself and its neighbors
+    val maxIters = 50
+    while (changed > 0 && iters < maxIters) {
+      // (a) candidate label for u = min rep over itself and its neighbors
       val neighborMin = edges
         .join(labels.select(col("u").as("v"), col("rep_id").as("n_rep")), Seq("v"))
         .groupBy("u").agg(min(col("n_rep")).as("n_rep"))
-      val next = labels.join(neighborMin, Seq("u"), "left")
-        .select(col("u"),
-          least(col("rep_id"), coalesce(col("n_rep"), col("rep_id"))).as("rep_id"),
-          coalesce(col("n_rep") < col("rep_id"), lit(false)).as("chg"))
+      val stepped = labels.join(neighborMin, Seq("u"), "left")
+        .select(col("u"), col("rep_id").as("old_rep"),
+          least(col("rep_id"), coalesce(col("n_rep"), col("rep_id"))).as("rep_id"))
+      // (b) pointer doubling: rep := label(rep). Every rep_id is some
+      // vertex's id (labels only ever take existing doc_id values), and
+      // label(rep) is in the same component as rep, so the min-label
+      // invariant is preserved while the hop count to the component
+      // minimum halves.
+      val next = stepped
+        .join(
+          stepped.select(col("u").as("rep_id"), col("rep_id").as("rep2")),
+          Seq("rep_id"), "left")
+        .select(col("u"), col("old_rep"),
+          least(col("rep_id"), coalesce(col("rep2"), col("rep_id"))).as("rep_id"))
         .localCheckpoint()
-      changed = next.filter(col("chg")).count()
+      changed = next.filter(col("rep_id") =!= col("old_rep")).count()
       labels = next.select("u", "rep_id")
       iters += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents failed to converge after $maxIters iterations " +
+          s"($changed labels still changing) — refusing to return a " +
+          "non-converged (wrong) representative map")
     labels.select(col("u").as("doc_id"), col("rep_id"))
   }
 }

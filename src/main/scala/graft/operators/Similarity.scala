@@ -31,10 +31,15 @@ object Similarity {
     Tables.load(s, dir, "embeddings")
 
   /** Embeddings spread across cores: one parquet file = one input split,
-    * which would serialize all pairwise work onto a single task.
+    * which would serialize all pairwise work onto a single task. The
+    * repartition is conditional on the scan actually being under-split
+    * (round-2 advice) — a pre-split 100 TB input skips the shuffle.
     * Deterministic — every output has a total-order sort. */
-  private def embParallel(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir).repartition(s.sparkContext.defaultParallelism)
+  private def embParallel(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val p = s.sparkContext.defaultParallelism
+    if (e.rdd.getNumPartitions >= p) e else e.repartition(p)
+  }
 
   /** Scala-side md5 hash31 — the same arithmetic as EngineFns.hash31 /
     * the DuckDB oracle, evaluated once at plan-build time. */
@@ -44,7 +49,7 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16) % 2147483647L
   }
 
-  /** Hyperplane component r(j, k) in [-0.5, 0.5], derived from the
+  /** Hyperplane component r(j, k) in [-1.0, 1.0], derived from the
     * md5-based hash31 of "j_k" — engine-portable (the DuckDB oracle
     * recomputes the identical value from md5 in SQL). Folded to literal
     * constants HERE because higher-order-function lambdas are

@@ -78,14 +78,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(native === hof)
   }
 
-  test("approx sketches stay within tolerance of exact values") {
-    run("q_approx_sketches").collect().foreach { r =>
+  test("approx sketches stay within tolerance of the exact companion query") {
+    val exact = run("q_sketch_exact").collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Long]("exact_cust").toDouble, r.getAs[Double]("exact_median")))
+      .toMap
+    val sketches = run("q_approx_sketches").collect()
+    assert(sketches.length === exact.size)
+    sketches.foreach { r =>
+      val (exactC, exactM) = exact(r.getAs[String]("o_orderstatus"))
       val approxC = r.getAs[Long]("approx_cust").toDouble
-      val exactC = r.getAs[Long]("exact_cust").toDouble
       assert(math.abs(approxC - exactC) / exactC < 0.1,
         s"HLL error too large: $approxC vs $exactC")
       val approxM = r.getAs[Double]("approx_median")
-      val exactM = r.getAs[Double]("exact_median")
       assert(math.abs(approxM - exactM) / exactM < 0.05,
         s"median sketch error too large: $approxM vs $exactM")
     }
