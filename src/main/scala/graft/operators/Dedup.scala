@@ -23,8 +23,8 @@ import graft.functions.EngineFns._
   */
 object Dedup {
 
-  private val NumPerms = 16
-  private val BandRows = 2 // 8 bands x 2 rows — recall-biased for low-J corpora
+  private[graft] val NumPerms = 16
+  private[graft] val BandRows = 2 // 8 bands x 2 rows — recall-biased for low-J corpora
   private val JaccardThreshold = 0.015
   // Stop-shingle document-frequency cap (SCALE.md): a shingle that occurs
   // in more documents than this is dropped from the inverted index before
@@ -49,6 +49,40 @@ object Dedup {
     val p = s.sparkContext.defaultParallelism
     if (d.rdd.getNumPartitions >= p) d else d.repartition(p)
   }
+
+  /** The MinHash-LSH banding oracle — shared verbatim by the batch
+    * dedup_minhash_pairs and the streaming stream_neardup so the two
+    * candidate generators cannot drift apart: both must produce exactly
+    * the pairs sharing >= 1 of the 8 two-row band keys, with the exact
+    * Jaccard attached. */
+  private[graft] val MinhashPairsOracleSql: String =
+    """WITH d AS (
+         SELECT doc_id, list_distinct(list_transform(
+           range(1, len(string_split(text,' ')) - 1),
+           i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+         FROM documents),
+       sig AS (
+         SELECT doc_id, list_transform(range(0, 16), p ->
+           list_aggregate(list_transform(sh, s ->
+             ((2*p + 3) * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) + p) % 2147483647),
+           'min')) AS sg
+         FROM d),
+       bands AS (
+         SELECT doc_id, b,
+           array_to_string(sg[2*b + 1 : 2*b + 2], ',') AS band_key
+         FROM sig, (SELECT unnest(range(0, 8)) AS b) bs),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.band_key = y.band_key
+            AND x.doc_id < y.doc_id)
+       SELECT c.a_id, c.b_id,
+         CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+           / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard
+       FROM cand c
+       JOIN d da ON da.doc_id = c.a_id
+       JOIN d db ON db.doc_id = c.b_id
+       ORDER BY a_id, b_id"""
 
   /** (doc_id, sh) with sh = distinct 3-word shingles. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
@@ -255,33 +289,7 @@ object Dedup {
               .as("jaccard"))
           .orderBy("a_id", "b_id")
       },
-      Some(s"""WITH d AS (
-                 SELECT doc_id, list_distinct(list_transform(
-                   range(1, len(string_split(text,' ')) - 1),
-                   i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
-                 FROM documents),
-               sig AS (
-                 SELECT doc_id, list_transform(range(0, 16), p ->
-                   list_aggregate(list_transform(sh, s ->
-                     ((2*p + 3) * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) + p) % 2147483647),
-                   'min')) AS sg
-                 FROM d),
-               bands AS (
-                 SELECT doc_id, b,
-                   array_to_string(sg[2*b + 1 : 2*b + 2], ',') AS band_key
-                 FROM sig, (SELECT unnest(range(0, 8)) AS b) bs),
-               cand AS (
-                 SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-                 FROM bands x JOIN bands y
-                   ON x.b = y.b AND x.band_key = y.band_key
-                    AND x.doc_id < y.doc_id)
-               SELECT c.a_id, c.b_id,
-                 CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-                   / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard
-               FROM cand c
-               JOIN d da ON da.doc_id = c.a_id
-               JOIN d db ON db.doc_id = c.b_id
-               ORDER BY a_id, b_id""")),
+      Some(MinhashPairsOracleSql)),
 
     // Corpus-level MinHash via a typed custom Aggregator: element-wise
     // min over per-document signatures = the signature of each source's
@@ -468,6 +476,87 @@ object Dedup {
                  WHERE a.doc_id < b.doc_id
                    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                      / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= $JaccardThreshold),
+               edges AS (
+                 SELECT a_id AS u, b_id AS v FROM pairs
+                 UNION ALL SELECT b_id, a_id FROM pairs),
+               reach(u, v) AS (
+                 SELECT u, v FROM edges
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+               rep AS (
+                 SELECT u AS doc_id, least(u, min(v)) AS rep_id
+                 FROM reach GROUP BY u)
+               SELECT doc.doc_id, COALESCE(rep.rep_id, doc.doc_id) AS rep_id
+               FROM documents doc LEFT JOIN rep ON doc.doc_id = rep.doc_id
+               ORDER BY doc.doc_id""")),
+
+    // Multi-generator cluster collapse — the pipeline's real end product:
+    // ONE representative map over the union of all three candidate
+    // generators (text n-gram Jaccard ∪ 60-bit wide-SimHash ∪ embedding-
+    // cosine near-dup; vec_id and doc_id share the corpus id space), so a
+    // document chained to another by ANY modality collapses into the same
+    // cluster. Each generator is its scale-safe shape (inverted-index
+    // join / chunk-blocked equi-join / banded LSH); the union adds no
+    // shuffle of its own and connected components runs once over the
+    // combined edge set. The oracle replays the identical three pair
+    // relations (including the LSH band keys, so candidate MISSES match
+    // too) and closes them with a recursive CTE.
+    QueryDef(
+      "dedup_cluster_multi",
+      (s, dir) => {
+        val jac = jaccardPairs(shingled(s, dir))
+          .filter(col("jaccard") >= JaccardThreshold)
+          .select("a_id", "b_id")
+        val sim = simhashChunkPairs(simhashedWide(s, dir), numChunks = 4, chunkBits = 15)
+          .select("a_id", "b_id")
+        val embp = Similarity.nearDupPairs(s, dir).select("a_id", "b_id")
+        val docs = Tables.load(s, dir, "documents").select("doc_id")
+        connectedComponents(docs, jac.union(sim).union(embp))
+          .select(col("doc_id"), col("rep_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE d AS (
+                 SELECT doc_id, list_distinct(list_transform(
+                   range(1, len(string_split(text,' ')) - 1),
+                   i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+                 FROM documents),
+               jpairs AS (
+                 SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM d a, d b
+                 WHERE a.doc_id < b.doc_id
+                   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= $JaccardThreshold),
+               tok AS (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+               h AS (
+                 SELECT doc_id,
+                   CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+                   CAST(concat('0x', substr(md5(concat('x', t)), 1, 15)) AS BIGINT) % 2147483647 AS h2
+                 FROM tok),
+               v AS (
+                 SELECT doc_id, j,
+                   sum(CASE WHEN ((CASE WHEN j < 30 THEN h1 >> CAST(j AS INTEGER)
+                                        ELSE h2 >> CAST(j - 30 AS INTEGER) END) & 1) = 1
+                            THEN 1 ELSE -1 END) AS vote
+                 FROM h, (SELECT unnest(range(0, 60)) AS j) js
+                 GROUP BY doc_id, j),
+               sg AS (
+                 SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0
+                                 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                                 ELSE 0 END) AS BIGINT) AS simhash
+                 FROM v GROUP BY doc_id),
+               spairs AS (
+                 SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM sg a, sg b
+                 WHERE a.doc_id < b.doc_id
+                   AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+               ${Similarity.nearDupPairsSql()},
+               pairs AS (
+                 SELECT a_id, b_id FROM jpairs
+                 UNION SELECT a_id, b_id FROM spairs
+                 UNION SELECT a_id, b_id FROM epairs),
                edges AS (
                  SELECT a_id AS u, b_id AS v FROM pairs
                  UNION ALL SELECT b_id, a_id FROM pairs),

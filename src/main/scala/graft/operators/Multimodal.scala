@@ -64,6 +64,63 @@ object Multimodal {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Synthesized media payload: a real PNG or RIFF/WAVE header (planted
+    * dimensions / sample rate) in front of the text bytes, built with
+    * codegen'd byte/hex expressions. Shared by mm_decode (in-plan) and
+    * mm_decode_io (parquet round-trip). */
+  private def payloadCol: org.apache.spark.sql.Column = {
+    def be32(c: String) = s"lpad(hex($c), 8, '0')"
+    // parenthesize every $c substitution: the interpolated expression
+    // would otherwise rebind under div/% precedence
+    def le32(c: String) =
+      s"""concat(lpad(hex(($c) % 256), 2, '0'),
+                 lpad(hex((($c) div 256) % 256), 2, '0'),
+                 lpad(hex((($c) div 65536) % 256), 2, '0'),
+                 lpad(hex((($c) div 16777216) % 256), 2, '0'))"""
+    expr(s"""
+      CASE WHEN doc_id % 2 = 0
+        THEN concat(unhex('89504E470D0A1A0A'),
+                    unhex(${be32("n_chars % 512 + 64")}),
+                    unhex(${be32("doc_id % 512 + 64")}),
+                    cast(text as binary))
+        ELSE concat(unhex('52494646'),
+                    unhex(${le32("octet_length(cast(text as binary)) + 8")}),
+                    unhex('57415645'),
+                    unhex(${le32("8000 + (doc_id % 4) * 11025")}),
+                    cast(text as binary))
+      END""")
+  }
+
+  /** The mm_decode ground-truth oracle — shared by the in-plan and the
+    * parquet-round-trip forms so the two cannot drift apart. */
+  private val DecodeOracleSql: String =
+    """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+         CASE WHEN doc_id % 2 = 0 THEN n_chars % 512 + 64 ELSE 0 END AS width,
+         CASE WHEN doc_id % 2 = 0 THEN doc_id % 512 + 64 ELSE 0 END AS height,
+         CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 + (doc_id % 4) * 11025 END AS sample_rate,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_payload_bytes
+       FROM documents ORDER BY doc_id"""
+
+  // per-process-unique scratch for the BinaryType round-trip, reused
+  // across invocations and deleted at JVM exit (same discipline as
+  // sources.Formats: a fixed path would let concurrent JVMs clobber
+  // each other; a fresh dir per call would leak under /tmp)
+  private lazy val ioScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_mm_io")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+    p.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Binary column + metadata extraction (byte length, magic bytes).
@@ -105,39 +162,37 @@ object Multimodal {
       "mm_decode",
       (s, dir) => {
         import s.implicits._
-        def be32(c: String) = s"lpad(hex($c), 8, '0')"
-        // parenthesize every $c substitution: the interpolated expression
-        // would otherwise rebind under div/% precedence
-        def le32(c: String) =
-          s"""concat(lpad(hex(($c) % 256), 2, '0'),
-                     lpad(hex((($c) div 256) % 256), 2, '0'),
-                     lpad(hex((($c) div 65536) % 256), 2, '0'),
-                     lpad(hex((($c) div 16777216) % 256), 2, '0'))"""
-        val payload = expr(s"""
-          CASE WHEN doc_id % 2 = 0
-            THEN concat(unhex('89504E470D0A1A0A'),
-                        unhex(${be32("n_chars % 512 + 64")}),
-                        unhex(${be32("doc_id % 512 + 64")}),
-                        cast(text as binary))
-            ELSE concat(unhex('52494646'),
-                        unhex(${le32("octet_length(cast(text as binary)) + 8")}),
-                        unhex('57415645'),
-                        unhex(${le32("8000 + (doc_id % 4) * 11025")}),
-                        cast(text as binary))
-          END""")
         docs(s, dir)
-          .select(col("doc_id"), payload.as("payload"))
+          .select(col("doc_id"), payloadCol.as("payload"))
           .as[MediaIn]
           .mapPartitions(_.map(HeaderCodec.decode))
           .toDF()
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id,
-                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
-                CASE WHEN doc_id % 2 = 0 THEN n_chars % 512 + 64 ELSE 0 END AS width,
-                CASE WHEN doc_id % 2 = 0 THEN doc_id % 512 + 64 ELSE 0 END AS height,
-                CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 + (doc_id % 4) * 11025 END AS sample_rate,
-                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_payload_bytes
-              FROM documents ORDER BY doc_id"""))
+      Some(DecodeOracleSql)),
+
+    // The same decode driven through a REAL BinaryType parquet round-trip
+    // (round-2 advice: the in-plan form never exercised binary-column
+    // I/O end-to-end): payloads are written to a scratch parquet as a
+    // `binary` column, read back from disk, and decoded from the file
+    // bytes. This is exactly the production shape — media blobs living
+    // in parquet beside typed metadata — and the oracle recomputes the
+    // planted ground truth, so a byte mangled anywhere in the
+    // write→read→parse path is a correctness failure.
+    QueryDef(
+      "mm_decode_io",
+      (s, dir) => {
+        import s.implicits._
+        val path = s"$ioScratch/media"
+        docs(s, dir)
+          .select(col("doc_id"), payloadCol.as("payload"))
+          .write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+          .as[MediaIn]
+          .mapPartitions(_.map(HeaderCodec.decode))
+          .toDF()
+          .orderBy("doc_id")
+      },
+      Some(DecodeOracleSql))
   )
 }

@@ -181,63 +181,79 @@ object Similarity {
                SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
                FROM r WHERE rank <= $TopK ORDER BY q_id, rank""")),
 
+    // Approximate top-k via multi-probe LSH: each query probes its home
+    // bucket PLUS all 8 Hamming-1 neighbor buckets, recovering most of
+    // the recall a sign flip on one near-zero dot costs — the standard
+    // recall/cost knob (probing beats building more tables because the
+    // candidate set grows without another pass over the corpus). The
+    // probe set is built on the tiny broadcast query side; candidate-side
+    // work is still one bucket equi-join, so the 100 TB shape is
+    // unchanged. Recall vs brute force at probes=0/8 is asserted in
+    // SimilaritySpec and tabulated in SCALE.md.
+    QueryDef(
+      "sim_ann_lsh_multiprobe",
+      (s, dir) => {
+        val bucketed = embParallel(s, dir)
+          .withColumn("bucket", bucketCol.cast("long"))
+        // flip = -1 denotes the home bucket; 0..7 flip one hyperplane bit
+        val probes = bucketed.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("bucket"),
+            explode(sequence(lit(-1), lit(NumHyperplanes - 1))).as("flip"))
+          .select(col("q_id"), col("q_emb"),
+            when(col("flip") < 0, col("bucket"))
+              .otherwise(expr("bucket ^ cast(shiftleft(1, flip) as bigint)"))
+              .as("bucket"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        bucketed.join(broadcast(probes), Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            CosineSimilarity(s, col("q_emb"), col("embedding")).as("cos"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH b AS (
+                 SELECT vec_id, embedding, $bucketSql AS bucket
+                 FROM embeddings),
+               q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket
+                     FROM b WHERE vec_id < $NumQueries),
+               probes AS (
+                 SELECT q_id, q_emb,
+                   CASE WHEN f < 0 THEN bucket
+                        ELSE xor(bucket, CAST(1 << f AS BIGINT)) END AS bucket
+                 FROM q, (SELECT unnest(range(-1, $NumHyperplanes)) AS f) fs),
+               c AS (SELECT p.q_id, b.vec_id,
+                       ${cosineSql("p.q_emb", "b.embedding")} AS cos
+                     FROM b JOIN probes p
+                       ON b.bucket = p.bucket AND b.vec_id != p.q_id),
+               r AS (SELECT q_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+                     FROM c)
+               SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
+               FROM r WHERE rank <= $TopK ORDER BY q_id, rank""")),
+
     // IVF-style ANN (scale path #2): a deterministic centroid sample
     // partitions the space (assign = argmax cosine to centroid, i.e.
     // nprobe=1 inverted list); queries search only their own list. Two
     // broadcast joins + one window — no all-pairs work.
     QueryDef(
       "sim_ann_ivf",
-      (s, dir) => {
-        val e = embParallel(s, dir)
-        val centroids = broadcast(
-          e.filter(col("vec_id") % 50 === 0)
-            .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("c_cos").desc, col("c_id"))
-        val assigned = e.join(centroids)
-          .select(col("vec_id"), col("embedding"),
-            col("c_id"), CosineSimilarity(s, col("embedding"), col("c_emb")).as("c_cos"))
-          .withColumn("arn", row_number().over(wAssign))
-          .filter(col("arn") === 1)
-          .select(col("vec_id"), col("embedding"), col("c_id").as("list_id"))
-        val q = broadcast(
-          assigned.filter(col("vec_id") < NumQueries)
-            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-              col("list_id")))
-        val wRank = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        assigned.join(q, Seq("list_id"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"), col("list_id").cast("long"),
-            CosineSimilarity(s, col("q_emb"), col("embedding")).as("cos"))
-          .withColumn("rank", row_number().over(wRank).cast("long"))
-          .filter(col("rank") <= TopK)
-          .orderBy("q_id", "rank")
-      },
+      (s, dir) => ivfTopK(s, dir, nprobe = 1),
       // nprobe=1 IVF is pure relational algebra over the portable cosine
       // fold, so the approximate result is oracle-checked exactly
-      Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
-                             FROM embeddings WHERE vec_id % 50 = 0),
-               scored AS (SELECT e.vec_id, e.embedding, cent.c_id,
-                            ${cosineSql("e.embedding", "cent.c_emb")} AS c_cos
-                          FROM embeddings e, cent),
-               assigned AS (
-                 SELECT vec_id, embedding, c_id AS list_id FROM (
-                   SELECT vec_id, embedding, c_id,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS arn
-                   FROM scored) WHERE arn = 1),
-               q AS (SELECT vec_id AS q_id, embedding AS q_emb, list_id
-                     FROM assigned WHERE vec_id < $NumQueries),
-               c AS (SELECT q.q_id, a.vec_id, a.list_id,
-                       ${cosineSql("q.q_emb", "a.embedding")} AS cos
-                     FROM assigned a JOIN q
-                       ON a.list_id = q.list_id AND a.vec_id != q.q_id),
-               r AS (SELECT q_id, vec_id, list_id, cos,
-                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-                     FROM c)
-               SELECT q_id, vec_id, CAST(list_id AS BIGINT) AS list_id, cos,
-                 CAST(rank AS BIGINT) AS rank
-               FROM r WHERE rank <= $TopK ORDER BY q_id, rank"""),
+      Some(ivfOracleSql(nprobe = 1)),
+      ),
+
+    // IVF with nprobe=2 — the recall/cost knob: each query searches its
+    // TWO nearest centroid lists (candidates stay in exactly one list,
+    // so the probe fan-out multiplies only the tiny broadcast query
+    // side). Same oracle construction with the assignment rank <= 2.
+    QueryDef(
+      "sim_ann_ivf_nprobe2",
+      (s, dir) => ivfTopK(s, dir, nprobe = 2),
+      Some(ivfOracleSql(nprobe = 2)),
       ),
 
     // Embedding-cosine near-duplicate pairs — exact baseline (all-pairs
@@ -277,23 +293,7 @@ object Similarity {
     // approximate result itself is ALSO oracle-checked bit-for-bit.
     QueryDef(
       "sim_embed_neardup",
-      (s, dir) => {
-        val bands = bandKeys(embParallel(s, dir))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") &&
-              col("x.band_val") === col("y.band_val") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-          .distinct()
-        val e = emb(s, dir)
-        cand
-          .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), Seq("a_id"))
-          .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), Seq("b_id"))
-          .select(col("a_id"), col("b_id"),
-            CosineSimilarity(s, col("a_emb"), col("b_emb")).as("cos"))
-          .filter(col("cos") >= NearDupThreshold)
-          .orderBy("a_id", "b_id")
-      },
+      (s, dir) => nearDupPairs(s, dir).orderBy("a_id", "b_id"),
       Some(s"""WITH ${bandKeysSql()},
                cand AS (
                  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
@@ -351,6 +351,105 @@ object Similarity {
               GROUP BY label, i
               ORDER BY label, dim"""))
   )
+
+  /** IVF top-k with a tunable probe count: vectors are assigned to their
+    * single nearest centroid list (arn = 1); each query searches its
+    * `nprobe` nearest lists. nprobe = 1 reproduces sim_ann_ivf exactly;
+    * higher values trade one more broadcast-join probe per query for
+    * recall — the candidate side is still partitioned by list, so the
+    * 100 TB shape (broadcast centroids + one equi-join) is unchanged. */
+  private def ivfTopK(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val e = embParallel(s, dir)
+    val centroids = broadcast(
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val scored = e.join(centroids)
+      .select(col("vec_id"), col("embedding"),
+        col("c_id"), CosineSimilarity(s, col("embedding"), col("c_emb")).as("c_cos"))
+      .withColumn("arn", row_number().over(wAssign))
+    val assigned = scored.filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("list_id"))
+    val q = broadcast(
+      scored.filter(col("vec_id") < NumQueries && col("arn") <= nprobe)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("c_id").as("list_id")))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(q, Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("list_id").cast("long"),
+        CosineSimilarity(s, col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= TopK)
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB mirror of ivfTopK at the given probe count. */
+  private def ivfOracleSql(nprobe: Int): String =
+    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+                      FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (SELECT e.vec_id, e.embedding, cent.c_id,
+                     ${cosineSql("e.embedding", "cent.c_emb")} AS c_cos
+                   FROM embeddings e, cent),
+        ranked AS (
+          SELECT vec_id, embedding, c_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS arn
+          FROM scored),
+        assigned AS (
+          SELECT vec_id, embedding, c_id AS list_id FROM ranked WHERE arn = 1),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb, c_id AS list_id
+              FROM ranked WHERE arn <= $nprobe AND vec_id < $NumQueries),
+        c AS (SELECT q.q_id, a.vec_id, a.list_id,
+                ${cosineSql("q.q_emb", "a.embedding")} AS cos
+              FROM assigned a JOIN q
+                ON a.list_id = q.list_id AND a.vec_id != q.q_id),
+        r AS (SELECT q_id, vec_id, list_id, cos,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+              FROM c)
+        SELECT q_id, vec_id, CAST(list_id AS BIGINT) AS list_id, cos,
+          CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= $TopK ORDER BY q_id, rank"""
+
+  /** (a_id, b_id, cos): embedding-cosine near-duplicate pairs above
+    * NearDupThreshold via banded LSH candidates + exact-cosine
+    * verification — the body of sim_embed_neardup, exposed so the
+    * multi-generator cluster collapse (Dedup.dedup_cluster_multi) can
+    * union these pairs with the text-based candidate generators. */
+  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandKeys(embParallel(s, dir))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val e = emb(s, dir)
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        CosineSimilarity(s, col("a_emb"), col("b_emb")).as("cos"))
+      .filter(col("cos") >= NearDupThreshold)
+  }
+
+  /** DuckDB mirror of nearDupPairs: CTE list producing epairs(a_id,
+    * b_id) — the same banded-LSH candidates + exact-cosine verification.
+    * Compose after bandKeysSql's CTEs. */
+  private[graft] def nearDupPairsSql(): String =
+    s"""${bandKeysSql()},
+        ecand AS (
+          SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+          FROM bandvals x JOIN bandvals y
+            ON x.band = y.band AND x.band_val = y.band_val
+             AND x.vec_id < y.vec_id),
+        epairs AS (
+          SELECT c.a_id, c.b_id
+          FROM ecand c
+          JOIN embeddings a ON a.vec_id = c.a_id
+          JOIN embeddings b ON b.vec_id = c.b_id
+          WHERE ${cosineSql("a.embedding", "b.embedding")} >= $NearDupThreshold)"""
 
   /** (vec_id, band, band_val): banded sign-bit LSH keys on the whole-
     * stage-codegen path — explode dimensions, broadcast-join the

@@ -204,7 +204,99 @@ object StreamOps {
       .orderBy("purchase_id")
   }
 
+  /** One LSH band assignment of a streamed document. */
+  final case class BandDoc(band_id: Int, band_key: String, doc_id: Long)
+  /** A near-dup candidate pair (a_id < b_id). */
+  final case class CandPair(a_id: Long, b_id: Long)
+
+  /** flatMapGroupsWithState handler keyed by (band_id, band_key): state
+    * is the sorted set of doc_ids already seen in this LSH bucket; each
+    * newly arriving document emits one candidate pair per prior
+    * occupant. State per bucket is bounded by bucket occupancy — the
+    * same collision count that bounds the batch equi-join's shuffle. */
+  def bandBucketState(key: (Int, String), it: Iterator[BandDoc],
+      state: GroupState[Seq[Long]]): Iterator[CandPair] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+    var acc = state.getOption.getOrElse(Seq.empty)
+    it.map(_.doc_id).toSeq.distinct.sorted.foreach { d =>
+      acc.foreach { s =>
+        if (s != d) out += CandPair(math.min(s, d), math.max(s, d))
+      }
+      if (!acc.contains(d)) acc = acc :+ d
+    }
+    state.update(acc)
+    out.iterator
+  }
+
+  /** Streaming MinHash near-dup — the streaming half of the pipeline's
+    * flagship dedup operator: documents stream in, each row computes its
+    * 16-perm MinHash signature map-side (the per-row HOF form — no
+    * streaming aggregation needed), explodes into 8 two-row LSH band
+    * keys, and a per-bucket state store emits a candidate pair the
+    * moment two documents collide on any band. Candidates are then
+    * verified batch-side with the exact Jaccard, so the end-to-end
+    * result is EXACTLY the batch dedup_minhash_pairs relation (shared
+    * oracle) — arriving incrementally instead of via a corpus-wide
+    * equi-join. At 100 TB rates the state store holds one doc_id list
+    * per occupied bucket; eviction would hang off a document-timestamp
+    * watermark in a continuous deployment. */
+  def streamingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.EngineFns.{minhashSig, shingles}
+    import graft.operators.Dedup.{BandRows, NumPerms}
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val sink = s"graft_stream_neardup_${nameCounter.incrementAndGet()}"
+    val bands = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"),
+        minhashSig(shingles(col("text"), 3), NumPerms).as("sig"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(NumPerms / BandRows - 1)), b =>
+          struct(
+            b.cast("int").as("band_id"),
+            concat_ws(",", slice(col("sig"), b * BandRows + lit(1), lit(BandRows)))
+              .as("band_key")))).as("band"))
+      .select(col("band.band_id"), col("band.band_key"), col("doc_id"))
+      .as[BandDoc]
+    val q = bands
+      .groupByKey(b => (b.band_id, b.band_key))
+      .flatMapGroupsWithState[Seq[Long], CandPair](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(bandBucketState)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    // batch-side exact-Jaccard verification of the streamed candidates
+    // (a pair can surface from several bands and several micro-batches —
+    // distinct first)
+    val sh = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    s.table(sink).distinct()
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) -
+            size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"))
+          .as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "stream_neardup",
+      (s, dir) => streamingNearDup(s, dir),
+      Some(graft.operators.Dedup.MinhashPairsOracleSql),
+      bench = false),
     QueryDef(
       "stream_interval_join",
       (s, dir) => intervalJoin(s, dir),

@@ -139,6 +139,36 @@ class DedupTextSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connected components converges on a long chain (pointer doubling)") {
+    // a 300-vertex path has diameter 299 — plain min-label propagation
+    // would need 299 iterations and trip the 50-iteration cap (the
+    // round-2 silent-wrong-labels advice); pointer doubling converges in
+    // ~log2(299) rounds and every vertex must still land on rep 0
+    val n = 300L
+    val vertices = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val rep = operators.Dedup.connectedComponents(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep.size === n)
+    assert(rep.values.forall(_ === 0L))
+  }
+
+  test("cluster collapse merges chains ACROSS candidate generators") {
+    // pairs arriving from three different generators: doc 1-2 from text
+    // Jaccard, 2-3 from wide SimHash, 3-4 from embedding near-dup. No
+    // single generator links 1 to 4; the union must collapse all four
+    // into one cluster (the dedup_cluster_multi contract).
+    val vertices = (0L to 5L).toDF("doc_id")
+    val jac = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val sim = Seq((2L, 3L)).toDF("a_id", "b_id")
+    val embp = Seq((3L, 4L)).toDF("a_id", "b_id")
+    val rep = operators.Dedup
+      .connectedComponents(vertices, jac.union(sim).union(embp))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 1L, 5L -> 5L))
+  }
+
   test("dedup_cluster collapses the planted 3-way duplicate group") {
     // docs 0, 1 (exact dup) and 2 (near dup) form one cluster; 3 is alone
     val rep = Registry.byName("dedup_cluster").run(spark, plantedDir)

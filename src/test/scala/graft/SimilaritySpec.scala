@@ -108,6 +108,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("CosineTopK"), s"custom exec missing:\n$plan")
   }
 
+  test("multi-probe LSH and nprobe=2 IVF recall >= their single-probe forms") {
+    def top5(name: String): Map[Long, Set[Long]] =
+      Registry.byName(name).run(spark, TestSpark.sf).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id"))
+        .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val brute = top5("sim_topk_bruteforce")
+    def recall(m: Map[Long, Set[Long]]): Double =
+      brute.map { case (q, b) =>
+        m.getOrElse(q, Set.empty).intersect(b).size.toDouble / b.size
+      }.sum / brute.size
+    val r1 = recall(top5("sim_ann_lsh"))
+    val rMulti = recall(top5("sim_ann_lsh_multiprobe"))
+    val i1 = recall(top5("sim_ann_ivf"))
+    val i2 = recall(top5("sim_ann_ivf_nprobe2"))
+    // probing more buckets/lists only grows the candidate set, so
+    // top-k recall is monotone in the probe count
+    assert(rMulti >= r1, s"multiprobe $rMulti < single $r1")
+    assert(i2 >= i1, s"nprobe2 $i2 < nprobe1 $i1")
+    System.err.println(
+      f"[recall@5 ${TestSpark.sf}] lsh=$r1%.3f lsh_multiprobe=$rMulti%.3f " +
+        f"ivf=$i1%.3f ivf_nprobe2=$i2%.3f")
+  }
+
   test("LSH on the real corpus never beats the exact maximum") {
     val bruteMax = Registry.byName("sim_topk_bruteforce").run(spark, TestSpark.sf)
       .filter(col("rank") === 1L).collect()
