@@ -83,6 +83,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), s"expected a parallel range sort:\n$p")
   }
 
+  test("dedup_minhash decodes document text (and shingles it) exactly once") {
+    // one scan pipeline carries `text` into the shingle expression; the
+    // signature-completing join's other side must read doc_id only. The
+    // former formulation joined the aggregate back to the full shingle
+    // frame, so the corpus text was scanned and shingled twice.
+    val p = plan("dedup_minhash")
+    val textScans = p.linesIterator
+      .filter(_.contains("ReadSchema")).count(_.contains("text"))
+    assert(textScans === 1,
+      s"expected exactly one text-reading scan, found $textScans:\n$p")
+  }
+
+  test("multi-probe LSH keeps the probe fan-out on the broadcast side") {
+    val p = plan("sim_ann_lsh_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape shipped:\n$p")
+  }
+
   test("simhash pairs plan is a hash equi-join, not a nested-loop scan") {
     val p = plan("dedup_simhash_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"O(n^2) join shipped:\n$p")
