@@ -662,8 +662,13 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .localCheckpoint()
-    var labels = vertices.select(
-      col("doc_id").as("u"), col("doc_id").as("rep_id")).localCheckpoint()
+    // iterate ONLY over vertices that appear in an edge: every other
+    // document is trivially its own representative and joins back in at
+    // the end. At 100 TB the near-dup set is a small fraction of the
+    // corpus, so this shrinks every per-iteration join/shuffle from
+    // |corpus| to |touched vertices| (~2x pairs).
+    var labels = edges.select(col("u")).distinct()
+      .select(col("u"), col("u").as("rep_id")).localCheckpoint()
     var changed = 1L
     var iters = 0
     val maxIters = 50
@@ -696,6 +701,10 @@ object Dedup {
         s"connectedComponents failed to converge after $maxIters iterations " +
           s"($changed labels still changing) — refusing to return a " +
           "non-converged (wrong) representative map")
-    labels.select(col("u").as("doc_id"), col("rep_id"))
+    // untouched vertices rejoin as their own representative
+    vertices.join(labels.select(col("u").as("doc_id"), col("rep_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
   }
 }

@@ -349,7 +349,31 @@ object Similarity {
                 count(*) AS n
               FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx
               GROUP BY label, i
-              ORDER BY label, dim"""))
+              ORDER BY label, dim""")),
+
+    // L2-normalize + int8 quantization, flattened to (vec_id, dim, q) —
+    // the storage/transfer compression step in front of ANN serving.
+    // Map-only: the norm is one fold per vector (computed once, carried
+    // through the explode), and the quantizer uses floor(x + 0.5) so the
+    // rounding rule is the same IEEE op in every engine (plain round()
+    // differs: half-up in Spark, half-even in DuckDB). No shuffle except
+    // the presentation sort.
+    QueryDef(
+      "emb_quantize",
+      (s, dir) =>
+        embParallel(s, dir)
+          .select(col("vec_id"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"),
+            floor(lit(127.0) * col("v").cast("double") / col("nrm") + lit(0.5))
+              .cast("long").as("q"))
+          .orderBy("vec_id", "dim"),
+      Some(s"""SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+                 CAST(floor(127.0 * CAST(embedding[i] AS DOUBLE)
+                   / sqrt(${dotSql("embedding", "embedding")}) + 0.5) AS BIGINT) AS q
+               FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx
+               ORDER BY vec_id, dim"""))
   )
 
   /** IVF top-k with a tunable probe count: vectors are assigned to their

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.functions.EngineFns.hash31
+import graft.functions.EngineFns.{hash31, shingles}
 
 /** Text-analysis operators for LLM training-data pipelines over the
   * `documents` table: token counting, quality scoring, language
@@ -235,6 +235,92 @@ object TextAnalysis {
                                   WHEN lang = 'zh' THEN 80
                                   ELSE 60 END
               ORDER BY doc_id""")),
+
+    // Benchmark decontamination: flag training documents that overlap an
+    // evaluation set by 3-word shingles — the standard pre-training
+    // hygiene step (a doc sharing >= 3 shingles with any benchmark item
+    // is suspect). The benchmark stand-in is the deterministic doc_id %
+    // 97 subset; its distinct shingle set is tiny relative to the corpus
+    // and ships as a BROADCAST to the inverted-index probe, so the
+    // corpus side is one map-side join + one hash aggregation — at
+    // 100 TB the eval set is still a few thousand documents, so the
+    // broadcast shape holds exactly.
+    QueryDef(
+      "text_decontaminate",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val p = s.sparkContext.defaultParallelism
+        val docs = if (d.rdd.getNumPartitions >= p) d else d.repartition(p)
+        val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        val benchSet = sh.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("sh")).as("shingle")).distinct()
+        val overlap = sh.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .join(broadcast(benchSet), Seq("shingle"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        docs.filter(col("doc_id") % 97 =!= 0).select("doc_id")
+          .join(overlap, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            (coalesce(col("n_overlap"), lit(0L)) >= 3).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(string_split(text,' ')) - 1),
+                  i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+                FROM documents),
+              bset AS (
+                SELECT DISTINCT unnest(sh) AS shingle FROM d WHERE doc_id % 97 = 0),
+              ov AS (
+                SELECT doc_id, count(*) AS n_overlap
+                FROM (SELECT doc_id, unnest(sh) AS shingle
+                      FROM d WHERE doc_id % 97 != 0) x
+                JOIN bset USING (shingle)
+                GROUP BY doc_id)
+              SELECT d.doc_id,
+                CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+                COALESCE(ov.n_overlap, 0) >= 3 AS contaminated
+              FROM d LEFT JOIN ov USING (doc_id)
+              WHERE d.doc_id % 97 != 0
+              ORDER BY doc_id""")),
+
+    // Within-document repetition ratio (Gopher-style quality rule):
+    // fraction of 2-grams that are repeats of an earlier 2-gram in the
+    // same document. Pure per-row expressions — map-only, no shuffle.
+    QueryDef(
+      "text_repetition",
+      (s, dir) => {
+        val ts = tokens(col("text"))
+        val grams = when(size(ts) >= 2,
+          transform(sequence(lit(0), size(ts) - 2),
+            i => concat_ws(" ", slice(ts, i + lit(1), lit(2)))))
+          .otherwise(slice(ts, lit(1), lit(0)))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), grams.as("g"))
+          .select(col("doc_id"),
+            size(col("g")).cast("long").as("n_grams"),
+            size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+          .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+            when(col("n_grams") > 0,
+              (col("n_grams") - col("n_distinct")).cast("double") /
+                col("n_grams").cast("double"))
+              .otherwise(lit(0.0)).as("dup_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+                SELECT doc_id, list_transform(
+                  range(1, len(string_split(text,' '))),
+                  i -> array_to_string(string_split(text,' ')[i:i+1], ' ')) AS g
+                FROM documents)
+              SELECT doc_id,
+                CAST(len(g) AS BIGINT) AS n_grams,
+                CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+                CASE WHEN len(g) > 0
+                     THEN CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                            / CAST(len(g) AS DOUBLE)
+                     ELSE 0.0 END AS dup_ratio
+              FROM g ORDER BY doc_id""")),
 
     // Quality filtering: the decision step on top of text_quality's
     // signals — every document gets a verdict and the FIRST failing
