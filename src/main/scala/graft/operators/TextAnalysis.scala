@@ -251,14 +251,18 @@ object TextAnalysis {
         val d = Tables.load(s, dir, "documents")
         val p = s.sparkContext.defaultParallelism
         val docs = if (d.rdd.getNumPartitions >= p) d else d.repartition(p)
+        // the shingle frame feeds three subtrees (benchmark set, probe
+        // side, doc_id completion) — checkpoint it once so the shingle
+        // expression runs one pass over the corpus
         val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+          .localCheckpoint()
         val benchSet = sh.filter(col("doc_id") % 97 === 0)
           .select(explode(col("sh")).as("shingle")).distinct()
         val overlap = sh.filter(col("doc_id") % 97 =!= 0)
           .select(col("doc_id"), explode(col("sh")).as("shingle"))
           .join(broadcast(benchSet), Seq("shingle"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-        docs.filter(col("doc_id") % 97 =!= 0).select("doc_id")
+        sh.filter(col("doc_id") % 97 =!= 0).select("doc_id")
           .join(overlap, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
@@ -287,20 +291,33 @@ object TextAnalysis {
 
     // Within-document repetition ratio (Gopher-style quality rule):
     // fraction of 2-grams that are repeats of an earlier 2-gram in the
-    // same document. Pure per-row expressions — map-only, no shuffle.
+    // same document. Shaped for whole-stage codegen: explode 2-grams to
+    // rows and take two hash aggregations (per (doc, gram), then per
+    // doc) — higher-order-function lambdas (transform/array_distinct)
+    // are interpreted in Spark and cost ~5x on this path. One hash
+    // shuffle on (doc_id, gram); docs shorter than 2 tokens rejoin with
+    // ratio 0 through the completion join.
     QueryDef(
       "text_repetition",
       (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val p = s.sparkContext.defaultParallelism
+        val docs = if (d.rdd.getNumPartitions >= p) d else d.repartition(p)
         val ts = tokens(col("text"))
         val grams = when(size(ts) >= 2,
           transform(sequence(lit(0), size(ts) - 2),
             i => concat_ws(" ", slice(ts, i + lit(1), lit(2)))))
           .otherwise(slice(ts, lit(1), lit(0)))
-        Tables.load(s, dir, "documents")
-          .select(col("doc_id"), grams.as("g"))
+        val perGram = docs
+          .select(col("doc_id"), explode(grams).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        val perDoc = perGram.groupBy("doc_id")
+          .agg(sum(col("n")).as("n_grams"), count(lit(1)).as("n_distinct"))
+        docs.select("doc_id")
+          .join(perDoc, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            size(col("g")).cast("long").as("n_grams"),
-            size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
           .select(col("doc_id"), col("n_grams"), col("n_distinct"),
             when(col("n_grams") > 0,
               (col("n_grams") - col("n_distinct")).cast("double") /

@@ -29,6 +29,15 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads unprojected columns: $read")
   }
 
+  test("partitioned layout prunes by directory: predicate lands in PartitionFilters") {
+    val p = plan("q_partitioned_prune")
+    val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("event_type"),
+      s"event_type predicate not in PartitionFilters:\n$p")
+    // the predicate must NOT degrade to a post-scan data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"), "pruning fell back to data filters")
+  }
+
   test("dimension joins are broadcast, not shuffled") {
     val p = plan("q_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
