@@ -240,6 +240,34 @@ object Analytics {
                 quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT), 0.5) / 100.0 AS exact_median
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Map-typed columns: per-user event_type→count maps built with
+    // map_from_entries over an aggregation, then consumed with
+    // element_at / size. The map itself is unordered, so the outputs are
+    // LOOKUPS (deterministic regardless of collect order); the oracle
+    // computes the same lookups as conditional counts. One shuffle on
+    // (user_id, event_type) with map-side partials, then a narrow
+    // regroup to user_id.
+    QueryDef(
+      "q_map_fns",
+      (s, dir) => {
+        val perType = t(s, dir, "events")
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+        perType.groupBy("user_id")
+          .agg(map_from_entries(
+            collect_list(struct(col("event_type"), col("n")))).as("m"))
+          .select(col("user_id"),
+            size(col("m")).cast("long").as("n_types"),
+            coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+            coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+                count(DISTINCT event_type) AS n_types,
+                CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS clicks,
+                CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchases
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // Skew-mitigation salted join: events (fact, skewed by user) joined
     // to a derived per-user dimension through Salting.saltedJoin. The
     // oracle is the PLAIN join — salting must not change semantics.
