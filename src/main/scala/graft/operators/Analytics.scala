@@ -268,6 +268,99 @@ object Analytics {
                 CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchases
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // Unpivot (wide → long melt), the inverse of q_pivot: per-returnflag
+    // aggregates melted to (key, metric, value) rows with the native
+    // Dataset.unpivot operator — a zero-shuffle projection-side expansion
+    // (each input row emits one row per value column, no exchange beyond
+    // the aggregation that feeds it). Oracle is the portable UNION ALL
+    // formulation of the same melt.
+    QueryDef(
+      "q_unpivot",
+      (s, dir) => {
+        val agg = t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+            count(lit(1)).cast("double").as("n_rows"))
+        agg.unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+            "metric", "value")
+          .orderBy("l_returnflag", "metric")
+      },
+      Some("""WITH a AS (
+                SELECT l_returnflag,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+                  CAST(count(*) AS DOUBLE) AS n_rows
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+              UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+              UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a
+              ORDER BY l_returnflag, metric""")),
+
+    // Positional explode (lateral view): every document flattened to
+    // (doc_id, pos, token) rows with posexplode — the generator runs
+    // inside the scan stage (map-only, no shuffle before the presentation
+    // sort), which is how a 100 TB tokenize-and-flatten pass must behave.
+    // Oracle indexes the split array through a LATERAL range.
+    QueryDef(
+      "q_explode_pos",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("col").as("token"))
+          .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                string_split(text, ' ')[i] AS token
+              FROM documents, LATERAL (SELECT unnest(range(1,
+                len(string_split(text, ' ')) + 1)) AS i) ix
+              ORDER BY doc_id, pos""")),
+
+    // Time-series gap fill: per-user hourly event counts with MISSING
+    // hours materialized as zero rows — sequence(min_hour, max_hour,
+    // 1 hour) exploded per user, left-joined to the observed counts.
+    // Both sides are partitioned by user_id (one shuffle each), so the
+    // join co-locates; the dense hour spine never leaves the executors.
+    QueryDef(
+      "q_gapfill",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .select(col("user_id"),
+            date_trunc("hour", col("ts")).as("h"), col("value"))
+        val counts = e.groupBy("user_id", "h")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("total_value"))
+        val spine = e.groupBy("user_id")
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        spine.join(counts, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("total_value"), lit(0.0)).as("total_value"))
+          .orderBy("user_id", "h")
+      },
+      Some("""WITH e AS (
+                SELECT user_id,
+                  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, value
+                FROM events WHERE user_id < 50),
+              c AS (
+                SELECT user_id, h, count(*) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+                FROM e GROUP BY 1, 2),
+              b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+              g AS (SELECT user_id,
+                unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b)
+              SELECT g.user_id, g.h,
+                coalesce(c.n, 0) AS n,
+                coalesce(c.total_value, 0.0) AS total_value
+              FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.h = c.h
+              ORDER BY g.user_id, g.h""")),
+
     // Skew-mitigation salted join: events (fact, skewed by user) joined
     // to a derived per-user dimension through Salting.saltedJoin. The
     // oracle is the PLAIN join — salting must not change semantics.

@@ -50,12 +50,11 @@ object Dedup {
     if (d.rdd.getNumPartitions >= p) d else d.repartition(p)
   }
 
-  /** The MinHash-LSH banding oracle — shared verbatim by the batch
-    * dedup_minhash_pairs and the streaming stream_neardup so the two
-    * candidate generators cannot drift apart: both must produce exactly
-    * the pairs sharing >= 1 of the 8 two-row band keys, with the exact
-    * Jaccard attached. */
-  private[graft] val MinhashPairsOracleSql: String =
+  /** The shared MinHash band-key CTE prefix (shingles → signatures →
+    * 8 two-row band keys): every LSH-banding oracle — batch pairs,
+    * streaming near-dup, and incremental corpus probe — derives from this
+    * one definition so the candidate generators cannot drift apart. */
+  private[graft] val MinhashBandsCte: String =
     """WITH d AS (
          SELECT doc_id, list_distinct(list_transform(
            range(1, len(string_split(text,' ')) - 1),
@@ -70,7 +69,12 @@ object Dedup {
        bands AS (
          SELECT doc_id, b,
            array_to_string(sg[2*b + 1 : 2*b + 2], ',') AS band_key
-         FROM sig, (SELECT unnest(range(0, 8)) AS b) bs),
+         FROM sig, (SELECT unnest(range(0, 8)) AS b) bs)"""
+
+  /** Banding pairs oracle: pairs sharing >= 1 band key, with the exact
+    * Jaccard attached. */
+  private[graft] val MinhashPairsOracleSql: String =
+    MinhashBandsCte + """,
        cand AS (
          SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
          FROM bands x JOIN bands y
@@ -124,6 +128,20 @@ object Dedup {
 
   private def signatures(s: SparkSession, dir: String): DataFrame =
     signaturesFrom(shingled(s, dir))
+
+  /** (doc_id, band_id, band_key): the 8 two-row LSH band keys of each
+    * signature, comma-joined — engine-portable (mirrors MinhashBandsCte).
+    * Shared by the batch pair generator and the incremental corpus
+    * probe. */
+  private def bandsOf(withSig: DataFrame): DataFrame =
+    withSig.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(NumPerms / BandRows - 1)), b =>
+        struct(
+          b.as("band_id"),
+          concat_ws(",", slice(col("sig"), b * BandRows + lit(1), lit(BandRows)))
+            .as("band_key")))).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
 
   /** (doc_id, simhash): 16-bit SimHash on the whole-stage-codegen path —
     * explode tokens, hash with the scalar md5 expression, take the 16
@@ -263,14 +281,7 @@ object Dedup {
         // shingle frame so neither recomputes the shingle expression
         val sh = shingled(s, dir).localCheckpoint()
         val withSig = signaturesFrom(sh)
-        val bands = withSig.select(
-          col("doc_id"),
-          explode(transform(sequence(lit(0), lit(NumPerms / BandRows - 1)), b =>
-            struct(
-              b.as("band_id"),
-              concat_ws(",", slice(col("sig"), b * BandRows + lit(1), lit(BandRows)))
-                .as("band_key")))).as("band"))
-          .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+        val bands = bandsOf(withSig)
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band_id") === col("y.band_id") &&
               col("x.band_key") === col("y.band_key") &&
@@ -569,7 +580,45 @@ object Dedup {
                  FROM reach GROUP BY u)
                SELECT doc.doc_id, COALESCE(rep.rep_id, doc.doc_id) AS rep_id
                FROM documents doc LEFT JOIN rep ON doc.doc_id = rep.doc_id
-               ORDER BY doc.doc_id"""))
+               ORDER BY doc.doc_id""")),
+
+    // Incremental dedup: the realistic production loop is not "dedup the
+    // whole corpus from scratch" but "probe a NEW BATCH against the
+    // standing corpus and keep only the novel documents". Docs with
+    // doc_id % 5 == 0 play the new batch, the rest the standing corpus; a
+    // new doc is dropped iff it shares >= 1 LSH band key with any corpus
+    // doc. Scale shape: the corpus side is a pre-computed band-key index
+    // at 100 TB (built once, stored banded), the batch is small — so the
+    // BATCH bands broadcast and the corpus index STREAMS past them in one
+    // pass, never shuffling on band keys (PlanSpec asserts this); only
+    // the collided batch doc_ids (∝ collisions) and the final anti-join
+    // on batch doc_ids ever shuffle.
+    QueryDef(
+      "dedup_incremental",
+      (s, dir) => {
+        // bands feed both sides of the probe; one localCheckpoint keeps
+        // the signature pipeline from running twice
+        val bands = bandsOf(signatures(s, dir)).localCheckpoint()
+        val isNew = pmod(col("doc_id"), lit(5)) === 0
+        val batchBands = bands.filter(isNew)
+          .select(col("band_id"), col("band_key"), col("doc_id").as("new_id"))
+        val collided = bands.filter(!isNew)
+          .join(broadcast(batchBands), Seq("band_id", "band_key"))
+          .select(col("new_id").as("doc_id")).distinct()
+        Tables.load(s, dir, "documents").select("doc_id").filter(isNew)
+          .join(collided, Seq("doc_id"), "left_anti")
+          .orderBy("doc_id")
+      },
+      Some(MinhashBandsCte + """,
+         coll AS (
+           SELECT DISTINCT x.doc_id
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.band_key = y.band_key
+            AND x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 5 = 0
+           AND doc_id NOT IN (SELECT doc_id FROM coll)
+         ORDER BY doc_id"""))
   )
 
   /** (doc_id, simhash): 60-bit wide SimHash — the production-scale

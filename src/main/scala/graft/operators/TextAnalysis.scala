@@ -379,6 +379,124 @@ object TextAnalysis {
                      WHEN noise_ratio > 0.25 THEN 'noisy'
                      WHEN avg_word_len < 3.0 THEN 'short_words'
                      ELSE 'keep' END = 'keep' AS kept
-              FROM q ORDER BY doc_id"""))
+              FROM q ORDER BY doc_id""")),
+
+    // PII masking: the corpus is synthetic word-soup with no real PII, so
+    // the operator PLANTS deterministic addresses/phones derived from
+    // doc_id (two emails + one phone per doc — two, to prove the replace
+    // is global), then masks them with regexp_replace. Map-only codegen;
+    // the oracle re-plants the identical strings and masks with RE2's 'g'
+    // flag. The masked text is compared by md5 so the dumped parquet stays
+    // small.
+    QueryDef(
+      "text_pii_mask",
+      (s, dir) => {
+        val planted = concat_ws("",
+          col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.com or admin"), col("doc_id"),
+          lit("@dev.org tel +1-555-"),
+          lpad(pmod(col("doc_id") * 7919, lit(10000)).cast("string"), 4, "0"))
+        val emailPat = "[a-z0-9._]+@[a-z][a-z.]+"
+        val phonePat = "\\+1-[0-9]{3}-[0-9]{4}"
+        val masked = regexp_replace(
+          regexp_replace(planted, emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(planted, lit(emailPat), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(planted, lit(phonePat), lit(0)))
+              .cast("long").as("n_phones"),
+            length(masked).cast("long").as("masked_len"),
+            md5(masked.cast("binary")).as("masked_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.com or admin' || CAST(doc_id AS VARCHAR)
+                    || '@dev.org tel +1-555-'
+                    || lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0')
+                    AS full_text
+                FROM documents),
+              m AS (
+                SELECT doc_id, full_text,
+                  regexp_replace(
+                    regexp_replace(full_text, '[a-z0-9._]+@[a-z][a-z.]+', '<EMAIL>', 'g'),
+                    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked
+                FROM p)
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(full_text, '[a-z0-9._]+@[a-z][a-z.]+')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(full_text, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                CAST(length(masked) AS BIGINT) AS masked_len,
+                md5(masked) AS masked_md5
+              FROM m ORDER BY doc_id""")),
+
+    // BM25 term scoring: top-3 characteristic terms per document under a
+    // rational-idf BM25 (k1 = 1.2, b = 0.75; idf = (N - df + 0.5) /
+    // (df + 0.5) — the monotone ln is dropped so the whole score is a
+    // ratio of two EXACT bigint products, and the single double division
+    // is IEEE-identical in any engine; see SCALE.md for the overflow
+    // bound). Distributed shape: explode → per-(doc, term) count with
+    // map-side partials, vocabulary-partitioned df join, 1-row corpus
+    // stats broadcast, then one doc_id window for the top-k — the
+    // canonical 100 TB "characteristic terms" pass.
+    QueryDef(
+      "text_bm25",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val stats = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("s_tokens"))
+        val terms = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"),
+          explode(split(col("text"), " ")).as("term"))
+        // tf feeds both the scored join and the df aggregation; column
+        // pruning strips the df branch to keys-only, which defeats
+        // exchange reuse (two non-identical subtrees would each rescan
+        // and re-explode the corpus) — one localCheckpoint materializes
+        // the (doc, term, tf) frame so the corpus is tokenized ONCE
+        val tf = terms.groupBy("doc_id", "dl", "term")
+          .agg(count(lit(1)).as("tf")).localCheckpoint()
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val scored = tf.join(df, "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("score",
+            ((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) *
+              lit(12) * col("tf") * col("s_tokens")).cast("double") /
+            ((lit(2) * col("df") + lit(1)) *
+              (lit(10) * col("s_tokens") * col("tf") +
+                lit(3) * col("s_tokens") +
+                lit(9) * col("dl") * col("n_docs"))).cast("double"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"),
+            col("tf"), col("df"), col("score"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                  unnest(string_split(text, ' ')) AS term
+                FROM documents),
+              tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                     FROM tk GROUP BY 1, 2, 3),
+              df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              st AS (SELECT count(*) AS n_docs,
+                       sum(len(string_split(text, ' '))) AS s_tokens
+                     FROM documents),
+              sc AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  CAST((2*st.n_docs - 2*df.df + 1) * 12 * tf.tf * st.s_tokens AS DOUBLE)
+                  / CAST((2*df.df + 1) * (10*st.s_tokens*tf.tf + 3*st.s_tokens + 9*tf.dl*st.n_docs) AS DOUBLE)
+                    AS score
+                FROM tf JOIN df ON tf.term = df.term CROSS JOIN st),
+              rk AS (SELECT *, row_number() OVER
+                       (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+                     FROM sc)
+              SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+              FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""))
   )
 }

@@ -136,6 +136,35 @@ class PlanSpec extends AnyFunSuite {
       s"expected only the final range-sort exchange:\n$p")
   }
 
+  test("q_explode_pos runs the generator inside the scan stage (map-only)") {
+    val p = plan("q_explode_pos")
+    assert(p.contains("Generate posexplode"), s"no posexplode generator:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"tokenize-and-flatten must not shuffle before the sort:\n$p")
+  }
+
+  test("text_bm25 tokenizes the corpus once; df and corpus stats broadcast") {
+    // the (doc, term, tf) frame is localCheckpoint-materialized, so the
+    // plan must contain NO explode (it ran once, during materialization)
+    // and both downstream consumers must read the checkpointed RDD
+    val p = plan("text_bm25")
+    assert(!p.contains("Generate explode"),
+      s"corpus re-tokenized after the tf materialization:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"expected both tf consumers on the checkpointed frame:\n$p")
+    assert(p.contains("BroadcastExchange"), s"df/stats not broadcast:\n$p")
+  }
+
+  test("dedup_incremental broadcasts the batch; corpus bands never shuffle") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("band_key")),
+      s"corpus band index shuffled on band keys:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape shipped:\n$p")
+  }
+
   test("emb_centroid aggregates map-side before its single hash shuffle") {
     val p = plan("emb_centroid")
     assert(p.contains("partial_sum") || p.contains("partial"),
