@@ -361,6 +361,211 @@ object Analytics {
               FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.h = c.h
               ORDER BY g.user_id, g.h""")),
 
+    // Statistical aggregates (corr / covariance / stddev) computed from
+    // EXACT integer moments: x = quantity (integral), y = price in cents
+    // (exact via DECIMAL(12,2)), then n/Sx/Sy/Sxy/Sx2 as bigints and Sy2
+    // in DECIMAL(38,0) (y² reaches 1e14, so its sf0.1 group sums exceed
+    // 2^63). The finishing formulas run in double with ONE canonical
+    // operation order mirrored in the oracle — exact-integer → double
+    // casts are correctly rounded in both engines, so the result is
+    // bit-identical without any decimal-division drift. Scale shape: one
+    // hash shuffle with map-side partial moments, exactly like any sum.
+    QueryDef(
+      "q_stats_agg",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("y"))
+        val m = li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("sy2"))
+        val dn = col("n").cast("double")
+        val dsx = col("sx").cast("double")
+        val dsy = col("sy").cast("double")
+        val dsxy = col("sxy").cast("double")
+        val dsx2 = col("sx2").cast("double")
+        val dsy2 = col("sy2").cast("double")
+        val varX = (dsx2 - dsx * dsx / dn) / (dn - 1.0)
+        val varY = (dsy2 - dsy * dsy / dn) / (dn - 1.0)
+        val cov = (dsxy - dsx * dsy / dn) / (dn - 1.0)
+        m.select(
+            col("l_returnflag"), col("n"),
+            cov.as("covar_xy"),
+            sqrt(varX).as("stddev_x"),
+            sqrt(varY).as("stddev_y"),
+            (cov / sqrt(varX * varY)).as("corr_xy"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+                SELECT l_returnflag,
+                  count(*) AS n,
+                  sum(CAST(l_quantity AS BIGINT)) AS sx,
+                  sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT)) AS sy,
+                  sum(CAST(l_quantity AS BIGINT)
+                      * CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT)) AS sxy,
+                  sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sx2,
+                  sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT) AS HUGEINT)
+                      * CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT)) AS sy2
+                FROM lineitem GROUP BY l_returnflag),
+              d AS (
+                SELECT l_returnflag, n,
+                  CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+                  CAST(sy AS DOUBLE) AS dsy, CAST(sxy AS DOUBLE) AS dsxy,
+                  CAST(sx2 AS DOUBLE) AS dsx2, CAST(sy2 AS DOUBLE) AS dsy2
+                FROM m)
+              SELECT l_returnflag, n,
+                (dsxy - dsx*dsy/dn)/(dn - 1.0) AS covar_xy,
+                sqrt((dsx2 - dsx*dsx/dn)/(dn - 1.0)) AS stddev_x,
+                sqrt((dsy2 - dsy*dsy/dn)/(dn - 1.0)) AS stddev_y,
+                ((dsxy - dsx*dsy/dn)/(dn - 1.0))
+                  / sqrt(((dsx2 - dsx*dsx/dn)/(dn - 1.0))
+                       * ((dsy2 - dsy*dsy/dn)/(dn - 1.0))) AS corr_xy
+              FROM d ORDER BY l_returnflag""")),
+
+    // Fixed-width histogram of document lengths: integer-division
+    // binning (map-only), one hash shuffle for the per-bucket counts,
+    // and the corpus total joined back as a 1-row broadcast — never a
+    // single-partition window. share/avg are double divisions of exact
+    // bigints (IEEE-identical in any engine).
+    QueryDef(
+      "q_histogram",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(expr("n_chars div 64").as("bucket"), col("n_chars"))
+        val total = d.agg(count(lit(1)).as("total"))
+        d.groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("schars"))
+          .crossJoin(broadcast(total))
+          .select(
+            col("bucket"),
+            (col("bucket") * 64).as("lo_chars"),
+            col("n_docs"),
+            (col("n_docs").cast("double") / col("total").cast("double"))
+              .as("share"),
+            (col("schars").cast("double") / col("n_docs").cast("double"))
+              .as("avg_chars"))
+          .orderBy("bucket")
+      },
+      Some("""WITH d AS (SELECT n_chars // 64 AS bucket, n_chars FROM documents),
+              tt AS (SELECT count(*) AS total FROM d)
+              SELECT bucket, bucket * 64 AS lo_chars,
+                count(*) AS n_docs,
+                CAST(count(*) AS DOUBLE) / CAST(tt.total AS DOUBLE) AS share,
+                CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+              FROM d CROSS JOIN tt
+              GROUP BY bucket, tt.total ORDER BY bucket""")),
+
+    // Anomaly detection: per-user daily event counts whose z-score
+    // against that user's own daily-count distribution exceeds |2σ|.
+    // Moments (days, Σn, Σn²) are exact bigints computed by a window
+    // over the daily aggregate; the z formula runs in double with one
+    // canonical operation order. Two shuffles (daily keys, then user
+    // key) — both map-side-combined, no driver involvement.
+    QueryDef(
+      "q_outliers",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+          .groupBy("user_id", "d")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("user_id")
+        val st = daily
+          .withColumn("days", count(lit(1)).over(w))
+          .withColumn("s", sum(col("n")).over(w))
+          .withColumn("s2", sum(col("n") * col("n")).over(w))
+          .filter(col("days") >= 7)
+        val dd = col("days").cast("double")
+        val ds = col("s").cast("double")
+        val ds2 = col("s2").cast("double")
+        val variance = (ds2 - ds * ds / dd) / (dd - 1.0)
+        val z = (col("n").cast("double") - ds / dd) / sqrt(variance)
+        st.filter(variance > 0.0 && abs(z) > 2.0)
+          .select(col("user_id"), col("d"), col("n"), z.as("z"))
+          .orderBy("user_id", "d")
+      },
+      Some("""WITH daily AS (
+                SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+                  count(*) AS n
+                FROM events GROUP BY 1, 2),
+              st AS (
+                SELECT user_id, d, n,
+                  CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE) AS dd,
+                  CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE) AS ds,
+                  CAST(sum(n*n) OVER (PARTITION BY user_id) AS DOUBLE) AS ds2
+                FROM daily)
+              SELECT user_id, d, n,
+                (CAST(n AS DOUBLE) - ds/dd)
+                  / sqrt((ds2 - ds*ds/dd)/(dd - 1.0)) AS z
+              FROM st
+              WHERE dd >= 7.0
+                AND (ds2 - ds*ds/dd)/(dd - 1.0) > 0.0
+                AND abs((CAST(n AS DOUBLE) - ds/dd)
+                      / sqrt((ds2 - ds*ds/dd)/(dd - 1.0))) > 2.0
+              ORDER BY user_id, d""")),
+
+    // Event funnel: users who viewed, then clicked after their first
+    // view, then purchased after their first qualifying click. Stage
+    // timestamps come from running conditional-min windows (one shuffle
+    // on user_id; the two window passes and the final per-user aggregate
+    // all share that partitioning), then one global 1-row count — the
+    // standard scalable funnel shape, no self-joins. (user_id, ts) is
+    // unique, so a stage event never ties with its qualifier.
+    QueryDef(
+      "q_funnel",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val q = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("vfirst",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+        val q2 = q.withColumn("cfirst",
+          min(when(col("event_type") === "click" && col("vfirst").isNotNull,
+            col("ts"))).over(w))
+        q2.groupBy("user_id").agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t1"),
+            min(when(col("event_type") === "click" && col("vfirst").isNotNull,
+              col("ts"))).as("t2"),
+            min(when(col("event_type") === "purchase" && col("cfirst").isNotNull,
+              col("ts"))).as("t3"))
+          .agg(
+            count(col("t1")).cast("long").as("n_view"),
+            count(col("t2")).cast("long").as("n_view_click"),
+            count(col("t3")).cast("long").as("n_funnel_complete"))
+      },
+      Some("""WITH e AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                FROM events),
+              q AS (
+                SELECT user_id, ts, event_type,
+                  min(CASE WHEN event_type = 'view' THEN ts END) OVER
+                    (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vfirst
+                FROM e),
+              q2 AS (
+                SELECT *, min(CASE WHEN event_type = 'click'
+                                AND vfirst IS NOT NULL THEN ts END) OVER
+                  (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfirst
+                FROM q),
+              u AS (
+                SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+                  min(CASE WHEN event_type = 'click'
+                        AND vfirst IS NOT NULL THEN ts END) AS t2,
+                  min(CASE WHEN event_type = 'purchase'
+                        AND cfirst IS NOT NULL THEN ts END) AS t3
+                FROM q2 GROUP BY user_id)
+              SELECT CAST(count(t1) AS BIGINT) AS n_view,
+                CAST(count(t2) AS BIGINT) AS n_view_click,
+                CAST(count(t3) AS BIGINT) AS n_funnel_complete
+              FROM u""")),
+
     // Skew-mitigation salted join: events (fact, skewed by user) joined
     // to a derived per-user dimension through Salting.saltedJoin. The
     // oracle is the PLAIN join — salting must not change semantics.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.EngineFns._
@@ -618,7 +619,87 @@ object Dedup {
          SELECT doc_id FROM documents
          WHERE doc_id % 5 = 0
            AND doc_id NOT IN (SELECT doc_id FROM coll)
-         ORDER BY doc_id"""))
+         ORDER BY doc_id""")),
+
+    // Verbatim-substring dedup (the Lee-et-al. "duplicated training
+    // substring" signal): doc pairs sharing >= 1 exact 8-token window,
+    // with the count of shared distinct windows AND the LONGEST shared
+    // verbatim run in tokens. Shape: positional windows → inverted-index
+    // equi-join on the window (shuffle ∝ postings², viral windows capped
+    // by the same broadcast anti-join as Jaccard), then the run length
+    // falls out of gaps-and-islands per (pair, a_pos − b_pos) diagonal —
+    // two window passes over only the MATCHED rows (∝ collisions, never
+    // corpus-sized). A 31-bit-hash join key would halve the shuffle at
+    // 100 TB; the window string keeps the oracle byte-exact here.
+    QueryDef(
+      "dedup_substring",
+      (s, dir) => {
+        val W = 8
+        val ts = split(col("text"), " ")
+        val wins = when(size(ts) >= W,
+          transform(sequence(lit(0), size(ts) - W),
+            i => concat_ws(" ", slice(ts, i + lit(1), lit(W)))))
+          .otherwise(slice(ts, lit(1), lit(0)))
+        // positional postings feed the viral-DF count and both join
+        // sides; checkpoint so the corpus is windowed exactly once
+        val postings = docsParallel(s, dir)
+          .select(col("doc_id"), posexplode(wins).as(Seq("pos", "w")))
+          .localCheckpoint()
+        val viral = postings.groupBy("w")
+          .agg(count(lit(1)).as("df")).filter(col("df") > MaxShingleDF)
+          .select("w")
+        val kept = postings.join(broadcast(viral), Seq("w"), "left_anti")
+        val m = kept.select(col("w"), col("doc_id").as("a_id"), col("pos").as("a_pos"))
+          .join(kept.select(col("w"), col("doc_id").as("b_id"), col("pos").as("b_pos")),
+            Seq("w"))
+          .filter(col("a_id") < col("b_id"))
+        val island = col("a_pos") - row_number().over(
+          Window.partitionBy(col("a_id"), col("b_id"), col("a_pos") - col("b_pos"))
+            .orderBy("a_pos"))
+        // matched rows feed both aggregates (distinct-window count and
+        // the island streaks) — checkpoint the small matched set once
+        val mm = m.localCheckpoint()
+        val nsh = mm.groupBy("a_id", "b_id")
+          .agg(count_distinct(col("w")).as("n_shared"))
+        val runs = mm.withColumn("island", island)
+          .groupBy(col("a_id"), col("b_id"),
+            (col("a_pos") - col("b_pos")).as("g"), col("island"))
+          .agg(count(lit(1)).as("streak"))
+          .groupBy("a_id", "b_id")
+          .agg((max(col("streak")) + (W - 1)).as("max_run_tokens"))
+        nsh.join(runs, Seq("a_id", "b_id"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH p AS (
+                SELECT doc_id, i - 1 AS pos,
+                  array_to_string(string_split(text, ' ')[i:i+7], ' ') AS w
+                FROM documents, LATERAL (SELECT unnest(range(1,
+                  len(string_split(text, ' ')) - 6)) AS i) ix),
+              m AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  a.pos AS a_pos, b.pos AS b_pos, a.w
+                FROM p a JOIN p b ON a.w = b.w AND a.doc_id < b.doc_id),
+              r AS (
+                SELECT a_id, b_id, w, a_pos - b_pos AS g,
+                  a_pos - row_number() OVER
+                    (PARTITION BY a_id, b_id, a_pos - b_pos ORDER BY a_pos)
+                    AS island
+                FROM m),
+              isl AS (
+                SELECT a_id, b_id, g, island, count(*) AS streak
+                FROM r GROUP BY 1, 2, 3, 4),
+              nsh AS (
+                SELECT a_id, b_id, count(DISTINCT w) AS n_shared
+                FROM m GROUP BY 1, 2),
+              runs AS (
+                SELECT a_id, b_id, max(streak) + 7 AS max_run_tokens
+                FROM isl GROUP BY 1, 2)
+              SELECT nsh.a_id, nsh.b_id,
+                CAST(n_shared AS BIGINT) AS n_shared,
+                CAST(max_run_tokens AS BIGINT) AS max_run_tokens
+              FROM nsh JOIN runs
+                ON nsh.a_id = runs.a_id AND nsh.b_id = runs.b_id
+              ORDER BY nsh.a_id, nsh.b_id"""))
   )
 
   /** (doc_id, simhash): 60-bit wide SimHash — the production-scale

@@ -497,6 +497,107 @@ object TextAnalysis {
                        (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
                      FROM sc)
               SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
-              FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""))
+              FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // Weighted (quality-proportional) sampling: each document keeps with
+    // probability ∝ its length (capped at 500 chars → weight 1.0), using
+    // the deterministic md5-derived uniform draw — so the sample is
+    // reproducible across engines, partitionings, and reruns. Map-only,
+    // no shuffle; the standard "sample long documents preferentially"
+    // pre-training knob.
+    QueryDef(
+      "sample_weighted",
+      (s, dir) => {
+        val weight = least(col("n_chars"), lit(500)).cast("double") / 500.0
+        val u = (hash31(concat_ws("|", lit("wsamp"), col("doc_id").cast("string")))
+          % 1000000L).cast("double") / 1000000.0
+        Tables.load(s, dir, "documents")
+          .withColumn("weight", weight)
+          .filter(u < col("weight"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("weight"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, lang, n_chars,
+                  CAST(least(n_chars, 500) AS DOUBLE) / 500.0 AS weight,
+                  CAST((CAST(concat('0x', substr(md5(concat('wsamp', '|',
+                      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                    % 2147483647) % 1000000 AS DOUBLE) / 1000000.0 AS u
+                FROM documents)
+              SELECT doc_id, lang, n_chars, weight
+              FROM w WHERE u < weight ORDER BY doc_id""")),
+
+    // Corpus vocabulary statistics: per-language token/type counts,
+    // type-token ratio, and the top-10 terms by frequency (term-asc
+    // tie-break). Shape: explode → one hash shuffle on (lang, term) with
+    // map-side partials (the vocabulary aggregate), then per-lang windows
+    // over the VOCABULARY rows (≪ corpus) — the Zipf-profile pass every
+    // corpus audit runs.
+    QueryDef(
+      "text_vocab_stats",
+      (s, dir) => {
+        val tc = Tables.load(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+        val wl = Window.partitionBy("lang")
+        val wr = Window.partitionBy("lang")
+          .orderBy(col("cnt").desc, col("term").asc)
+        tc.withColumn("n_types", count(lit(1)).over(wl))
+          .withColumn("n_tokens", sum(col("cnt")).over(wl))
+          .withColumn("rank", row_number().over(wr).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("lang"), col("rank"), col("term"), col("cnt"),
+            col("n_tokens"), col("n_types"),
+            (col("n_types").cast("double") / col("n_tokens").cast("double"))
+              .as("ttr"))
+          .orderBy("lang", "rank")
+      },
+      Some("""WITH tc AS (
+                SELECT lang, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+              v AS (SELECT lang, term, count(*) AS cnt FROM tc GROUP BY 1, 2),
+              st AS (
+                SELECT lang, term, cnt,
+                  CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_types,
+                  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_tokens,
+                  row_number() OVER
+                    (PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rank
+                FROM v)
+              SELECT lang, CAST(rank AS BIGINT) AS rank, term, cnt,
+                n_tokens, n_types,
+                CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+              FROM st WHERE rank <= 10 ORDER BY lang, rank""")),
+
+    // Deterministic train/valid/test split: hash-bucket each document
+    // into 100 cells (90/5/5) with the md5-derived draw — stable under
+    // corpus growth (a document's split never changes when other docs
+    // arrive), reproducible on any engine, map-only. The salt string
+    // keeps this draw independent of sample_weighted's.
+    QueryDef(
+      "split_train_test",
+      (s, dir) => {
+        val bucket = hash31(
+          concat_ws("|", lit("split"), col("doc_id").cast("string"))) % 100L
+        Tables.load(s, dir, "documents")
+          .withColumn("bucket", bucket)
+          .withColumn("split",
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "valid").otherwise("test"))
+          .select(col("doc_id"), col("bucket"), col("split"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                (CAST(concat('0x', substr(md5(concat('split', '|',
+                    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                  % 2147483647) % 100 AS bucket,
+                CASE WHEN (CAST(concat('0x', substr(md5(concat('split', '|',
+                      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                    % 2147483647) % 100 < 90 THEN 'train'
+                  WHEN (CAST(concat('0x', substr(md5(concat('split', '|',
+                      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                    % 2147483647) % 100 < 95 THEN 'valid'
+                  ELSE 'test' END AS split,
+                n_chars
+              FROM documents ORDER BY doc_id"""))
   )
 }

@@ -165,6 +165,26 @@ class PlanSpec extends AnyFunSuite {
       s"all-pairs shape shipped:\n$p")
   }
 
+  test("q_funnel shares one user_id shuffle across both windows and the per-user agg") {
+    val p = plan("q_funnel")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+    assert(p.contains("partial_count"), s"final count not map-side combined:\n$p")
+  }
+
+  test("q_stats_agg computes all exact moments in one partial/final aggregate") {
+    val p = plan("q_stats_agg")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+    assert(p.contains("partial_sum"), s"moments not map-side combined:\n$p")
+  }
+
+  test("dedup_substring never ships an all-pairs join shape") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape shipped:\n$p")
+  }
+
   test("emb_centroid aggregates map-side before its single hash shuffle") {
     val p = plan("emb_centroid")
     assert(p.contains("partial_sum") || p.contains("partial"),
