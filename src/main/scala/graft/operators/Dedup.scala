@@ -37,6 +37,11 @@ object Dedup {
   // corpus's max DF (sf0.1 max ~ 60), so the local oracle comparison is
   // byte-exact; production sets it to ~0.1% of corpus size.
   private val MaxShingleDF = 10000
+  // Edit-distance acceptance bound for sketch-candidate verification
+  // (dedup_edit_verify): planted near-dups in this corpus sit at dist ~4
+  // while sketch false-positives land in the hundreds; 50 separates them
+  // with a wide margin at every SF.
+  private val MaxEditDist = 50
 
   /** Documents spread across all cores: the corpus ships as one parquet
     * file (= one input split), which would serialize the md5/shingle
@@ -699,7 +704,60 @@ object Dedup {
                 CAST(max_run_tokens AS BIGINT) AS max_run_tokens
               FROM nsh JOIN runs
                 ON nsh.a_id = runs.a_id AND nsh.b_id = runs.b_id
-              ORDER BY nsh.a_id, nsh.b_id"""))
+              ORDER BY nsh.a_id, nsh.b_id""")),
+
+    // Candidate generation + EXACT verification — the two-stage shape
+    // every production near-dup pipeline ends with: cheap sketch blocking
+    // (60-bit wide SimHash, Hamming <= 3) proposes candidates, then the
+    // expensive exact measure (Levenshtein edit distance, built-in codegen
+    // expression) confirms or rejects each one. Edit distance is O(len_a x
+    // len_b) per pair, so it must NEVER see the corpus cross product —
+    // here it runs on the collision set only (21 candidate pairs at
+    // sf0.01, of which 2 are sketch false-positives that the exact check
+    // rejects). Texts join onto candidates by doc_id (two hash joins),
+    // so the corpus is scanned, not collected.
+    QueryDef(
+      "dedup_edit_verify",
+      (s, dir) => {
+        val docs = docsParallel(s, dir).select("doc_id", "text")
+        simhashChunkPairs(simhashedWide(s, dir), numChunks = 4, chunkBits = 15)
+          .join(docs.select(col("doc_id").as("a_id"), col("text").as("t_a")), Seq("a_id"))
+          .join(docs.select(col("doc_id").as("b_id"), col("text").as("t_b")), Seq("b_id"))
+          .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
+          .filter(col("edit_dist") <= MaxEditDist)
+          .select("a_id", "b_id", "hamming", "edit_dist")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents),
+              h AS (
+                SELECT doc_id,
+                  CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+                  CAST(concat('0x', substr(md5(concat('x', t)), 1, 15)) AS BIGINT) % 2147483647 AS h2
+                FROM tok),
+              v AS (
+                SELECT doc_id, j,
+                  sum(CASE WHEN ((CASE WHEN j < 30 THEN h1 >> CAST(j AS INTEGER)
+                                       ELSE h2 >> CAST(j - 30 AS INTEGER) END) & 1) = 1
+                           THEN 1 ELSE -1 END) AS vote
+                FROM h, (SELECT unnest(range(0, 60)) AS j) js
+                GROUP BY doc_id, j),
+              sg AS (
+                SELECT doc_id,
+                  CAST(sum(CASE WHEN vote > 0
+                                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS simhash
+                FROM v GROUP BY doc_id)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+                CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+              FROM sg a, sg b, documents da, documents db
+              WHERE a.doc_id < b.doc_id
+                AND bit_count(xor(a.simhash, b.simhash)) <= 3
+                AND da.doc_id = a.doc_id AND db.doc_id = b.doc_id
+                AND levenshtein(da.text, db.text) <= $MaxEditDist
+              ORDER BY a_id, b_id"""))
   )
 
   /** (doc_id, simhash): 60-bit wide SimHash — the production-scale

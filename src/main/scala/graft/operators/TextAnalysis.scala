@@ -598,6 +598,102 @@ object TextAnalysis {
                     % 2147483647) % 100 < 95 THEN 'valid'
                   ELSE 'test' END AS split,
                 n_chars
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // Fixed-size context-window chunking WITH overlap — the step that
+    // turns documents into training sequences (chunk 40 tokens, stride
+    // 30, so consecutive chunks share a 10-token overlap and no token is
+    // lost at a boundary). Map-only: the chunk spine is a per-row
+    // `sequence` generator exploded inside the scan stage, so at 100 TB
+    // this is embarrassingly parallel with zero shuffle before the
+    // presentation sort. Chunk starts are derived from the token count
+    // (integer `div`), so every engine agrees on the chunk set exactly.
+    QueryDef(
+      "text_chunk_overlap",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")).cast("long"))
+        d.select(col("doc_id"), col("toks"), col("n"),
+            posexplode(sequence(lit(0L), expr("(n - 1) div 30"))))
+          .select(
+            col("doc_id"),
+            col("pos").cast("long").as("chunk_id"),
+            least(lit(40L), col("n") - col("pos") * 30L).as("n_toks"),
+            array_join(slice(col("toks"), col("pos") * 30 + 1, lit(40)), " ")
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n
+                FROM documents)
+              SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                CAST(least(40, n - i * 30) AS BIGINT) AS n_toks,
+                array_to_string(toks[i * 30 + 1 : least(i * 30 + 40, n)], ' ')
+                  AS chunk_text
+              FROM t, LATERAL (SELECT unnest(range(0, ((n - 1) // 30) + 1)) AS i) ix
+              ORDER BY doc_id, chunk_id""")),
+
+    // Exactly-k-per-group sampling (k = 50 per language): the
+    // deterministic distributed replacement for reservoir sampling —
+    // rank by an md5-derived uniform draw within each group and keep the
+    // first k. One hash shuffle on the group key; the draw is a pure
+    // column expression, so the chosen sample is identical on any
+    // engine, partitioning, or rerun (true reservoir sampling is
+    // RNG-order-dependent and irreproducible across engines).
+    QueryDef(
+      "sample_fixed_k",
+      (s, dir) => {
+        val u = hash31(concat_ws("|", lit("fixk"), col("doc_id").cast("string")))
+        val w = Window.partitionBy("lang").orderBy(u.asc, col("doc_id").asc)
+        Tables.load(s, dir, "documents")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 50)
+          .select(col("doc_id"), col("lang"), col("rk"))
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH r AS (
+                SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang ORDER BY
+                    (CAST(concat('0x', substr(md5(concat('fixk', '|',
+                        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                      % 2147483647) ASC, doc_id ASC) AS rk
+                FROM documents)
+              SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+              FROM r WHERE rk <= 50 ORDER BY lang, rk""")),
+
+    // Token-rarity scoring: each document's mean corpus collection-
+    // frequency (how common its tokens are corpus-wide) — the cheap
+    // unigram stand-in for LM perplexity filtering (rare-token docs ~
+    // high perplexity), kept log-free so the score is (exact int)/(exact
+    // int) in one IEEE division and hash-matches any engine. Shape:
+    // tokenize once (localCheckpoint — the frame feeds both the
+    // vocabulary aggregate and the scoring join), vocabulary-partitioned
+    // count, hash join back, per-doc sum — all shuffles are ∝ corpus
+    // tokens, map-side-combined.
+    QueryDef(
+      "text_rarity",
+      (s, dir) => {
+        val terms = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .localCheckpoint()
+        val ctf = terms.groupBy("term").agg(count(lit(1)).as("ctf"))
+        terms.join(ctf, "term")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("ctf")).as("sum_ctf"))
+          .withColumn("avg_ctf",
+            col("sum_ctf").cast("double") / col("n_tokens").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+              ctf AS (SELECT term, count(*) AS ctf FROM tk GROUP BY 1)
+              SELECT tk.doc_id, count(*) AS n_tokens,
+                sum(ctf.ctf) AS sum_ctf,
+                CAST(sum(ctf.ctf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_ctf
+              FROM tk JOIN ctf ON tk.term = ctf.term
+              GROUP BY tk.doc_id ORDER BY tk.doc_id"""))
   )
 }

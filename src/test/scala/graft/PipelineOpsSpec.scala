@@ -74,4 +74,91 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("text_chunk_overlap: chunks tile each doc with stride 30 / size 40") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val chunks = Registry.byName("text_chunk_overlap").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("n_toks"), r.getAs[String]("chunk_text")))
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val toks = docs(id)
+      // every chunk is exactly the slice [chunk_id*30, +40) of the doc
+      cs.foreach { case (_, cid, n, txt) =>
+        val start = (cid * 30).toInt
+        val expect = toks.slice(start, start + 40)
+        assert(txt === expect.mkString(" "))
+        assert(n === expect.length.toLong)
+      }
+      // chunk ids are 0..last with the last chunk reaching the doc's end
+      val ids = cs.map(_._2).sorted
+      assert(ids === (0L until ids.length).toSeq)
+      assert(ids.length === (toks.length - 1) / 30 + 1)
+    }
+  }
+
+  test("sample_fixed_k keeps exactly min(50, group size) docs per language") {
+    val got = Registry.byName("sample_fixed_k").run(spark, TestSpark.sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.load(spark, TestSpark.sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === total.keySet)
+    got.foreach { case (lang, n) => assert(n === math.min(50L, total(lang))) }
+  }
+
+  test("text_rarity equals a local unigram collection-frequency replay") {
+    val texts = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val ctf = texts.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = Registry.byName("text_rarity").run(spark, TestSpark.sf).collect()
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+      assert(r.getAs[Long]("sum_ctf") === toks.map(ctf).sum)
+    }
+  }
+
+  test("dedup_edit_verify: verified pairs are the low-edit-distance subset of sketch candidates") {
+    val texts = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val t = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = t
+        }
+      }
+      prev(b.length)
+    }
+    val cand = operators.Dedup
+      .simhashChunkPairs(
+        Registry.byName("dedup_simhash_wide").run(spark, TestSpark.sf),
+        numChunks = 4, chunkBits = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Registry.byName("dedup_edit_verify").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("edit_dist")))
+    assert(verified.nonEmpty)
+    verified.foreach { case (a, b, d) =>
+      assert(cand.contains((a, b)), s"($a,$b) not a sketch candidate")
+      assert(d <= 50L)
+      assert(d === lev(texts(a), texts(b)).toLong)
+    }
+    // the exact check must reject every high-distance candidate
+    val expected = cand.filter { case (a, b) => lev(texts(a), texts(b)) <= 50 }
+    assert(verified.map(v => (v._1, v._2)).toSet === expected)
+  }
 }
