@@ -660,6 +660,40 @@ object Analytics {
           .toDF()
           .orderBy("event_id")
       },
-      Some(SessionizeOracleSql))
+      Some(SessionizeOracleSql)),
+
+    // Slowly-changing-dimension (SCD type 2) versioning — the CDC/merge
+    // shape every warehouse ingest needs: each customer's orders become
+    // validity-interval versions (valid_from = this order's date,
+    // valid_to = the next order's date, open-ended current row last).
+    // One hash shuffle on the dimension key, then a single ordered
+    // window scan per key builds every interval — the same two lead/
+    // row_number passes at any scale, no self-join. The (date, key)
+    // orderBy is a total order per customer, so version numbers are
+    // deterministic under any partitioning.
+    QueryDef(
+      "q_scd2_versions",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("version", row_number().over(w).cast("long"))
+          .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select(col("o_custkey"), col("version"), col("o_orderkey"),
+            col("o_orderdate").as("valid_from"), col("valid_to"),
+            col("is_current"))
+          .orderBy("o_custkey", "version")
+      },
+      Some("""SELECT o_custkey,
+                CAST(row_number() OVER w AS BIGINT) AS version,
+                o_orderkey,
+                o_orderdate AS valid_from,
+                lead(o_orderdate, 1) OVER w AS valid_to,
+                lead(o_orderdate, 1) OVER w IS NULL AS is_current
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate ASC, o_orderkey ASC)
+              ORDER BY o_custkey, version"""))
   )
 }

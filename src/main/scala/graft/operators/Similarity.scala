@@ -373,7 +373,37 @@ object Similarity {
                  CAST(floor(127.0 * CAST(embedding[i] AS DOUBLE)
                    / sqrt(${dotSql("embedding", "embedding")}) + 0.5) AS BIGINT) AS q
                FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx
-               ORDER BY vec_id, dim"""))
+               ORDER BY vec_id, dim""")),
+
+    // Random-projection dimensionality reduction 64 → 8: project every
+    // embedding onto the 8 md5-derived hyperplanes (the same family the
+    // LSH bucketer uses, folded to plan-time literal constants so codegen
+    // sees plain double arithmetic). This is the standard cheap front-end
+    // before ANN — an 8x smaller vector that preserves cosine structure
+    // (Johnson-Lindenstrauss). Map-only, zero shuffle before the
+    // presentation sort; the left-to-right double fold makes every
+    // projection value bit-identical to the DuckDB oracle.
+    QueryDef(
+      "emb_rand_proj",
+      (s, dir) => {
+        val projections = (0 until NumHyperplanes).map { j =>
+          aggregate(
+            zip_with(col("embedding"),
+              array(planeConsts(j).map(lit): _*),
+              (v, r) => v.cast("double") * r),
+            lit(0.0), (a, x) => a + x)
+        }
+        embParallel(s, dir)
+          .select(col("vec_id"), posexplode(array(projections: _*)).as(Seq("j", "proj")))
+          .select(col("vec_id"), col("j").cast("long").as("j"), col("proj"))
+          .orderBy("vec_id", "j")
+      },
+      Some(s"""SELECT vec_id, CAST(j AS BIGINT) AS j,
+                 list_reduce(list_transform(list_zip(embedding, range(0, 64)), p ->
+                   CAST(p[1] AS DOUBLE) * ((((CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', CAST(p[2] AS VARCHAR))), 1, 15)) AS BIGINT) % 2147483647) % 2001) - 1000) / 1000.0)),
+                   (x, y) -> x + y) AS proj
+               FROM embeddings, (SELECT unnest(range(0, $NumHyperplanes)) AS j) js
+               ORDER BY vec_id, j"""))
   )
 
   /** IVF top-k with a tunable probe count: vectors are assigned to their

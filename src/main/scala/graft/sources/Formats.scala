@@ -131,5 +131,96 @@ object Formats {
                 CAST(sum(CASE WHEN l_linenumber % 2 != 0
                               THEN CAST(l_discount AS DECIMAL(12,2))
                               ELSE CAST(0.0 AS DECIMAL(12,2)) END) AS DOUBLE) AS disc
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")))
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Small-file compaction — the table-maintenance pass every streaming
+    // or incremental 100 TB ingest needs: a fragmented write (64 files
+    // here, the shape a per-microbatch sink leaves behind) is rewritten
+    // into size-targeted files, with the output file count derived from
+    // the MEASURED input bytes (ceil(bytes / 4 MiB), min 1), not a
+    // hard-coded number — the same sizing rule works at any scale. The
+    // aggregate runs over the COMPACTED copy, and the oracle recomputes
+    // it from the original table, so compaction must lose/duplicate
+    // nothing. File counts before/after are asserted in AggFormatsSpec.
+    QueryDef(
+      "q_compact_files",
+      (s, dir) => {
+        val scratch = scratchFor("compact")
+        val frag = s"$scratch/fragmented"
+        val comp = s"$scratch/compacted"
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+          .repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        val bytes = listParquet(frag).map(_.length).sum
+        val target = 4L * 1024 * 1024
+        val nOut = math.max(1L, (bytes + target - 1) / target).toInt
+        s.read.parquet(frag).coalesce(nOut)
+          .write.mode("overwrite").parquet(comp)
+        s.read.parquet(comp)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"))
+          .orderBy("l_returnflag")
+      },
+      bench = false, // I/O-maintenance path; sink throughput is covered by q_fmt_*
+      oracle = Some(RoundTripAgg)),
+
+    // Z-order clustered layout — multi-column data skipping: interleave
+    // the low 16 bits of l_partkey and l_suppkey into one 32-bit Morton
+    // key, range-partition + sort the write on it, so files become
+    // rectangles in (partkey, suppkey) space and a predicate on EITHER
+    // column prunes most files via parquet min/max stats (per-file
+    // disjointness is asserted in AggFormatsSpec). The registry query
+    // reads the clustered copy back under a z-range predicate and
+    // aggregates; the oracle recomputes the identical Morton arithmetic
+    // in DuckDB over the original table — bit-for-bit, since the
+    // interleave is pure integer shifts.
+    QueryDef(
+      "q_zorder_layout",
+      (s, dir) => {
+        val scratch = scratchFor("zorder")
+        val z = (0 until 16).map { i =>
+          expr(s"shiftleft(shiftright(l_partkey, $i) & 1, ${2 * i}) + " +
+            s"shiftleft(shiftright(l_suppkey, $i) & 1, ${2 * i + 1})")
+        }.reduce(_ + _).cast("long")
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), z.as("zval"))
+          .repartitionByRange(8, col("zval"))
+          .sortWithinPartitions("zval")
+          .write.mode("overwrite").parquet(scratch)
+        s.read.parquet(scratch)
+          .filter(col("zval") < 1000000L)
+          .agg(count(lit(1)).as("n"),
+            sum(col("zval")).as("sum_z"),
+            min(col("zval")).as("min_z"),
+            max(col("zval")).as("max_z"))
+      },
+      bench = false, // layout pass; scan throughput is covered elsewhere
+      oracle = Some(s"""WITH z AS (
+                 SELECT ${zOrderSqlExpr("l_partkey", "l_suppkey")} AS zval
+                 FROM lineitem)
+               SELECT count(*) AS n, sum(zval) AS sum_z,
+                 min(zval) AS min_z, max(zval) AS max_z
+               FROM z WHERE zval < 1000000""")))
+
+  /** All part-*.parquet files under a local scratch dir. */
+  private def listParquet(path: String): Seq[java.io.File] = {
+    val d = new java.io.File(path)
+    Option(d.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+  }
+
+  /** DuckDB SQL for the 16+16-bit Morton interleave of two int columns
+    * (same shift arithmetic as the Spark expression). */
+  private def zOrderSqlExpr(a: String, b: String): String =
+    "CAST(" + (0 until 16).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ") + " AS BIGINT)"
+
+  /** Scratch roots for the layout specs (package-visible so
+    * AggFormatsSpec can count files after running the registry query). */
+  private[graft] def scratchRoot(fmt: String): String = scratchFor(fmt)
 }

@@ -326,6 +326,36 @@ object StreamOps {
                 count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
               FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""),
+      bench = false),
+
+    // Streaming top-k: the hourly event-type counts stream (state bounded
+    // by the 1-hour watermark at scale) finished with a per-hour top-3
+    // rank batch-side — the standard "dashboard leaderboard" split: the
+    // UNBOUNDED part runs incrementally in the stream; the tiny top-k
+    // over the aggregated (hours x types) table is a batch window pass
+    // over the sink, ∝ distinct groups, never ∝ events.
+    QueryDef(
+      "stream_topk",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("hour").orderBy(col("n").desc, col("event_type").asc)
+        hourlyByType(s, dir)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("hour", "rk", "event_type", "n")
+          .orderBy("hour", "rk")
+      },
+      Some("""WITH a AS (
+                SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                  event_type, count(*) AS n
+                FROM events GROUP BY 1, 2),
+              r AS (
+                SELECT hour, event_type, n,
+                  row_number() OVER (PARTITION BY hour
+                    ORDER BY n DESC, event_type ASC) AS rk
+                FROM a)
+              SELECT hour, CAST(rk AS BIGINT) AS rk, event_type, n
+              FROM r WHERE rk <= 3 ORDER BY hour, rk"""),
       bench = false)
   )
 }

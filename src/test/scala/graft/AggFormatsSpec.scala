@@ -67,4 +67,101 @@ class AggFormatsSpec extends AnyFunSuite {
       assert(viaFormat === direct)
     }
   }
+
+  private def parquetFiles(path: String): Seq[java.io.File] = {
+    val d = new java.io.File(path)
+    Option(d.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+  }
+
+  test("q_compact_files rewrites 64 fragments into few size-targeted files") {
+    Registry.byName("q_compact_files").run(spark, TestSpark.sf).collect()
+    val root = sources.Formats.scratchRoot("compact")
+    val frag = parquetFiles(s"$root/fragmented")
+    val comp = parquetFiles(s"$root/compacted")
+    assert(frag.length === 64)
+    assert(comp.nonEmpty && comp.length < frag.length)
+    // sizing rule: ceil(input bytes / 4 MiB), min 1
+    val expect = math.max(1L, (frag.map(_.length).sum + (4L << 20) - 1) / (4L << 20))
+    assert(comp.length === expect.toInt)
+  }
+
+  test("q_zorder_layout writes files with disjoint z ranges (skippable layout)") {
+    Registry.byName("q_zorder_layout").run(spark, TestSpark.sf).collect()
+    val files = parquetFiles(sources.Formats.scratchRoot("zorder"))
+    assert(files.length > 1, "need multiple files for skipping to mean anything")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("zval")), max(col("zval"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping z ranges")
+      case _ =>
+    }
+  }
+
+  test("q_scd2_versions: intervals chain per customer with one open current row") {
+    val rows = Registry.byName("q_scd2_versions").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("version"),
+        r.getAs[Any]("valid_from"),
+        Option(r.getAs[Any]("valid_to")),
+        r.getAs[Boolean]("is_current")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2) === (1L to sorted.length).toSeq)
+      // each version's valid_to equals the next version's valid_from
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, _, to, _), (_, _, from2, _, _)) =>
+          assert(to.contains(from2))
+        case _ =>
+      }
+      // exactly the last row is current (open-ended)
+      assert(sorted.count(_._5) === 1)
+      assert(sorted.last._5 && sorted.last._4.isEmpty)
+    }
+  }
+
+  test("emb_rand_proj equals a local md5-hyperplane replay") {
+    def h31(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 2147483647L
+    }
+    val vecs = Tables.load(spark, TestSpark.sf, "embeddings")
+      .filter(col("vec_id") < 5).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val got = Registry.byName("emb_rand_proj").run(spark, TestSpark.sf)
+      .filter(col("vec_id") < 5).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("j")) -> r.getAs[Double]("proj"))
+      .toMap
+    vecs.foreach { case (id, emb) =>
+      for (j <- 0 until 8) {
+        var acc = 0.0
+        emb.zipWithIndex.foreach { case (v, k) =>
+          acc += v.toDouble * ((h31(s"${j}_$k") % 2001 - 1000).toDouble / 1000.0)
+        }
+        assert(got((id, j.toLong)) === acc)
+      }
+    }
+  }
+
+  test("stream_topk equals the batch per-hour top-3") {
+    val streamed = Registry.byName("stream_topk").run(spark, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour").orderBy(col("n").desc, col("event_type").asc)
+    val batch = Tables.load(spark, TestSpark.sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("hour", "rk", "event_type", "n")
+      .orderBy("hour", "rk")
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }

@@ -192,4 +192,39 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       s"expected one hash exchange:\n$p")
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB the probe-side scan of a selective join should be pre-
+    // filtered by a bloom filter built from the (filtered) build side —
+    // Spark injects it when the size thresholds allow; pin them low to
+    // prove the plan shape the engine relies on at scale.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // force a shuffle join: bloom pruning only pays off when the join
+      // is not a broadcast (a broadcast side already prunes via DPP/hash)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.load(spark, TestSpark.sf, "lineitem")
+      val ord = Tables.load(spark, TestSpark.sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter") ||
+        p.contains("might_contain"),
+        s"no runtime bloom filter on the probe side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
