@@ -794,7 +794,14 @@ object Dedup {
   private[graft] def simhashChunkPairs(
       sig: DataFrame, numChunks: Int = 4, chunkBits: Int = 4): DataFrame = {
     val mask = (1L << chunkBits) - 1
-    val chunks = sig.select(
+    // the signature frame feeds BOTH sides of the self-join; without a
+    // barrier the whole vote pipeline (explode tokens → md5 → 60
+    // conditional sums) executes twice — once for the streamed side,
+    // once for the broadcast build. One localCheckpoint materializes the
+    // tiny (doc_id, simhash) frame (16 bytes/row at any corpus size) so
+    // the corpus is hashed exactly once.
+    val sigOnce = sig.localCheckpoint()
+    val chunks = sigOnce.select(
         col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(numChunks - 1))).as("chunk_idx"))
       .withColumn("chunk_val",

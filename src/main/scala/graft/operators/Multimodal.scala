@@ -193,6 +193,69 @@ object Multimodal {
           .toDF()
           .orderBy("doc_id")
       },
-      Some(DecodeOracleSql))
+      Some(DecodeOracleSql)),
+
+    // Perceptual-hash dedup over the media PAYLOAD BODY: a 16-bit
+    // block-mean hash (bit i set iff segment i's byte sum, cross-
+    // multiplied to stay integer-exact, exceeds its share of the total),
+    // then exact-duplicate clustering by (format, phash) — the image-
+    // dedup shape (pHash/aHash bucketing) on the same mapPartitions
+    // plumbing as decode. All-integer comparisons, no float means, so
+    // the signature is bit-identical in any engine; the oracle
+    // recomputes it from the planted payload recipe (body = the ASCII
+    // text bytes behind the 16-byte header) entirely in SQL. Map-only
+    // signature + one hash shuffle on (format, phash) for the
+    // representative — the same shape at 100 TB of real thumbnails.
+    QueryDef(
+      "mm_phash",
+      (s, dir) => {
+        import s.implicits._
+        val sigs = docs(s, dir)
+          .select(col("doc_id"), payloadCol.as("payload"))
+          .as[MediaIn]
+          .mapPartitions(_.map { in =>
+            val b = in.payload
+            val L = b.length - 16
+            val total = (16 until b.length).map(i => (b(i) & 0xff).toLong).sum
+            var h = 0L
+            for (i <- 0 until 16) {
+              val lo = 16 + (L.toLong * i / 16).toInt
+              val hi = 16 + (L.toLong * (i + 1) / 16).toInt
+              val segSum = (lo until hi).map(j => (b(j) & 0xff).toLong).sum
+              // segSum/segLen > total/L without division:
+              if (segSum * L > total * (hi - lo)) h |= (1L << i)
+            }
+            (in.doc_id, if (in.doc_id % 2 == 0) "png" else "wav", h)
+          })
+          .toDF("doc_id", "format", "phash")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("format", "phash")
+        sigs.withColumn("rep_id", min(col("doc_id")).over(w))
+          .withColumn("n_same", count(lit(1)).over(w))
+          .select("doc_id", "format", "phash", "rep_id", "n_same")
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (
+                SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+                  list_transform(range(1, length(text) + 1),
+                    i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS cs,
+                  CAST(length(text) AS BIGINT) AS L
+                FROM documents),
+              sig AS (
+                SELECT doc_id, format,
+                  CAST(list_sum(list_transform(range(0, 16), i ->
+                    CASE WHEN list_sum(cs[CAST(L * i // 16 AS INTEGER) + 1 :
+                                          CAST(L * (i + 1) // 16 AS INTEGER)]) * L
+                              > list_sum(cs) * (L * (i + 1) // 16 - L * i // 16)
+                         THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END))
+                    AS BIGINT) AS phash
+                FROM b)
+              SELECT doc_id, format, phash,
+                min(doc_id) OVER w AS rep_id,
+                count(*) OVER w AS n_same
+              FROM sig
+              WINDOW w AS (PARTITION BY format, phash)
+              ORDER BY doc_id"""))
   )
 }

@@ -664,6 +664,49 @@ object Relational {
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
                 count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-              FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+              FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // MERGE / upsert semantics without a table format: base rows (keys
+    // not divisible by 3) merged with an update batch (even keys, price
+    // bumped by 100) — matched rows take the update's values, unmatched
+    // updates are inserts, untouched base rows pass through, each row
+    // labeled with its merge action. One full-outer hash join on the
+    // key, coalesce picks sides — exactly the join MERGE INTO plans to
+    // under every table format, so this is the scale shape; a real
+    // deployment adds the format's commit protocol around it.
+    QueryDef(
+      "q_merge_upsert",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey").as("b_key"),
+            dec(col("o_totalprice")).as("b_price"))
+        val updates = orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("u_key"),
+            dec(col("o_totalprice") + 100.0).as("u_price"))
+        base.join(updates, col("b_key") === col("u_key"), "full_outer")
+          .select(
+            coalesce(col("b_key"), col("u_key")).as("o_orderkey"),
+            coalesce(col("u_price"), col("b_price")).cast("double").as("price"),
+            when(col("b_key").isNull, "insert")
+              .when(col("u_key").isNull, "keep")
+              .otherwise("update").as("action"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+                SELECT o_orderkey AS b_key,
+                  CAST(o_totalprice AS DECIMAL(12,2)) AS b_price
+                FROM orders WHERE o_orderkey % 3 != 0),
+              upd AS (
+                SELECT o_orderkey AS u_key,
+                  CAST(o_totalprice + 100.0 AS DECIMAL(12,2)) AS u_price
+                FROM orders WHERE o_orderkey % 2 = 0)
+              SELECT coalesce(b_key, u_key) AS o_orderkey,
+                CAST(coalesce(u_price, b_price) AS DOUBLE) AS price,
+                CASE WHEN b_key IS NULL THEN 'insert'
+                     WHEN u_key IS NULL THEN 'keep'
+                     ELSE 'update' END AS action
+              FROM base FULL OUTER JOIN upd ON b_key = u_key
+              ORDER BY o_orderkey"""))
   )
 }

@@ -694,6 +694,52 @@ object TextAnalysis {
                 sum(ctf.ctf) AS sum_ctf,
                 CAST(sum(ctf.ctf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_ctf
               FROM tk JOIN ctf ON tk.term = ctf.term
-              GROUP BY tk.doc_id ORDER BY tk.doc_id"""))
+              GROUP BY tk.doc_id ORDER BY tk.doc_id""")),
+
+    // Markup/boilerplate stripping — the first pass over any web-crawled
+    // corpus: wrap each document in deterministic HTML in-plan (tags +
+    // sentence-split paragraphs, built from the document itself so the
+    // ground truth is known), then strip tags with the standard
+    // regexp-replace + whitespace-squeeze recipe. `clean_ok` proves the
+    // strip recovered the original text byte-for-byte on every row —
+    // a tag regex that eats content or leaks fragments fails the oracle.
+    // Pure codegen regexp expressions, map-only at any scale.
+    QueryDef(
+      "text_strip_markup",
+      (s, dir) => {
+        val html = concat(lit("<html><body><p>"),
+          regexp_replace(col("text"), lit("\\. "), lit(".</p><p>")),
+          lit("</p></body></html>"))
+        val stripped = trim(regexp_replace(
+          regexp_replace(html, lit("<[^>]+>"), lit(" ")),
+          lit("  +"), lit(" ")))
+        Tables.load(s, dir, "documents")
+          .withColumn("html_len", length(html).cast("long"))
+          .withColumn("n_para",
+            ((length(regexp_replace(col("text"), lit("\\. "), lit(".</p><p>"))) -
+              length(col("text"))) / 6 + 1).cast("long"))
+          .withColumn("clean", stripped)
+          .withColumn("clean_ok", stripped === col("text"))
+          .select("doc_id", "html_len", "n_para", "clean_ok", "clean")
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+                SELECT doc_id, text,
+                  concat('<html><body><p>',
+                    regexp_replace(text, '\. ', '.</p><p>', 'g'),
+                    '</p></body></html>') AS html
+                FROM documents),
+              c AS (
+                SELECT doc_id, text, html,
+                  trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                    '  +', ' ', 'g')) AS clean
+                FROM h)
+              SELECT doc_id,
+                CAST(length(html) AS BIGINT) AS html_len,
+                CAST((length(regexp_replace(text, '\. ', '.</p><p>', 'g'))
+                  - length(text)) / 6 + 1 AS BIGINT) AS n_para,
+                clean = text AS clean_ok,
+                clean
+              FROM c ORDER BY doc_id"""))
   )
 }

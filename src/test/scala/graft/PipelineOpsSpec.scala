@@ -161,4 +161,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     val expected = cand.filter { case (a, b) => lev(texts(a), texts(b)) <= 50 }
     assert(verified.map(v => (v._1, v._2)).toSet === expected)
   }
+
+  test("mm_phash: rep ids are group minima and bit 0 follows the first segment") {
+    val rows = Registry.byName("mm_phash").run(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("format"),
+        r.getAs[Long]("phash"), r.getAs[Long]("rep_id"), r.getAs[Long]("n_same")))
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._2, r._3)).foreach { case (_, g) =>
+      val repExpect = g.map(_._1).min
+      g.foreach { case (_, _, _, rep, n) =>
+        assert(rep === repExpect)
+        assert(n === g.length.toLong)
+      }
+    }
+    // local replay of the signature for a handful of docs
+    val texts = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") < 5).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    texts.foreach { case (id, text) =>
+      val b = text.getBytes("UTF-8").map(x => (x & 0xff).toLong)
+      val total = b.sum
+      var h = 0L
+      for (i <- 0 until 16) {
+        val lo = (b.length.toLong * i / 16).toInt
+        val hi = (b.length.toLong * (i + 1) / 16).toInt
+        if (b.slice(lo, hi).sum * b.length > total * (hi - lo)) h |= (1L << i)
+      }
+      assert(byId(id) === h)
+    }
+  }
+
+  test("q_merge_upsert labels every key with the correct merge action") {
+    val rows = Registry.byName("q_merge_upsert").run(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("action")).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, action) =>
+      val inBase = k % 3 != 0
+      val inUpd = k % 2 == 0
+      val expect =
+        if (inBase && inUpd) "update" else if (inUpd) "insert" else "keep"
+      assert(action === expect, s"key $k")
+    }
+    assert(rows.valuesIterator.toSet === Set("insert", "update", "keep"))
+  }
+
+  test("text_strip_markup recovers the original text on every row") {
+    val rows = Registry.byName("text_strip_markup").run(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("clean_ok")), "markup strip lost content")
+    assert(rows.forall(_.getAs[Long]("html_len") > 0))
+  }
+
+  test("partitioned fact join plans dynamic partition pruning on the fact scan") {
+    // run the partitioned write first so the scratch layout exists
+    Registry.byName("q_partitioned_prune").run(spark, TestSpark.sf).collect()
+    val fact = spark.read.parquet(sources.Formats.scratchRoot("part"))
+    // the dim predicate is on a NON-join column, so the qualifying
+    // event_types are only known at runtime — static pruning can't fire
+    // and Spark must plan a DPP subquery on the fact's partition column
+    val dim = Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("value") > 48.0)
+      .select(col("event_type")).distinct()
+    val p = fact.join(dim, Seq("event_type"))
+      .groupBy("user_id").count()
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$p")
+  }
 }
