@@ -694,6 +694,50 @@ object Analytics {
               FROM orders
               WINDOW w AS (PARTITION BY o_custkey
                            ORDER BY o_orderdate ASC, o_orderkey ASC)
-              ORDER BY o_custkey, version"""))
+              ORDER BY o_custkey, version""")),
+
+    // Native session windows: Spark's session_window merges per-key
+    // events into gap-bounded sessions INSIDE the aggregation operator
+    // (start = first event, end = last event + gap) — no window-function
+    // pass, no self-join, and the same operator runs incrementally under
+    // Structured Streaming (stream_session_window). The oracle rebuilds
+    // identical sessions with the gaps-and-islands recipe, so the native
+    // operator's merge semantics are correctness-gated against the
+    // manual form. One hash shuffle on user_id at any scale.
+    QueryDef(
+      "q_session_window_native",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("sw.start").as("session_start"),
+            col("sw.end").as("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start"),
+      Some(SessionWindowOracleSql))
   )
+
+  /** Gaps-and-islands oracle for the native session-window operators
+    * (batch + streaming): session end = last event + 30-minute gap.
+    * (lazy: declared below `defs`, which captures it at object init.) */
+  lazy val SessionWindowOracleSql: String =
+    s"""WITH x AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+            lag(CAST(ts AS TIMESTAMP)) OVER
+              (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS pt
+          FROM events),
+        sx AS (
+          SELECT user_id, t,
+            sum(CASE WHEN pt IS NOT NULL AND epoch_us(t) - epoch_us(pt) > $SessionGapUs
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM x)
+        SELECT user_id, min(t) AS session_start,
+          max(t) + INTERVAL 30 MINUTE AS session_end,
+          count(*) AS n_events
+        FROM sx GROUP BY user_id, sid
+        ORDER BY user_id, session_start"""
 }

@@ -356,6 +356,45 @@ object StreamOps {
                 FROM a)
               SELECT hour, CAST(rk AS BIGINT) AS rk, event_type, n
               FROM r WHERE rk <= 3 ORDER BY hour, rk"""),
+      bench = false),
+
+    // Native session windows under Structured Streaming: the SAME
+    // session_window aggregation as the batch form runs incrementally —
+    // the session-merge state lives in the state store and sessions
+    // extend/merge as events arrive. Complete mode keeps every session
+    // in state here so the final table is the full corpus's sessions
+    // (deterministic, oracle = the batch gaps-and-islands recipe); a
+    // production deployment adds a watermark and append mode to evict
+    // closed sessions instead.
+    QueryDef(
+      "stream_session_window",
+      (s, dir) => {
+        val path = s"$dir/events.parquet"
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(path).schema
+        val sink = s"graft_stream_sesswin_${nameCounter.incrementAndGet()}"
+        val q = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink)
+          .select(col("user_id"),
+            col("sw.start").as("session_start"),
+            col("sw.end").as("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some(graft.operators.Analytics.SessionWindowOracleSql),
       bench = false)
   )
 }

@@ -78,4 +78,38 @@ class StreamCancelSpec extends AnyFunSuite {
     assert(table.startsWith("| Wait time (ms) | Cancel duration (ms) |"))
     assert(table.linesIterator.size === 4)
   }
+
+  test("file-sink stream resumes from checkpoint exactly-once") {
+    // stop → new data → restart with the same checkpoint: the restarted
+    // query must process ONLY the new files (offset log) and the file
+    // sink must commit without duplicating chunk 1 (sink metadata log) —
+    // the recovery contract a 100 TB continuous ingest depends on.
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+      .select("event_id", "user_id", "event_type")
+    ev.filter(col("event_id") % 2 === 0).write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(out).count()
+    ev.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(in)
+    runOnce()
+    val outDf = spark.read.parquet(out)
+    val total = ev.count()
+    assert(n1 < total, "first run should only see chunk 1")
+    assert(outDf.count() === total, "restart lost or duplicated rows")
+    assert(outDf.select("event_id").distinct().count() === total,
+      "restart duplicated event ids")
+  }
 }
