@@ -403,8 +403,83 @@ object Similarity {
                    CAST(p[1] AS DOUBLE) * ((((CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', CAST(p[2] AS VARCHAR))), 1, 15)) AS BIGINT) % 2147483647) % 2001) - 1000) / 1000.0)),
                    (x, y) -> x + y) AS proj
                FROM embeddings, (SELECT unnest(range(0, $NumHyperplanes)) AS j) js
-               ORDER BY vec_id, j"""))
+               ORDER BY vec_id, j""")),
+
+    // Top principal direction by QUANTIZED power iteration — the "what
+    // axis does this corpus vary along" pass (PCA top component) done
+    // Spark-shaped: each of the 3 iterations is one map pass (per-row
+    // dot with the broadcast direction, folded left-to-right in double)
+    // plus one (dim)-keyed aggregation of 2^18-quantized INTEGER
+    // products summed in DECIMAL(38,0) — exact in any engine, immune to
+    // float summation order, overflow-free (DuckDB's BIGINT sum widens,
+    // Spark's wraps — decimal sums sidestep the difference). The 64
+    // per-dimension totals come back to the driver (bounded: one row per
+    // dimension, never corpus-sized), are normalized with a fixed fold
+    // order, and feed the next iteration as plan-time literals. The
+    // oracle replays all 3 iterations in chained CTEs, bit-for-bit.
+    QueryDef(
+      "emb_pca_power",
+      (s, dir) => {
+        val Q = 262144.0 // 2^18 quantization of both factors
+        val e = embParallel(s, dir).select("vec_id", "embedding")
+          .localCheckpoint() // 3 iterations re-read the corpus; scan once
+        var v = Array.fill(64)(0.125) // deterministic unit start: 1/sqrt(64)
+        for (_ <- 0 until 3) {
+          val vCol = array(v.map(lit): _*)
+          val sDot = aggregate(
+            zip_with(col("embedding"), vCol, (x, w) => x.cast("double") * w),
+            lit(0.0), (a, x) => a + x)
+          val u = e.select(
+              floor(sDot * Q + 0.5).cast("long").as("si"),
+              posexplode(col("embedding")).as(Seq("k", "x")))
+            .select(col("k"),
+              (col("si") * floor(col("x").cast("double") * Q + 0.5).cast("long"))
+                .cast("decimal(38,0)").as("p"))
+            .groupBy("k").agg(sum(col("p")).cast("double").as("u"))
+            .orderBy("k").collect().map(_.getDouble(1))
+          val norm = math.sqrt(u.map(x => x * x).sum)
+          v = u.map(_ / norm)
+        }
+        import s.implicits._
+        v.zipWithIndex.map { case (w, k) => (k.toLong, w) }.toSeq
+          .toDF("dim", "weight").orderBy("dim")
+      },
+      Some(PcaPowerOracleSql))
   )
+
+  /** DuckDB replay of the 3 quantized power iterations (same folds, same
+    * integer quantization, same decimal sums) — built programmatically so
+    * the Spark loop and the SQL can never disagree on iteration count. */
+  private lazy val PcaPowerOracleSql: String = {
+    val iters = (1 to 3).map { i =>
+      val vList =
+        if (i == 1) "list_transform(range(0, 64), z -> 0.125)"
+        else s"(SELECT list(v ORDER BY k) FROM v${i - 1})"
+      s"""s$i AS (
+            SELECT vec_id,
+              list_reduce(list_transform(list_zip(embedding, $vList),
+                p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b) AS sdot
+            FROM embeddings),
+          u$i AS (
+            SELECT d.k,
+              CAST(sum(CAST(CAST(floor(s$i.sdot * 262144.0 + 0.5) AS BIGINT)
+                * d.xi AS DECIMAL(38,0))) AS DOUBLE) AS u
+            FROM dims d JOIN s$i ON s$i.vec_id = d.vec_id
+            GROUP BY d.k),
+          n$i AS (
+            SELECT sqrt(list_reduce(list_transform(
+              (SELECT list(u ORDER BY k) FROM u$i), z -> z * z),
+              (a, b) -> a + b)) AS nrm FROM (SELECT 1)),
+          v$i AS (SELECT k, u / (SELECT nrm FROM n$i) AS v FROM u$i)"""
+    }.mkString(",\n")
+    s"""WITH dims AS (
+          SELECT vec_id, i - 1 AS k,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 262144.0 + 0.5) AS BIGINT) AS xi
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+        $iters
+        SELECT CAST(k AS BIGINT) AS dim, v AS weight
+        FROM v3 ORDER BY dim"""
+  }
 
   /** IVF top-k with a tunable probe count: vectors are assigned to their
     * single nearest centroid list (arn = 1); each query searches its

@@ -131,6 +131,26 @@ class SimilaritySpec extends AnyFunSuite {
         f"ivf=$i1%.3f ivf_nprobe2=$i2%.3f")
   }
 
+  test("emb_pca_power returns a unit direction that beats the start direction") {
+    val v = Registry.byName("emb_pca_power").run(spark, TestSpark.sf)
+      .collect().sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("weight"))
+    assert(v.length === 64)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "not a unit vector")
+    // Rayleigh quotient along the returned direction must dominate the
+    // iteration's start direction (power iteration is monotone in the
+    // quotient; the integer quantization can only nudge it epsilon-wise)
+    val embs = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble))
+    def variance(dir: Array[Double]): Double = {
+      val projs = embs.map(e => e.zip(dir).map { case (a, b) => a * b }.sum)
+      val m = projs.sum / projs.length
+      projs.map(p => (p - m) * (p - m)).sum / projs.length
+    }
+    val start = Array.fill(64)(0.125)
+    assert(variance(v) >= variance(start) * 0.999,
+      "power iteration failed to increase the Rayleigh quotient")
+  }
+
   test("LSH on the real corpus never beats the exact maximum") {
     val bruteMax = Registry.byName("sim_topk_bruteforce").run(spark, TestSpark.sf)
       .filter(col("rank") === 1L).collect()
