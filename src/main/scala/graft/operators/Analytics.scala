@@ -704,6 +704,51 @@ object Analytics {
     // identical sessions with the gaps-and-islands recipe, so the native
     // operator's merge semantics are correctness-gated against the
     // manual form. One hash shuffle on user_id at any scale.
+    // Table profiling — the ANALYZE/stats-collection pass every catalog
+    // and optimizer depends on: per column, null count, exact distinct
+    // count, and min/max, computed in ONE partial/final aggregation over
+    // a single scan (count_distinct plans as partial sets per partition;
+    // Spark expands the multi-distinct into one Expand + aggregate, not
+    // N scans). Long-typed min/max keep the output schema uniform across
+    // profiled columns; doubles profile through their DECIMAL(12,2) cast.
+    QueryDef(
+      "q_profile_table",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        val aggs = cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            count_distinct(col(c)).as(s"${c}_ndv"),
+            min(col(c)).cast("long").as(s"${c}_min"),
+            max(col(c)).cast("long").as(s"${c}_max"))
+        }
+        li.agg(aggs.head, aggs.tail: _*)
+          .select(lit("lineitem").as("tbl") +: aggs.indices.map { i =>
+            val c = cols(i / 4)
+            val kind = Seq("nulls", "ndv", "min", "max")(i % 4)
+            col(s"${c}_$kind")
+          }: _*)
+      },
+      Some("""SELECT 'lineitem' AS tbl,
+                sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS l_orderkey_nulls,
+                count(DISTINCT l_orderkey) AS l_orderkey_ndv,
+                CAST(min(l_orderkey) AS BIGINT) AS l_orderkey_min,
+                CAST(max(l_orderkey) AS BIGINT) AS l_orderkey_max,
+                sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS l_partkey_nulls,
+                count(DISTINCT l_partkey) AS l_partkey_ndv,
+                CAST(min(l_partkey) AS BIGINT) AS l_partkey_min,
+                CAST(max(l_partkey) AS BIGINT) AS l_partkey_max,
+                sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS l_suppkey_nulls,
+                count(DISTINCT l_suppkey) AS l_suppkey_ndv,
+                CAST(min(l_suppkey) AS BIGINT) AS l_suppkey_min,
+                CAST(max(l_suppkey) AS BIGINT) AS l_suppkey_max,
+                sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS l_linenumber_nulls,
+                count(DISTINCT l_linenumber) AS l_linenumber_ndv,
+                CAST(min(l_linenumber) AS BIGINT) AS l_linenumber_min,
+                CAST(max(l_linenumber) AS BIGINT) AS l_linenumber_max
+              FROM lineitem""")),
+
     QueryDef(
       "q_session_window_native",
       (s, dir) =>

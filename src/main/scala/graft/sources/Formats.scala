@@ -204,7 +204,41 @@ object Formats {
                  FROM lineitem)
                SELECT count(*) AS n, sum(zval) AS sum_z,
                  min(zval) AS min_z, max(zval) AS max_z
-               FROM z WHERE zval < 1000000""")))
+               FROM z WHERE zval < 1000000""")),
+
+    // Custom DataSourceV2 connector (GenSource.scala): a deterministic
+    // generated table read through Spark's connector API with real
+    // range-predicate pushdown (the id bounds narrow the GENERATION
+    // interval — rows outside are never produced) and source-level
+    // column pruning; the residual `val > 0.5` stays a Spark filter.
+    // The row recipe is the md5 hash31 family, so DuckDB regenerates
+    // the identical table from generate_series and the whole connector
+    // path — partition planning, pushdown arithmetic, pruned readers —
+    // is oracle-gated. Plan shape asserted in PlanSpec.
+    QueryDef(
+      "q_custom_source",
+      (s, dir) =>
+        s.read.format("graft.sources.GenSource")
+          .option("rows", "100000").option("partitions", "8").load()
+          .filter(col("id") >= 1000L && col("id") < 60000L && col("val") > 0.5)
+          .groupBy("cat")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("val").cast("decimal(18,6)")).cast("double").as("sum_val"),
+            min(col("id")).as("min_id"),
+            max(col("id")).as("max_id"))
+          .orderBy("cat"),
+      Some("""WITH g AS (
+                SELECT i AS id,
+                  CAST((CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 2147483647) % 1000000 AS DOUBLE) / 1000000.0 AS val,
+                  concat('c', CAST(i % 7 AS VARCHAR)) AS cat
+                FROM (SELECT unnest(range(1000, 60000)) AS i) ix)
+              SELECT cat, count(*) AS n,
+                CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS sum_val,
+                min(id) AS min_id, max(id) AS max_id
+              FROM g WHERE val > 0.5
+              GROUP BY cat ORDER BY cat""")))
 
   /** All part-*.parquet files under a local scratch dir. */
   private def listParquet(path: String): Seq[java.io.File] = {

@@ -193,6 +193,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected one hash exchange:\n$p")
   }
 
+  test("q_profile_table profiles all columns in one scan (Expand, not N scans)") {
+    val p = plan("q_profile_table")
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      s"profiling re-scanned the table:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct did not plan via Expand:\n$p")
+  }
+
+  test("custom DSv2 source narrows its generation range from pushed id bounds") {
+    val p = plan("q_custom_source")
+    // pushFilters turned id >= 1000 && id < 60000 into the generation
+    // interval itself; the residual val predicate stays a Spark Filter
+    assert(p.contains("range=[1000,60000)"), s"id bounds not pushed:\n$p")
+    assert(p.contains("Filter"), "residual val predicate vanished")
+  }
+
+  test("custom DSv2 source prunes columns at the reader") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft.sources.GenSource")
+      .option("rows", "100").load().select(col("id"), col("val"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cols=id,val"), s"reader not pruned to id,val:\n$p")
+    assert(!p.contains("cols=id,val,cat"), "cat still materialized")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB the probe-side scan of a selective join should be pre-
     // filtered by a bloom filter built from the (filtered) build side —
