@@ -707,6 +707,48 @@ object Relational {
                      WHEN u_key IS NULL THEN 'keep'
                      ELSE 'update' END AS action
               FROM base FULL OUTER JOIN upd ON b_key = u_key
-              ORDER BY o_orderkey"""))
+              ORDER BY o_orderkey""")),
+
+    // TPC-H Q3 (shipping-priority), adapted to this schema — the classic
+    // analytics flagship: selective dim filter → two fact joins →
+    // revenue aggregation → top-10. Submitted as SQL TEXT through
+    // spark.sql over temp views, exercising the parser → Catalyst →
+    // physical pipeline end-to-end (the reference's own query enters as
+    // SQL text the same way). Revenue stays exact: DECIMAL(12,2) price ×
+    // DECIMAL(3,2) discount complement — decimal×decimal is exact in
+    // both engines, so no float-summation or rounding ambiguity anywhere.
+    QueryDef(
+      "q_tpch_q3",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                   AS revenue,
+                 o_orderdate
+          FROM customer JOIN orders ON c_custkey = o_custkey
+                        JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY l_orderkey, o_orderdate
+          ORDER BY revenue DESC, l_orderkey
+          LIMIT 10""")
+      },
+      Some("""SELECT l_orderkey,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                  AS revenue,
+                o_orderdate
+              FROM customer JOIN orders ON c_custkey = o_custkey
+                            JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+                AND l_shipdate > TIMESTAMP '1998-01-01'
+              GROUP BY l_orderkey, o_orderdate
+              ORDER BY revenue DESC, l_orderkey
+              LIMIT 10"""))
   )
 }

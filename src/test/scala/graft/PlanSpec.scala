@@ -200,6 +200,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"multi-distinct did not plan via Expand:\n$p")
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // a tiny aggregation's shuffle must not keep all configured
+    // partitions alive — AQE folds them after seeing map output sizes
+    // (at 100 TB the same mechanism right-sizes every stage boundary)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = Tables.load(spark, TestSpark.sf, "nation")
+      .groupBy("n_regionkey").count()
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other => other.toString
+    }
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"AQE did not coalesce the shuffle read:\n$p")
+  }
+
   test("custom DSv2 source narrows its generation range from pushed id bounds") {
     val p = plan("q_custom_source")
     // pushFilters turned id >= 1000 && id < 60000 into the generation
