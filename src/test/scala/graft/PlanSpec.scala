@@ -200,6 +200,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"multi-distinct did not plan via Expand:\n$p")
   }
 
+  test("join strategy hints are honored: SHUFFLE_HASH plans a ShuffledHashJoin") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+    val ord = Tables.load(spark, TestSpark.sf, "orders").hint("SHUFFLE_HASH")
+    val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag").count()
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"hint ignored:\n$p")
+  }
+
   test("AQE coalesces undersized shuffle partitions at runtime") {
     // a tiny aggregation's shuffle must not keep all configured
     // partitions alive — AQE folds them after seeing map output sizes

@@ -79,6 +79,39 @@ class StreamCancelSpec extends AnyFunSuite {
     assert(table.linesIterator.size === 4)
   }
 
+  test("watermark drops late rows and reports them in state metrics") {
+    // two micro-batches through a MemoryStream: batch 1 advances the
+    // watermark to (max ts - 10 min); batch 2 delivers an event an hour
+    // older, which the windowed aggregation must DROP (and account for
+    // in numRowsDroppedByWatermark) — the state-eviction contract that
+    // bounds memory at 100 TB rates.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val sink = "graft_late_drop_sink"
+    val q = ms.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .count()
+      .writeStream.outputMode("update").format("memory").queryName(sink).start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    try {
+      ms.addData((t(0), "a"), (t(60), "a")) // watermark → 10:50
+      q.processAllAvailable()
+      ms.addData((t(5), "late"))            // 10:05 ≪ watermark: dropped
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1, "late row was not dropped by the watermark")
+      val ks = spark.table(sink).select("k").as[String].collect()
+      assert(!ks.contains("late"), "late row leaked into the result")
+    } finally q.stop()
+  }
+
   test("file-sink stream resumes from checkpoint exactly-once") {
     // stop → new data → restart with the same checkpoint: the restarted
     // query must process ONLY the new files (offset log) and the file
