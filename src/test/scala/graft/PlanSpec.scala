@@ -200,6 +200,62 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"multi-distinct did not plan via Expand:\n$p")
   }
 
+  test("cached table serves follow-up queries from InMemoryTableScan") {
+    // the reference's in-memory object store intent: load once, serve
+    // every scan from RAM — Spark's cache is the same contract
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    li.persist()
+    try {
+      li.count() // materialize
+      val p = li.groupBy("l_orderkey").count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+        s"query did not read from cache:\n$p")
+    } finally li.unpersist()
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // one key holding most rows — the classic 100 TB failure mode. With
+    // skew thresholds pinned low, AQE must mark and split the skewed
+    // partition inside the sort-merge join instead of letting one task
+    // carry the whole key.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val skewed = spark.range(200000L)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+          md5(col("id").cast("string")).as("pad"))
+      val dim = spark.range(50000L)
+        .select(col("id").as("k"), md5(col("id").cast("string")).as("pad2"))
+      val df = skewed.join(dim, "k").groupBy(lit(1)).count()
+      df.collect()
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other => other.toString
+      }
+      assert(p.contains("skew=true"), s"no skew-join split in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("join strategy hints are honored: SHUFFLE_HASH plans a ShuffledHashJoin") {
     import org.apache.spark.sql.functions.col
     val li = Tables.load(spark, TestSpark.sf, "lineitem")
