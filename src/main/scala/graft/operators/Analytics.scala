@@ -704,6 +704,37 @@ object Analytics {
     // identical sessions with the gaps-and-islands recipe, so the native
     // operator's merge semantics are correctness-gated against the
     // manual form. One hash shuffle on user_id at any scale.
+    // Argmax/argmin aggregation without a window pass: max_by/min_by
+    // pick each customer's highest- and lowest-priced order in the SAME
+    // partial/final hash aggregate as the plain max — one shuffle, no
+    // sort, no row_number. The ordering key packs (price-cents, orderkey)
+    // into one BIGINT so ties are impossible and both engines pick the
+    // identical row.
+    QueryDef(
+      "q_minmax_by",
+      (s, dir) => {
+        val ordKey = (floor(col("o_totalprice") * 100 + 0.5).cast("long") *
+          10000000L + col("o_orderkey")).as("ok")
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), ordKey)
+          .groupBy("o_custkey")
+          .agg(
+            expr("max_by(o_orderkey, ok)").as("top_order"),
+            expr("min_by(o_orderkey, ok)").as("bottom_order"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH o AS (
+                SELECT o_custkey, o_orderkey,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+                    + o_orderkey AS ok
+                FROM orders)
+              SELECT o_custkey,
+                arg_max(o_orderkey, ok) AS top_order,
+                arg_min(o_orderkey, ok) AS bottom_order,
+                count(*) AS n_orders
+              FROM o GROUP BY o_custkey ORDER BY o_custkey""")),
+
     // Table profiling — the ANALYZE/stats-collection pass every catalog
     // and optimizer depends on: per column, null count, exact distinct
     // count, and min/max, computed in ONE partial/final aggregation over
