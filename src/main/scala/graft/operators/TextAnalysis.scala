@@ -740,6 +740,78 @@ object TextAnalysis {
                   - length(text)) / 6 + 1 AS BIGINT) AS n_para,
                 clean = text AS clean_ok,
                 clean
-              FROM c ORDER BY doc_id"""))
+              FROM c ORDER BY doc_id""")),
+
+    // BPE merge-rule training — the tokenizer-training inner loop, run
+    // corpus-parallel: each of the 3 rounds counts adjacent token pairs
+    // (map-only pair generator, one hash shuffle with map-side partials),
+    // the argmax merge rule comes back to the driver (ONE row, bounded),
+    // and the merge applies as a literal string replace with the
+    // double-space trick — doubling delimiters makes the 6-char pattern
+    // ' a␣␣b ' consume one space per side, so plain leftmost
+    // non-overlapping replace() implements exactly BPE's greedy
+    // left-to-right merge (self-overlapping chains like 'a a a' merge
+    // once, as BPE requires) with no lookahead regex (portable to RE2
+    // engines). '~' is the merge joiner — the corpus alphabet is
+    // [a-z0-9 ], so it can never collide. The oracle replays all three
+    // rounds in chained CTEs, including the tie-break (cnt DESC, a, b).
+    QueryDef(
+      "text_bpe_merges",
+      (s, dir) => {
+        var docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val learned = Seq.newBuilder[(Long, String, String, Long)]
+        for (iter <- 1 to 3) {
+          val toks = split(col("text"), " ")
+          val pairCol = when(size(toks) >= 2,
+            transform(sequence(lit(0), size(toks) - 2), i =>
+              struct(element_at(toks, i + 1).as("a"),
+                element_at(toks, i + 2).as("b"))))
+            .otherwise(expr("cast(array() as array<struct<a:string,b:string>>)"))
+          val best = docs.select(explode(pairCol).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(count(lit(1)).as("cnt"))
+            .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+            .limit(1).collect()(0)
+          val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+          learned += ((iter.toLong, a, b, cnt))
+          docs = docs.select(col("doc_id"),
+              expr(s"trim(replace(replace(concat('  ', replace(text, ' ', '  '), '  '), " +
+                s"' $a  $b ', ' $a~$b '), '  ', ' '))").as("text"))
+            .localCheckpoint()
+        }
+        import s.implicits._
+        learned.result().toDF("iter", "a", "b", "cnt").orderBy("iter")
+      },
+      Some(BpeMergesOracleSql))
   )
+
+  /** DuckDB replay of the 3 BPE merge rounds (same pair counts, same
+    * tie-break, same double-space literal replace). Built
+    * programmatically so both engines always run the same round count. */
+  private lazy val BpeMergesOracleSql: String = {
+    val iters = (1 to 3).map { i =>
+      s"""p$i AS (
+            SELECT z[1] AS a, z[2] AS b, count(*) AS cnt
+            FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+                  FROM (SELECT string_split(text, ' ') AS toks FROM d${i - 1}) q
+                  WHERE len(toks) >= 2) r
+            GROUP BY 1, 2),
+          best$i AS (SELECT a, b, cnt FROM p$i
+                     ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+          d$i AS (
+            SELECT doc_id,
+              trim(replace(replace('  ' || replace(text, ' ', '  ') || '  ',
+                ' ' || (SELECT a FROM best$i) || '  ' || (SELECT b FROM best$i) || ' ',
+                ' ' || (SELECT a FROM best$i) || '~' || (SELECT b FROM best$i) || ' '),
+                '  ', ' ')) AS text
+            FROM d${i - 1})"""
+    }.mkString(",\n")
+    s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+        $iters
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS iter, a, b, cnt FROM best1
+          UNION ALL SELECT 2, a, b, cnt FROM best2
+          UNION ALL SELECT 3, a, b, cnt FROM best3) ORDER BY iter"""
+  }
 }

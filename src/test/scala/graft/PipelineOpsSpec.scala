@@ -162,6 +162,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(verified.map(v => (v._1, v._2)).toSet === expected)
   }
 
+  test("text_bpe_merges equals a local greedy-BPE replay") {
+    var texts = Tables.load(spark, TestSpark.sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val learned = Registry.byName("text_bpe_merges").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("iter"), r.getAs[String]("a"),
+        r.getAs[String]("b"), r.getAs[Long]("cnt")))
+    assert(learned.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    learned.foreach { case (_, a, b, cnt) =>
+      // the reported count is the corpus-wide adjacent-pair count at
+      // the time the rule was learned (argmax with (cnt, a, b) order)
+      val counts = texts.iterator
+        .flatMap(t => t.split(" ", -1).sliding(2).filter(_.length == 2)
+          .map(p => (p(0), p(1))))
+        .foldLeft(Map.empty[(String, String), Long]) { (m, p) =>
+          m.updated(p, m.getOrElse(p, 0L) + 1)
+        }
+      val best = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      assert(best._1 === ((a, b)) && best._2 === cnt)
+      // apply the merge the same greedy way (literal replace on the
+      // double-spaced form) and continue
+      texts = texts.map { t =>
+        ("  " + t.replace(" ", "  ") + "  ")
+          .replace(s" $a  $b ", s" $a~$b ")
+          .replace("  ", " ").trim
+      }
+    }
+  }
+
   test("mm_phash: rep ids are group minima and bit 0 follows the first segment") {
     val rows = Registry.byName("mm_phash").run(spark, TestSpark.sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("format"),
