@@ -257,5 +257,45 @@ object Multimodal {
               FROM sig
               WINDOW w AS (PARTITION BY format, phash)
               ORDER BY doc_id"""))
+  ,
+    // Resize/downsample — the thumbnailing step of a media pipeline, on
+    // the same mapPartitions plumbing: nearest-neighbor sample 16 evenly
+    // spaced body bytes (index floor(j*L/16)) into a fixed-size
+    // "thumbnail", emitted as hex, plus the exact mean byte value
+    // ((exact int)/(exact int), one IEEE division). Map-only at any
+    // scale; a production deployment swaps the byte sampler for a pixel
+    // resampler over the decoded frame, same signature and batching.
+    // The oracle recomputes thumbnail and mean from the planted payload
+    // recipe (body = ASCII text bytes) entirely in SQL.
+    QueryDef(
+      "mm_resize",
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select(col("doc_id"), payloadCol.as("payload"))
+          .as[MediaIn]
+          .mapPartitions(_.map { in =>
+            val b = in.payload
+            val L = b.length - 16
+            val thumb = (0 until 16).map { j =>
+              f"${b(16 + (L.toLong * j / 16).toInt) & 0xff}%02X"
+            }.mkString
+            val total = (16 until b.length).map(i => (b(i) & 0xff).toLong).sum
+            (in.doc_id, thumb, total, total.toDouble / L.toDouble)
+          })
+          .toDF("doc_id", "thumb_hex", "sum_bytes", "mean_byte")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                array_to_string(list_transform(range(0, 16), j ->
+                  lpad(hex(ord(substr(text,
+                    CAST(CAST(length(text) AS BIGINT) * j // 16 AS INTEGER) + 1, 1))),
+                    2, '0')), '') AS thumb_hex,
+                CAST(list_sum(list_transform(range(1, length(text) + 1),
+                  i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS sum_bytes,
+                CAST(list_sum(list_transform(range(1, length(text) + 1),
+                  i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) AS mean_byte
+              FROM documents ORDER BY doc_id"""))
   )
 }
