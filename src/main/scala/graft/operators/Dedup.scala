@@ -757,7 +757,107 @@ object Dedup {
                 AND bit_count(xor(a.simhash, b.simhash)) <= 3
                 AND da.doc_id = a.doc_id AND db.doc_id = b.doc_id
                 AND levenshtein(da.text, db.text) <= $MaxEditDist
-              ORDER BY a_id, b_id"""))
+              ORDER BY a_id, b_id""")),
+
+    // The capstone: the full corpus-cleaning pipeline composed END-TO-END
+    // in one plan — quality gate (map-only) → exact dedup (one text-key
+    // window) → near-dup drop (wide-SimHash candidates over the
+    // SURVIVORS; greedy rule: any doc with a smaller-id near-dup
+    // neighbor is dropped — a deterministic single-pass stand-in for the
+    // full cluster collapse, which dedup_cluster_multi ships separately)
+    // → stable 90/5/5 split → per-(split, lang) corpus statistics.
+    // Every stage is the scale shape it ships as individually; composing
+    // them adds no new shuffle beyond each stage's own. The oracle
+    // replays the entire pipeline in one CTE chain.
+    QueryDef(
+      "pipeline_corpus_clean",
+      (s, dir) => {
+        import graft.operators.TextAnalysis.{avgWordLen, noiseRatio, stopwordRatio, tokenCount}
+        val kept = docsParallel(s, dir)
+          .filter(tokenCount(col("text")) >= 8 &&
+            stopwordRatio(col("text")) <= 0.35 &&
+            noiseRatio(col("text")) <= 0.25 &&
+            avgWordLen(col("text")) >= 3.0)
+        val deduped = kept
+          .withColumn("rep",
+            min(col("doc_id")).over(Window.partitionBy("text")))
+          .filter(col("doc_id") === col("rep")).drop("rep")
+          .localCheckpoint() // feeds the simhash pipeline AND the anti-join
+        val drops = simhashChunkPairs(
+            simhashWideOf(deduped), numChunks = 4, chunkBits = 15)
+          .select(col("b_id").as("doc_id")).distinct()
+        val bucket = hash31(
+          concat_ws("|", lit("split"), col("doc_id").cast("string"))) % 100L
+        deduped.join(drops, Seq("doc_id"), "left_anti")
+          .withColumn("split",
+            when(bucket < 90, "train").when(bucket < 95, "valid")
+              .otherwise("test"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH q AS (
+                SELECT doc_id, text, lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to','is','in'))) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+                  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+                  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) AS noise_ratio
+                FROM documents),
+              kept AS (
+                SELECT doc_id, text, lang FROM q
+                WHERE n_tokens >= 8 AND stop_ratio <= 0.35
+                  AND noise_ratio <= 0.25 AND avg_word_len >= 3.0),
+              dd AS (
+                SELECT doc_id, text, lang FROM (
+                  SELECT k.*, min(doc_id) OVER (PARTITION BY text) AS rep
+                  FROM kept k)
+                WHERE doc_id = rep),
+              tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM dd),
+              h AS (
+                SELECT doc_id,
+                  CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+                  CAST(concat('0x', substr(md5(concat('x', t)), 1, 15)) AS BIGINT) % 2147483647 AS h2
+                FROM tok),
+              v AS (
+                SELECT doc_id, j,
+                  sum(CASE WHEN ((CASE WHEN j < 30 THEN h1 >> CAST(j AS INTEGER)
+                                       ELSE h2 >> CAST(j - 30 AS INTEGER) END) & 1) = 1
+                           THEN 1 ELSE -1 END) AS vote
+                FROM h, (SELECT unnest(range(0, 60)) AS j) js
+                GROUP BY doc_id, j),
+              sg AS (
+                SELECT doc_id,
+                  CAST(sum(CASE WHEN vote > 0
+                                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS simhash
+                FROM v GROUP BY doc_id),
+              drops AS (
+                SELECT DISTINCT b.doc_id
+                FROM sg a, sg b
+                WHERE a.doc_id < b.doc_id
+                  AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+              surv AS (
+                SELECT * FROM dd
+                WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+              sp AS (
+                SELECT lang, text,
+                  CASE WHEN (CAST(concat('0x', substr(md5(concat('split', '|',
+                          CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                        % 2147483647) % 100 < 90 THEN 'train'
+                    WHEN (CAST(concat('0x', substr(md5(concat('split', '|',
+                          CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                        % 2147483647) % 100 < 95 THEN 'valid'
+                    ELSE 'test' END AS split
+                FROM surv)
+              SELECT split, lang, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+              FROM sp GROUP BY split, lang
+              ORDER BY split, lang"""))
   )
 
   /** (doc_id, simhash): 60-bit wide SimHash — the production-scale
@@ -770,8 +870,13 @@ object Dedup {
     * any blocking still materializes a quadratic-ish result); 60 bits
     * keeps Hamming-<=3 pairs to genuine near-duplicates and the 15-bit
     * chunk buckets sparse (32768 values per chunk). */
-  private def simhashedWide(s: SparkSession, dir: String): DataFrame = {
-    val hashed = docsParallel(s, dir)
+  private def simhashedWide(s: SparkSession, dir: String): DataFrame =
+    simhashWideOf(docsParallel(s, dir))
+
+  /** Wide SimHash over any (doc_id, text) frame — the pipeline composes
+    * this over its quality-gated, exact-deduped survivor set. */
+  private[graft] def simhashWideOf(docs: DataFrame): DataFrame = {
+    val hashed = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"),
         hash31(col("t")).as("h1"),

@@ -162,6 +162,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(verified.map(v => (v._1, v._2)).toSet === expected)
   }
 
+  test("pipeline_corpus_clean: split shares are sane and totals bounded by the corpus") {
+    val rows = Registry.byName("pipeline_corpus_clean").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSet.subsetOf(Set("train", "valid", "test")))
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val corpus = Tables.load(spark, TestSpark.sf, "documents").count()
+    assert(bySplit.values.sum <= corpus, "pipeline emitted more docs than exist")
+    assert(bySplit.getOrElse("train", 0L) >
+      bySplit.getOrElse("valid", 0L) + bySplit.getOrElse("test", 0L),
+      "train split should dominate a 90/5/5 assignment")
+    rows.foreach { case (_, _, n, toks) => assert(toks >= n * 8,
+      "every surviving doc passed the >=8-token quality gate") }
+  }
+
   test("text_bpe_merges equals a local greedy-BPE replay") {
     var texts = Tables.load(spark, TestSpark.sf, "documents")
       .select("text").collect().map(_.getString(0))
