@@ -649,6 +649,31 @@ object Relational {
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events ORDER BY event_id""")),
 
+    // Semi-structured JSON through Spark 4's VARIANT type: parse once
+    // into the binary variant encoding, then typed path extraction
+    // (variant_get) — the engine-native semi-structured story (no
+    // per-access string re-parsing, pushdown-friendly shredding at
+    // scale). The oracle reads the same paths with DuckDB's JSON
+    // operators, so the variant encode/decode round-trip is
+    // correctness-gated.
+    QueryDef(
+      "q_variant_json",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(
+            col("event_id"),
+            expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_long"),
+            expr("variant_get(parse_json(props), '$.k', 'double')").as("k_double"),
+            expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+            expr("variant_get(parse_json(props), '$.missing', 'bigint')").as("k_missing"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+                CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_double,
+                json_extract_string(props, '$.k') AS k_str,
+                CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing
+              FROM events ORDER BY event_id""")),
+
     // Event-time bucketing aggregation (batch form of the streaming query).
     QueryDef(
       "q_events_hourly",
