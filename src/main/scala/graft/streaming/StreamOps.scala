@@ -155,6 +155,50 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** Latest-row-per-key state: the streaming half of CDC/upsert — a
+    * mapGroupsWithState store holds each user's most recent event
+    * ((ts, event_id)-max, tie-free since (user, ts) is unique with
+    * event_id as a total-order fallback) and update mode re-emits a
+    * key's row whenever it advances. At scale this is the standard
+    * "materialized latest view" over a change stream; eviction hangs
+    * off a watermark in a continuous deployment. The memory sink keeps
+    * every update — the batch side takes each key's final state, which
+    * the arg_max oracle checks. */
+  final case class LatestState(tsUs: Long, eventId: Long)
+
+  def latestByKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sink = s"graft_stream_latest_${nameCounter.incrementAndGet()}"
+    val q = eventStream(s, dir)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        var cur = state.getOption.getOrElse(LatestState(Long.MinValue, Long.MinValue))
+        it.foreach { e =>
+          if (e.ts_us > cur.tsUs ||
+              (e.ts_us == cur.tsUs && e.event_id > cur.eventId))
+            cur = LatestState(e.ts_us, e.event_id)
+        }
+        state.update(cur)
+        (uid, cur.eventId, cur.tsUs)
+      }
+      .toDF("user_id", "latest_event_id", "latest_ts_us")
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // a key may be re-emitted across micro-batches — keep its final row
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    s.table(sink)
+      .withColumn("mx", max(col("latest_ts_us")).over(w))
+      .filter(col("latest_ts_us") === col("mx"))
+      .select(col("user_id"), col("latest_event_id"), col("latest_ts_us"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
   /** Raw event stream with a µs timestamp column. */
   private def rawEventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -395,6 +439,18 @@ object StreamOps {
           .orderBy("user_id", "session_start")
       },
       Some(graft.operators.Analytics.SessionWindowOracleSql),
+      bench = false),
+
+    QueryDef(
+      "stream_latest_by_key",
+      (s, dir) => latestByKey(s, dir),
+      // (user_id, ts) is unique in this corpus, so the ts-argmax is
+      // tie-free; event_id in the Spark state is only a defensive
+      // fallback that never decides here
+      Some("""SELECT user_id,
+                arg_max(event_id, epoch_us(CAST(ts AS TIMESTAMP))) AS latest_event_id,
+                max(epoch_us(CAST(ts AS TIMESTAMP))) AS latest_ts_us
+              FROM events GROUP BY user_id ORDER BY user_id"""),
       bench = false)
   )
 }
