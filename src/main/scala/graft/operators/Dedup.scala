@@ -857,8 +857,107 @@ object Dedup {
               SELECT split, lang, count(*) AS n_docs,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
               FROM sp GROUP BY split, lang
-              ORDER BY split, lang"""))
+              ORDER BY split, lang""")),
+
+    // Candidate-generator QA — the eval every dedup deployment needs
+    // before trusting a sketch: precision/recall of each approximate
+    // generator's CANDIDATE set against the exact n-gram-Jaccard truth
+    // (threshold = the production JaccardThreshold). All counts are
+    // exact integers and the two ratios are single IEEE divisions, so
+    // the whole scorecard is oracle-checked; at 100 TB the same query
+    // runs over a sampled stratum. (Counts are driver-side scalars —
+    // three bounded aggregates per generator, never row data.)
+    QueryDef(
+      "dedup_eval",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingled(s, dir).localCheckpoint()
+        val truth = jaccardPairs(sh)
+          .filter(col("jaccard") >= JaccardThreshold)
+          .select("a_id", "b_id").localCheckpoint()
+        val nTruth = truth.count()
+        val bands = bandsOf(signaturesFrom(sh))
+        val mhCand = bands.as("x").join(bands.as("y"),
+            col("x.band_id") === col("y.band_id") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val shCand = simhashChunkPairs(
+            simhashedWide(s, dir), numChunks = 4, chunkBits = 15)
+          .select("a_id", "b_id")
+        def scorecard(name: String, cand: DataFrame): (String, Long, Long, Long, Double, Double) = {
+          val c = cand.localCheckpoint()
+          val n = c.count()
+          val hit = c.join(truth, Seq("a_id", "b_id")).count()
+          (name, n, nTruth, hit,
+            if (n == 0) 0.0 else hit.toDouble / n.toDouble,
+            if (nTruth == 0) 0.0 else hit.toDouble / nTruth.toDouble)
+        }
+        Seq(scorecard("minhash_lsh", mhCand), scorecard("simhash_wide", shCand))
+          .toDF("generator", "n_cand", "n_truth", "n_hit", "precision", "recall")
+          .orderBy("generator")
+      },
+      Some(DedupEvalOracleSql))
   )
+
+  /** Oracle for dedup_eval: exact-Jaccard truth + both generators'
+    * candidate sets, assembled from the same CTE pieces the individual
+    * operators are checked with. */
+  private lazy val DedupEvalOracleSql: String =
+    MinhashBandsCte + s""",
+       tp AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM d a, d b
+         WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= $JaccardThreshold),
+       mcand AS (
+         SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.band_key = y.band_key
+            AND x.doc_id < y.doc_id),
+       tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       h AS (
+         SELECT doc_id,
+           CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+           CAST(concat('0x', substr(md5(concat('x', t)), 1, 15)) AS BIGINT) % 2147483647 AS h2
+         FROM tok),
+       v AS (
+         SELECT doc_id, j,
+           sum(CASE WHEN ((CASE WHEN j < 30 THEN h1 >> CAST(j AS INTEGER)
+                                ELSE h2 >> CAST(j - 30 AS INTEGER) END) & 1) = 1
+                    THEN 1 ELSE -1 END) AS vote
+         FROM h, (SELECT unnest(range(0, 60)) AS j) js
+         GROUP BY doc_id, j),
+       sg AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0
+                         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS simhash
+         FROM v GROUP BY doc_id),
+       scand AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM sg a, sg b
+         WHERE a.doc_id < b.doc_id
+           AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+       stats AS (
+         SELECT 'minhash_lsh' AS generator,
+           (SELECT count(*) FROM mcand) AS n_cand,
+           (SELECT count(*) FROM tp) AS n_truth,
+           (SELECT count(*) FROM mcand JOIN tp USING (a_id, b_id)) AS n_hit
+         UNION ALL
+         SELECT 'simhash_wide',
+           (SELECT count(*) FROM scand),
+           (SELECT count(*) FROM tp),
+           (SELECT count(*) FROM scand JOIN tp USING (a_id, b_id)))
+       SELECT generator, n_cand, n_truth, n_hit,
+         CASE WHEN n_cand = 0 THEN 0.0
+              ELSE CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS precision,
+         CASE WHEN n_truth = 0 THEN 0.0
+              ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall
+       FROM stats ORDER BY generator"""
 
   /** (doc_id, simhash): 60-bit wide SimHash — the production-scale
     * variant. Bits 0-29 vote on hash31(token), bits 30-59 on
