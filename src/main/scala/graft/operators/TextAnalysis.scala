@@ -742,6 +742,54 @@ object TextAnalysis {
                 clean
               FROM c ORDER BY doc_id""")),
 
+    // Numericalization — the final tokenize→ids step before tensors:
+    // build the frequency-ranked vocabulary (id 0 = most frequent term,
+    // ties broken by term — the standard, fully deterministic
+    // assignment), then map every document to its id sequence. Shapes:
+    // one (term) hash shuffle for the vocabulary, one vocabulary-keyed
+    // join back to the exploded corpus (both sides hash-partitioned on
+    // term), and a per-doc sort_array rebuild of the ordered sequence —
+    // ∝ corpus tokens at any scale, vocabulary never driver-side.
+    QueryDef(
+      "text_to_ids",
+      (s, dir) => {
+        val terms = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+          .localCheckpoint() // feeds vocab count and the id join once
+        // global rank over the VOCABULARY (the aggregated distinct-term
+        // set, ≪ corpus) — the one place a single-partition window is
+        // the right call; the corpus itself never funnels
+        val w = Window.orderBy(col("cnt").desc, col("term").asc)
+        val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .withColumn("id", row_number().over(w).cast("long") - 1)
+        terms.join(vocab.select("term", "id"), "term")
+          .groupBy("doc_id")
+          .agg(
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("id")))),
+                e => e.getField("id").cast("string")),
+              " ").as("ids"),
+            count(lit(1)).cast("long").as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS term
+                FROM documents,
+                  LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) + 1)) AS i) ix),
+              vocab AS (
+                SELECT term,
+                  row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS id
+                FROM tk GROUP BY term)
+              SELECT doc_id,
+                array_to_string(list_transform(
+                  list_sort(list({'pos': pos, 'id': id})),
+                  e -> CAST(e.id AS VARCHAR)), ' ') AS ids,
+                count(*) AS n_tokens
+              FROM tk JOIN vocab USING (term)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // BPE merge-rule training — the tokenizer-training inner loop, run
     // corpus-parallel: each of the 3 rounds counts adjacent token pairs
     // (map-only pair generator, one hash shuffle with map-side partials),
