@@ -27,6 +27,7 @@ object Registry {
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
+      operators.Clustering.defs ++
       operators.Multimodal.defs ++
       sources.Formats.defs ++
       streaming.StreamOps.defs

@@ -8,11 +8,13 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression for cosine similarity over two float-array
-  * columns, with whole-stage codegen: a single fused loop accumulates
-  * dot, |a|^2 and |b|^2, replacing three interpreted higher-order-function
-  * folds (zip_with + aggregate) in the hot path of every pairwise
-  * similarity operator.
+/** Native Catalyst expression for cosine similarity over two array
+  * columns (float or double elements, independently per side), with
+  * whole-stage codegen: a single fused loop accumulates dot, |a|^2 and
+  * |b|^2, replacing three interpreted higher-order-function folds
+  * (zip_with + aggregate) in the hot path of every pairwise similarity
+  * operator. Double support exists for k-means-style centroid literals,
+  * which are exact double means and must not be rounded to float.
   *
   * Numeric contract: accumulation is left-to-right in double and the
   * result is dot / sqrt(na * nb) — exactly the operation order of
@@ -24,12 +26,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<float> arguments, got " +
+      s"$prettyName expects two array<float|double> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
@@ -37,17 +39,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_sim"
 
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDouble(left), isDouble(right))
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xv * yv
       na += xv * xv
       nb += yv * yv
@@ -65,14 +73,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val getX =
+        if (isDouble(left)) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val getY =
+        if (isDouble(right)) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |double $na = 0.0;
          |double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.getFloat($i);
-         |  double $yv = (double) $b.getFloat($i);
+         |  double $xv = $getX;
+         |  double $yv = $getY;
          |  $dot += $xv * $yv;
          |  $na += $xv * $xv;
          |  $nb += $yv * $yv;

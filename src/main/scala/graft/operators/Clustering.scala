@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+import graft.functions.EngineFns._
+import graft.functions.CosineSimilarity
+
+/** Corpus clustering over the `embeddings` table — the curation step that
+  * groups a training corpus into semantic clusters (topic balancing,
+  * SemDeDup-style cluster-then-dedup, per-cluster sampling all start
+  * here).
+  *
+  * `emb_kmeans` is spherical k-means (assign = argmax cosine) done
+  * Spark-shaped: each Lloyd iteration is ONE pass over the corpus — a
+  * broadcast of k centroid literals, a codegen cosine per (vector,
+  * centroid), a row_number argmax, and a (cluster, dim)-keyed aggregation
+  * of 2^18-quantized INTEGER components summed in DECIMAL(38,0). Exact in
+  * any engine: float summation order never enters (same recipe as
+  * emb_pca_power). Only k x 64 totals + k counts return to the driver
+  * (bounded — never corpus-sized), are divided with one canonical op
+  * order, and feed the next iteration as plan-time literals.
+  *
+  * At 100 TB the shape is unchanged: centroids are always a broadcast
+  * (k x dim doubles), assignment is map-only over the corpus, and the
+  * update is one partial/final hash aggregate per iteration — the
+  * textbook scalable k-means loop. Lineage is bounded because each
+  * iteration reads the SAME localCheckpoint'ed corpus scan.
+  */
+object Clustering {
+
+  private val K = 4
+  private val Dim = 64
+  private val Iters = 2 // centroid updates; assignments run Iters + 1 times
+  private val Q = 262144.0 // 2^18 component quantization (emb_pca_power's)
+  private val SeedStride = 50 // seeds vec_id 0, 50, 100, 150 exist at every SF
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Argmax-cosine cluster assignment of every vector against the given
+    * centroid literals: (vec_id, embedding, c, cos) with c the 0-based
+    * winning centroid (ties broken by lowest c — mirrored in the oracle's
+    * row_number ordering). */
+  private def assign(
+      s: SparkSession, e: DataFrame, cents: IndexedSeq[Array[Double]]): DataFrame = {
+    val scored = e.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array(cents.map(c =>
+        CosineSimilarity(s, col("embedding"),
+          array(c.map(lit): _*))): _*)).as(Seq("c", "cos")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("c"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c"), col("cos"))
+  }
+
+  /** One Lloyd update: quantized-integer per-(cluster, dim) means.
+    * Returns the k new centroids; a cluster that lost every member keeps
+    * its previous centroid (deterministic, documented). */
+  private def update(
+      s: SparkSession, e: DataFrame,
+      cents: IndexedSeq[Array[Double]]): IndexedSeq[Array[Double]] = {
+    val rows = assign(s, e, cents)
+      .select(col("c"), posexplode(col("embedding")).as(Seq("k", "x")))
+      .select(col("c"), col("k"),
+        floor(col("x").cast("double") * Q + 0.5).cast("long")
+          .cast("decimal(38,0)").as("xi"))
+      .groupBy("c", "k")
+      .agg(sum(col("xi")).as("sx"), count(lit(1)).as("cnt"))
+      .collect()
+    val next = Array.tabulate(K)(c => cents(c).clone())
+    rows.foreach { r =>
+      val (c, k) = (r.getInt(0), r.getInt(1))
+      // canonical op order: decimal-exact sum -> double, / count, / Q —
+      // mirrored token-for-token in the oracle SQL
+      next(c)(k) = r.getDecimal(2).doubleValue() / r.getLong(3) / Q
+    }
+    next.toIndexedSeq
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Spherical k-means, k=4, 2 quantized-exact Lloyd updates; output is
+    // the final per-vector assignment with its cosine to the winning
+    // centroid. The oracle replays seeds -> assign -> update -> assign ->
+    // update -> assign in chained CTEs, bit-for-bit.
+    QueryDef(
+      "emb_kmeans",
+      (s, dir) => {
+        val e = emb(s, dir).select("vec_id", "embedding")
+          .localCheckpoint() // Iters + 1 passes re-read the corpus; scan once
+        var cents: IndexedSeq[Array[Double]] =
+          e.filter(col("vec_id") % SeedStride === 0 &&
+              col("vec_id") < SeedStride.toLong * K)
+            .orderBy("vec_id").collect()
+            .map(r => r.getSeq[Float](1).map(_.toDouble).toArray).toIndexedSeq
+        for (_ <- 0 until Iters) cents = update(s, e, cents)
+        assign(s, e, cents)
+          .select(col("vec_id"), col("c").cast("long").as("cluster"), col("cos"))
+          .orderBy("vec_id")
+      },
+      Some(KmeansOracleSql))
+  )
+
+  /** DuckDB replay of the full k-means loop (same seeds, same argmax
+    * ordering, same quantized decimal sums, same division order) — built
+    * programmatically so the Spark loop and the SQL can never disagree on
+    * iteration count. cent<i> relations are (c, v: list ordered by k). */
+  private lazy val KmeansOracleSql: String = {
+    def assignCte(i: Int, centRel: String) =
+      s"""sc$i AS (
+            SELECT e.vec_id, ct.c,
+              ${cosineSql("e.embedding", "ct.v")} AS cos
+            FROM embeddings e, $centRel ct),
+          a$i AS (
+            SELECT vec_id, c, cos,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn
+            FROM sc$i)"""
+    def updateCte(i: Int) =
+      s"""u$i AS (
+            SELECT a.c, d.k,
+              CAST(sum(CAST(d.xi AS DECIMAL(38,0))) AS DOUBLE)
+                / count(*) / 262144.0 AS v
+            FROM a${i - 1} a JOIN dims d ON a.vec_id = d.vec_id AND a.rn = 1
+            GROUP BY a.c, d.k),
+          cent$i AS (
+            SELECT c, list(v ORDER BY k) AS v FROM u$i GROUP BY c)"""
+    s"""WITH dims AS (
+          SELECT vec_id, i - 1 AS k,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 262144.0 + 0.5) AS BIGINT) AS xi
+          FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i) idx),
+        cent0 AS (
+          SELECT CAST(vec_id // $SeedStride AS INTEGER) AS c,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+          WHERE vec_id % $SeedStride = 0 AND vec_id < ${SeedStride.toLong * K}),
+        ${assignCte(0, "cent0")},
+        ${updateCte(1)},
+        ${assignCte(1, "cent1")},
+        ${updateCte(2)},
+        ${assignCte(2, "cent2")}
+        SELECT vec_id, CAST(c AS BIGINT) AS cluster, cos
+        FROM a2 WHERE rn = 1 ORDER BY vec_id"""
+  }
+}

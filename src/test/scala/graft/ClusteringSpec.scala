@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.CosineSimilarity
+
+/** Spherical k-means on planted orthogonal direction groups. */
+class ClusteringSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 200 vectors in 4 orthogonal direction groups (group = vec_id / 50, so
+  // the seed ids 0/50/100/150 are one seed per group). Each vector is its
+  // group axis plus a small distinct-dimension jitter — cosine to its own
+  // group axis ~0.995+, to any other axis ~0.
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_clu").toString
+    val vecs = (0L until 200L).map { id =>
+      val g = (id / 50).toInt
+      val v = Array.fill(64)(0.0f)
+      v(g) = 1.0f
+      v(8 + (id % 8).toInt) = 0.1f
+      (id, v.toSeq, g)
+    }.toDF("vec_id", "embedding", "label")
+    vecs.coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("emb_kmeans recovers the planted groups with seed-aligned cluster ids") {
+    val out = Registry.byName("emb_kmeans").run(spark, dir).collect()
+    assert(out.length === 200)
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("cluster") === id / 50,
+        s"vec $id assigned to ${r.getAs[Long]("cluster")}")
+      assert(r.getAs[Double]("cos") > 0.9)
+    }
+  }
+
+  test("CosineSimilarity accepts double-array centroids and matches the float path") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(0.5, 1.0, -2.0)))
+      .toDF("f", "d")
+    val got = df.select(
+      CosineSimilarity(spark, col("f"), col("d")).as("c")).collect()(0).getDouble(0)
+    val exp = {
+      val (a, b) = (Array(1.0, 2.0, 3.0), Array(0.5, 1.0, -2.0))
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- 0 until 3) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / math.sqrt(na * nb)
+    }
+    assert(got === exp)
+  }
+}
