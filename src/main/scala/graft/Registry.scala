@@ -28,6 +28,7 @@ object Registry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Clustering.defs ++
+      operators.Graph.defs ++
       operators.Multimodal.defs ++
       sources.Formats.defs ++
       streaming.StreamOps.defs

@@ -26,7 +26,7 @@ object Dedup {
 
   private[graft] val NumPerms = 16
   private[graft] val BandRows = 2 // 8 bands x 2 rows — recall-biased for low-J corpora
-  private val JaccardThreshold = 0.015
+  private[graft] val JaccardThreshold = 0.015
   // Stop-shingle document-frequency cap (SCALE.md): a shingle that occurs
   // in more documents than this is dropped from the inverted index before
   // the posting self-join. The join shuffle is sum(DF^2) over shingles, so
@@ -94,8 +94,25 @@ object Dedup {
        JOIN d db ON db.doc_id = c.b_id
        ORDER BY a_id, b_id"""
 
+  /** The shared exact-Jaccard pair CTE (shingles -> thresholded pairs):
+    * the same relation the cluster-collapse and PageRank oracles close
+    * over, defined once so the graph consumers cannot drift from the
+    * pair generator. */
+  private[graft] val JaccardPairsCte: String =
+    s"""d AS (
+         SELECT doc_id, list_distinct(list_transform(
+           range(1, len(string_split(text,' ')) - 1),
+           i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+         FROM documents),
+       pairs AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM d a, d b
+         WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= $JaccardThreshold)"""
+
   /** (doc_id, sh) with sh = distinct 3-word shingles. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, dir: String): DataFrame =
     docsParallel(s, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
 

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Graph analytics over the near-duplicate graph — PageRank centrality on
+  * the exact-Jaccard pair relation (nodes = documents, undirected edges =
+  * thresholded near-dup pairs). The rank surfaces duplication HUBS: a
+  * template document copied with variations across the corpus outranks
+  * an ordinary member of a duplicate pair, which is exactly the signal a
+  * curation pipeline uses to pick canonical representatives and to cap
+  * template-family volume.
+  *
+  * Arithmetic is QUANTIZED-INTEGER PageRank (damping 0.85, 3 iterations):
+  * ranks live as bigints scaled by Q = 10^12, every per-edge contribution
+  * is `(85 * r_u) div (100 * deg_u)` in 64-bit integer division, and the
+  * per-node sums are plain long sums — no float ever enters an aggregate,
+  * so the result is deterministic under any partitioning and the DuckDB
+  * oracle replays the identical three iterations CTE-for-CTE. Dangling
+  * mass (isolated docs) stays with its node via the base term, the
+  * standard simplification when ranking only within the edge-bearing
+  * subgraph.
+  *
+  * Scale shape: the edge list is built once (inverted-index join — the
+  * same 100 TB-safe generator every dedup operator uses), localCheckpoint
+  * bounds lineage, and each iteration is ONE equi-join (edges x ranks on
+  * u, both sides hash-partitioned on the join key) plus ONE map-side
+  * combined aggregation on v — the textbook distributed PageRank step
+  * with per-iteration shuffle proportional to the edge count, never
+  * quadratic. Ranks stay distributed; the driver holds only N.
+  */
+object Graph {
+
+  private val Q = 1000000000000L // 10^12 rank quantization
+  private val Iters = 3
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "graph_pagerank",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select("a_id", "b_id")
+        val edges = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("u", "v")
+        val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        // (u, v, deg_u) is re-read every iteration: materialize once
+        val eD = edges.join(deg, "u").localCheckpoint()
+        val docs = Tables.load(s, dir, "documents").select("doc_id")
+        val n = docs.count() // bounded driver state: one scalar
+        var r = docs.select(col("doc_id"), lit(Q / n).as("r"))
+        for (_ <- 0 until Iters) {
+          val contrib = eD
+            .join(r.select(col("doc_id").as("u"), col("r")), "u")
+            .select(col("v"), expr("(85 * r) div (100 * deg)").as("c"))
+            .groupBy("v").agg(sum(col("c")).as("cs"))
+          r = docs
+            .join(contrib.select(col("v").as("doc_id"), col("cs")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (lit(15L * Q / (100L * n)) + coalesce(col("cs"), lit(0L))).as("r"))
+            .localCheckpoint() // one pass per iteration; lineage stays O(1)
+        }
+        r.select(col("doc_id"), col("r").as("pagerank_q"),
+            (col("r").cast("double") / lit(Q.toDouble)).as("pagerank"))
+          .orderBy("doc_id")
+      },
+      Some(PagerankOracleSql))
+  )
+
+  /** DuckDB replay of the quantized iterations — generated so iteration
+    * count and arithmetic can never drift from the Spark loop. `//` and
+    * Spark's `div` agree on positive operands (truncation); sums are cast
+    * back to BIGINT because DuckDB widens integer sums to HUGEINT. */
+  private lazy val PagerankOracleSql: String = {
+    val iters = (1 to Iters).map { i =>
+      s"""r$i AS (
+            SELECT doc.doc_id,
+              (15 * $Q // (100 * (SELECT count(*) FROM documents)))
+                + COALESCE(c.cs, 0) AS r
+            FROM documents doc LEFT JOIN (
+              SELECT e.v, CAST(sum((85 * r.r) // (100 * dg.deg)) AS BIGINT) AS cs
+              FROM e JOIN deg dg ON e.u = dg.u
+                     JOIN r${i - 1} r ON r.doc_id = e.u
+              GROUP BY e.v) c ON c.v = doc.doc_id)"""
+    }.mkString(",\n")
+    s"""WITH ${Dedup.JaccardPairsCte},
+          e AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+          deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+          r0 AS (
+            SELECT doc_id,
+              $Q // (SELECT count(*) FROM documents) AS r
+            FROM documents),
+          $iters
+        SELECT doc_id, CAST(r AS BIGINT) AS pagerank_q,
+          CAST(r AS DOUBLE) / ${Q.toDouble} AS pagerank
+        FROM r$Iters ORDER BY doc_id"""
+  }
+}
