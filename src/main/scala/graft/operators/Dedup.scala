@@ -27,6 +27,16 @@ object Dedup {
   private[graft] val NumPerms = 16
   private[graft] val BandRows = 2 // 8 bands x 2 rows — recall-biased for low-J corpora
   private[graft] val JaccardThreshold = 0.015
+
+  // Bloom front gate (dedup_bloom_probe): 4096-bit filter, 3 hash
+  // positions per document text — small enough that the planted corpus
+  // exercises real false positives, large enough that they stay rare.
+  private val BloomBits = 4096
+  private val BloomK = 3
+
+  // Directed-containment acceptance (dedup_containment): a document with
+  // half its shingles inside another is a containment suspect.
+  private val ContainmentThreshold = 0.5
   // Stop-shingle document-frequency cap (SCALE.md): a shingle that occurs
   // in more documents than this is dropped from the inverted index before
   // the posting self-join. The join shuffle is sum(DF^2) over shingles, so
@@ -915,7 +925,90 @@ object Dedup {
           .toDF("generator", "n_cand", "n_truth", "n_hit", "precision", "recall")
           .orderBy("generator")
       },
-      Some(DedupEvalOracleSql))
+      Some(DedupEvalOracleSql)),
+
+    // Bloom-filter dedup probe: the constant-memory front gate of an
+    // incremental ingest loop. The standing corpus is summarized as a
+    // Bloom filter (m = 4096 bits, k = 3 md5-derived positions per
+    // document text); a new-batch document is flagged as a duplicate iff
+    // ALL THREE of its positions are set — the textbook membership test,
+    // INCLUDING its false positives, which is exactly what the output's
+    // `collided` flag exposes (BloomSpec plants one). The bit array is
+    // modeled as the distinct-position set, so the whole filter is
+    // <= m rows and ships as a broadcast: at 100 TB the corpus side
+    // aggregates to m bits once (map-side distinct), and the batch probe
+    // is a map-only broadcast join — no shuffle of either corpus or
+    // batch. Everything is md5-portable, so even the false positives
+    // hash-match the oracle.
+    QueryDef(
+      "dedup_bloom_probe",
+      (s, dir) => {
+        val posCols = (0 until BloomK).map(i =>
+          hash31(concat(lit(s"bf${i}_"), col("text"))) % BloomBits)
+        // one position index feeds both the filter build and the probe
+        val positions = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(array(posCols: _*)).as("pos"))
+          .distinct()
+          .localCheckpoint()
+        val isNew = pmod(col("doc_id"), lit(5)) === 0
+        val bits = positions.filter(!isNew).select("pos").distinct()
+        positions.filter(isNew)
+          .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("npos"),
+            sum(coalesce(col("hit"), lit(0))).as("nmatch"))
+          .select(col("doc_id"), (col("nmatch") === col("npos")).as("collided"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pos AS (
+                 SELECT DISTINCT doc_id,
+                   (CAST(concat('0x', substr(md5(concat('bf', CAST(i AS VARCHAR), '_', text)), 1, 15)) AS BIGINT)
+                     % 2147483647) % $BloomBits AS pos
+                 FROM documents, (SELECT unnest(range(0, $BloomK)) AS i) ks),
+               bits AS (
+                 SELECT DISTINCT pos FROM pos WHERE doc_id % 5 <> 0),
+               probe AS (
+                 SELECT p.doc_id, count(*) AS npos,
+                   sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nmatch
+                 FROM pos p LEFT JOIN bits b ON p.pos = b.pos
+                 WHERE p.doc_id % 5 = 0
+                 GROUP BY p.doc_id)
+               SELECT doc_id, nmatch = npos AS collided
+               FROM probe ORDER BY doc_id""")),
+
+    // Directed containment pairs: C(A -> B) = |A ∩ B| / |A| — catches a
+    // document mostly CONTAINED in a larger one (quote inclusion,
+    // template wrapping), which symmetric Jaccard under-scores when the
+    // sizes differ. Both directions fall out of the SAME inverted-index
+    // pair aggregation Jaccard uses (n_common with both set sizes), so
+    // the 100 TB shape is identical — one posting self-join, candidates
+    // ∝ shared-shingle collisions, viral shingles capped.
+    QueryDef(
+      "dedup_containment",
+      (s, dir) => {
+        val p = jaccardPairs(shingled(s, dir))
+        val ab = p.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+          (col("n_common").cast("double") / col("n_a").cast("double"))
+            .as("containment"))
+        val ba = p.select(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+          (col("n_common").cast("double") / col("n_b").cast("double"))
+            .as("containment"))
+        ab.union(ba).filter(col("containment") >= ContainmentThreshold)
+          .orderBy("src_id", "dst_id")
+      },
+      Some(s"""WITH d AS (
+                 SELECT doc_id, list_distinct(list_transform(
+                   range(1, len(string_split(text,' ')) - 1),
+                   i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+                 FROM documents)
+               SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) AS DOUBLE) AS containment
+               FROM d a, d b
+               WHERE a.doc_id != b.doc_id AND len(a.sh) > 0
+                 AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) AS DOUBLE) >= $ContainmentThreshold
+               ORDER BY src_id, dst_id"""))
   )
 
   /** Oracle for dedup_eval: exact-Jaccard truth + both generators'
