@@ -774,6 +774,35 @@ object Relational {
                 AND l_shipdate > TIMESTAMP '1998-01-01'
               GROUP BY l_orderkey, o_orderdate
               ORDER BY revenue DESC, l_orderkey
-              LIMIT 10"""))
+              LIMIT 10""")),
+
+    // LATERAL correlated subquery join (SQL:1999 / Spark 3.2+): per
+    // nation, the top-2 customers by account balance, expressed as a
+    // correlated LIMIT subquery in the FROM clause — the canonical
+    // "top-N per key as the driver sees it" SQL surface. Catalyst
+    // decorrelates the lateral subquery into a ranked window join, so
+    // the physical plan is the same single hash shuffle + per-partition
+    // rank-limit as the window formulation — no per-row re-execution at
+    // any scale. Submitted as SQL TEXT (parser -> analyzer
+    // decorrelation -> physical, end-to-end); DuckDB runs the identical
+    // text.
+    QueryDef(
+      "q_lateral_join",
+      (s, dir) => {
+        Seq("nation", "customer")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(LateralSql)
+      },
+      Some(LateralSql))
   )
+
+  private lazy val LateralSql =
+    """SELECT n_name, top.c_name, top.bal
+       FROM nation,
+         LATERAL (SELECT c_name, CAST(c_acctbal AS DOUBLE) AS bal
+                  FROM customer
+                  WHERE c_nationkey = n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey
+                  LIMIT 2) AS top
+       ORDER BY n_name, bal DESC, c_name"""
 }

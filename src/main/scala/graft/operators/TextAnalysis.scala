@@ -27,6 +27,11 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "is", "in")
 
+  // Temperature sampling (sample_temperature): keep-probability
+  // C / sqrt(n_source) with the draw quantized to M = 2^20 cells.
+  private val TempM = 1048576L
+  private val TempC = 2L // rate = 2/sqrt(n_source): 0.4 at 25 docs/source
+
   /** Fraction of tokens that are stopwords — a classic quality signal. */
   def stopwordRatio(c: Column): Column = {
     val toks = tokens(c)
@@ -831,7 +836,106 @@ object TextAnalysis {
         import s.implicits._
         learned.result().toDF("iter", "a", "b", "cnt").orderBy("iter")
       },
-      Some(BpeMergesOracleSql))
+      Some(BpeMergesOracleSql)),
+
+    // Temperature-flattened source mixture (the multi-source training-mix
+    // knob): keep each document with probability C / sqrt(n_source) —
+    // i.e. alpha = 0.5 temperature sampling, so a source 100x larger
+    // contributes only 10x the documents. The irrational sqrt never
+    // materializes: the Bernoulli test `u < C*M/sqrt(n)` is evaluated as
+    // the INTEGER comparison u*u*n < C^2*M^2 (exact in any engine — u is
+    // the md5-derived uniform draw, all operands stay under 2^61).
+    // Shape: one tiny per-source count aggregate broadcast back over the
+    // corpus, then a map-only gate — no corpus shuffle at any scale.
+    QueryDef(
+      "sample_temperature",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val counts = d.groupBy("source").agg(count(lit(1)).as("n_source"))
+        val u = hash31(
+          concat_ws("|", lit("tsamp"), col("doc_id").cast("string"))) % TempM
+        d.join(broadcast(counts), "source")
+          .withColumn("u", u)
+          .filter(col("u") * col("u") * col("n_source") <
+            lit(TempC * TempC * TempM * TempM))
+          .select(col("doc_id"), col("source"), col("n_source"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c AS (
+                 SELECT source, count(*) AS n_source FROM documents
+                 GROUP BY source),
+               u AS (
+                 SELECT doc_id, source,
+                   (CAST(concat('0x', substr(md5(concat('tsamp', '|',
+                       CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                     % 2147483647) % $TempM AS u
+                 FROM documents)
+               SELECT u.doc_id, u.source, c.n_source
+               FROM u JOIN c USING (source)
+               WHERE u.u * u.u * c.n_source < ${TempC * TempC * TempM * TempM}
+               ORDER BY doc_id""")),
+
+    // Bigram language-model scoring — the perplexity-style fluency
+    // signal: score(doc) = mean over its bigrams of the corpus-estimated
+    // P(w2 | w1) = c(w1 w2) / c(w1). Probabilities are scaled to
+    // integers (1e6 * c_bi) div c_uni BEFORE summation, so the aggregate
+    // is a plain long sum — deterministic under any partitioning; the
+    // single closing division is one IEEE op. Shape: two count
+    // aggregates (unigram, bigram — both map-side combined), two
+    // hash joins back to the bigram stream keyed on the token — at
+    // 100 TB the model tables are corpus-vocabulary-sized, far smaller
+    // than the corpus itself, and everything else is map-only.
+    QueryDef(
+      "text_lm_score",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val ts = split(col("text"), " ")
+        val bg = d.select(col("doc_id"),
+            explode(when(size(ts) >= 2,
+              transform(sequence(lit(0), size(ts) - 2), i =>
+                struct(element_at(ts, i + 1).as("w1"),
+                  element_at(ts, i + 2).as("w2"))))
+              .otherwise(expr(
+                "cast(array() as array<struct<w1:string,w2:string>>)")))
+              .as("b"))
+          .select(col("doc_id"), col("b.w1"), col("b.w2"))
+          .localCheckpoint() // feeds the bigram model AND the scoring join
+        val cUni = d.select(explode(ts).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("cu"))
+        val cBi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        val scored = bg
+          .join(cBi, Seq("w1", "w2"))
+          .join(cUni, Seq("w1"))
+          .select(col("doc_id"),
+            expr("(1000000 * cb) div cu").as("p_scaled"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("ss"))
+        d.select("doc_id").join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            (col("ss").cast("double") / col("n_bigrams")).as("lm_score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH bg AS (
+                SELECT doc_id,
+                  string_split(text, ' ')[i] AS w1,
+                  string_split(text, ' ')[i + 1] AS w2
+                FROM documents, LATERAL (SELECT unnest(range(1,
+                  len(string_split(text, ' ')))) AS i) ix),
+              cu AS (
+                SELECT unnest(string_split(text, ' ')) AS w1 FROM documents),
+              cuc AS (SELECT w1, count(*) AS cu FROM cu GROUP BY w1),
+              cbc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+              sc AS (
+                SELECT bg.doc_id, count(*) AS n_bigrams,
+                  CAST(sum((1000000 * cbc.cb) // cuc.cu) AS BIGINT) AS ss
+                FROM bg JOIN cbc USING (w1, w2) JOIN cuc USING (w1)
+                GROUP BY bg.doc_id)
+              SELECT d.doc_id,
+                COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+                CAST(sc.ss AS DOUBLE) / sc.n_bigrams AS lm_score
+              FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+              ORDER BY d.doc_id"""))
   )
 
   /** DuckDB replay of the 3 BPE merge rounds (same pair counts, same

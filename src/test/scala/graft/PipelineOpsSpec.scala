@@ -259,6 +259,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("html_len") > 0))
   }
 
+  test("sample_temperature flattens the mixture: small source keeps a higher fraction") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_temp").toString
+    val docs = ((0 until 100).map(i => (i.toLong, s"big doc $i", "big")) ++
+      (0 until 16).map(i => (100L + i, s"small doc $i", "small")))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Registry.byName("sample_temperature").run(spark, d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_source")))
+    val kept = out.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    // rates: big 2/sqrt(100) = 0.2, small 2/sqrt(16) = 0.5
+    assert(out.forall { case (s, n) => (s == "big") == (n == 100L) })
+    assert(kept.getOrElse("small", 0.0) / 16.0 >
+      kept.getOrElse("big", 0.0) / 100.0,
+      s"flattening must favor the small source: $kept")
+  }
+
+  test("text_lm_score equals hand-computed bigram probabilities") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    // corpus: c(x)=3, c(x y)=2, c(x z)=1, c(y)=2, c(y x)=1
+    val docs = Seq(
+      (0L, "x y x z"), // bigrams: (x,y) p=2/3 -> 666666; (y,x) p=1/2 -> 500000; (x,z) p=1/3 -> 333333
+      (1L, "x y"), // (x,y) -> 666666
+      (2L, "solo")) // no bigrams
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Registry.byName("text_lm_score").run(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out(0L)._1 === 3L)
+    assert(out(0L)._2.get === (666666L + 500000L + 333333L).toDouble / 3)
+    assert(out(1L) === ((1L, Some(666666.0))))
+    assert(out(2L) === ((0L, None)))
+  }
+
+  test("q_lateral_join returns at most 2 customers per nation, balance-descending") {
+    val rows = Registry.byName("q_lateral_join").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[String]("n_name"), r.getAs[Double]("bal")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (n, g) =>
+      assert(g.length <= 2, s"nation $n returned ${g.length} rows")
+      assert(g.map(_._2).sorted.reverse.sameElements(g.map(_._2)),
+        s"nation $n not balance-descending")
+    }
+  }
+
   test("partitioned fact join plans dynamic partition pruning on the fact scan") {
     // run the partitioned write first so the scratch layout exists
     Registry.byName("q_partitioned_prune").run(spark, TestSpark.sf).collect()

@@ -86,6 +86,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
 
+  test("lateral correlated LIMIT subquery decorrelates to a ranked join") {
+    val p = plan("q_lateral_join")
+    // Catalyst rewrites the per-nation LATERAL ... LIMIT 2 into a window
+    // rank + join — one pass over customer, no per-outer-row re-execution
+    assert(p.contains("row_number") || p.contains("rank"),
+      s"expected window-rank decorrelation in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("dedup_minhash has no single-partition exchange (scale funnel)") {
     val p = plan("dedup_minhash")
     assert(!p.contains("SinglePartition"), s"single-partition funnel in:\n$p")
