@@ -35,6 +35,7 @@ object Clustering {
   private val Iters = 2 // centroid updates; assignments run Iters + 1 times
   private val Q = 262144.0 // 2^18 component quantization (emb_pca_power's)
   private val SeedStride = 50 // seeds vec_id 0, 50, 100, 150 exist at every SF
+  private val SemThreshold = 0.92 // sim_semdedup keep-rule cosine threshold
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -101,14 +102,51 @@ object Clustering {
           .select(col("vec_id"), col("c").cast("long").as("cluster"), col("cos"))
           .orderBy("vec_id")
       },
-      Some(KmeansOracleSql))
+      Some(KmeansOracleSql)),
+
+    // SemDeDup (Abbas et al.): semantic dedup INSIDE k-means clusters —
+    // run the same Lloyd loop, then compare embeddings only within a
+    // cluster and drop every vector that has a smaller-id neighbor above
+    // the cosine threshold. The cluster partitioning is what makes the
+    // pairwise step tractable: candidates are cluster-local, so the join
+    // is an equi-join on the cluster id, never corpus x corpus. k is 4
+    // here to keep the oracle corpus meaningful; at 100 TB k scales
+    // ~sqrt(N) so per-cluster populations stay bounded and the
+    // within-cluster quadratic work is constant per cluster — the
+    // published SemDeDup recipe. Oracle replays the full clustering
+    // chain plus the NOT EXISTS keep rule, bit-for-bit.
+    QueryDef(
+      "sim_semdedup",
+      (s, dir) => {
+        val e = emb(s, dir).select("vec_id", "embedding").localCheckpoint()
+        var cents: IndexedSeq[Array[Double]] =
+          e.filter(col("vec_id") % SeedStride === 0 &&
+              col("vec_id") < SeedStride.toLong * K)
+            .orderBy("vec_id").collect()
+            .map(r => r.getSeq[Float](1).map(_.toDouble).toArray).toIndexedSeq
+        for (_ <- 0 until Iters) cents = update(s, e, cents)
+        val a = assign(s, e, cents)
+          .select(col("c"), col("vec_id"), col("embedding"))
+        val dropped = a.as("x").join(a.as("y"),
+            col("x.c") === col("y.c") && col("y.vec_id") < col("x.vec_id"))
+          .filter(CosineSimilarity(s,
+            col("x.embedding"), col("y.embedding")) >= SemThreshold)
+          .select(col("x.vec_id")).distinct()
+          .withColumn("drop", lit(true))
+        a.join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("c").cast("long").as("cluster"),
+            coalesce(!col("drop"), lit(true)).as("keep"))
+          .orderBy("vec_id")
+      },
+      Some(SemDedupOracleSql))
   )
 
   /** DuckDB replay of the full k-means loop (same seeds, same argmax
     * ordering, same quantized decimal sums, same division order) — built
     * programmatically so the Spark loop and the SQL can never disagree on
-    * iteration count. cent<i> relations are (c, v: list ordered by k). */
-  private lazy val KmeansOracleSql: String = {
+    * iteration count. cent<i> relations are (c, v: list ordered by k);
+    * the chain ends at a$Iters, the final assignment. */
+  private lazy val KmeansCtePrefix: String = {
     def assignCte(i: Int, centRel: String) =
       s"""sc$i AS (
             SELECT e.vec_id, ct.c,
@@ -140,8 +178,27 @@ object Clustering {
         ${updateCte(1)},
         ${assignCte(1, "cent1")},
         ${updateCte(2)},
-        ${assignCte(2, "cent2")}
-        SELECT vec_id, CAST(c AS BIGINT) AS cluster, cos
-        FROM a2 WHERE rn = 1 ORDER BY vec_id"""
+        ${assignCte(2, "cent2")}"""
   }
+
+  private lazy val KmeansOracleSql: String =
+    s"""$KmeansCtePrefix
+        SELECT vec_id, CAST(c AS BIGINT) AS cluster, cos
+        FROM a$Iters WHERE rn = 1 ORDER BY vec_id"""
+
+  /** SemDeDup oracle: the clustering chain + within-cluster pairwise
+    * cosine + the smaller-id keep rule. */
+  private lazy val SemDedupOracleSql: String =
+    s"""$KmeansCtePrefix,
+        fin AS (
+          SELECT a.vec_id, a.c, e.embedding
+          FROM a$Iters a JOIN embeddings e ON e.vec_id = a.vec_id
+          WHERE a.rn = 1)
+        SELECT sa.vec_id, CAST(sa.c AS BIGINT) AS cluster,
+          NOT EXISTS (
+            SELECT 1 FROM fin sb
+            WHERE sb.c = sa.c AND sb.vec_id < sa.vec_id
+              AND ${cosineSql("sa.embedding", "sb.embedding")} >= $SemThreshold
+          ) AS keep
+        FROM fin sa ORDER BY sa.vec_id"""
 }

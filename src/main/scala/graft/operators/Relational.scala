@@ -786,6 +786,44 @@ object Relational {
     // any scale. Submitted as SQL TEXT (parser -> analyzer
     // decorrelation -> physical, end-to-end); DuckDB runs the identical
     // text.
+    // Cohort retention matrix — the canonical product-analytics rollup:
+    // users bucketed by first-activity day, then distinct returning
+    // users at day offsets 0/1/3/7. Two hash aggregations and one join,
+    // ALL keyed on user_id (the first-day aggregate, the join back, and
+    // the activity distinct all share one partitioning — Catalyst reuses
+    // the exchange), then a final small aggregate over (cohort, offset)
+    // cells. At 100 TB: shuffle ∝ distinct (user, day) activity, never
+    // the raw event count, because the day-dedup runs map-side first.
+    QueryDef(
+      "q_retention",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+          .distinct()
+        val first = e.groupBy("user_id").agg(min(col("d")).as("cohort"))
+        e.join(first, "user_id")
+          .select(col("cohort"),
+            datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+          .filter(col("day_offset").isin(0L, 1L, 3L, 7L))
+          .groupBy("cohort", "day_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("""WITH e AS (
+                SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+                FROM events),
+              f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id),
+              r AS (
+                SELECT f.cohort,
+                  date_diff('day', f.cohort, e.d) AS day_offset
+                FROM e JOIN f USING (user_id)
+                WHERE date_diff('day', f.cohort, e.d) IN (0, 1, 3, 7))
+              SELECT cohort, CAST(day_offset AS BIGINT) AS day_offset,
+                count(*) AS n_users
+              FROM r GROUP BY cohort, day_offset
+              ORDER BY cohort, day_offset""")),
+
     QueryDef(
       "q_lateral_join",
       (s, dir) => {

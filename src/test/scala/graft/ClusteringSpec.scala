@@ -39,6 +39,15 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_semdedup keeps exactly one representative per planted near-dup cluster") {
+    // within a planted group every pair has cosine ~0.99 (> 0.92), so the
+    // keep rule must retain only the min vec_id of each cluster
+    val out = Registry.byName("sim_semdedup").run(spark, dir).collect()
+    assert(out.length === 200)
+    val kept = out.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    assert(kept === Set(0L, 50L, 100L, 150L), s"kept $kept")
+  }
+
   test("CosineSimilarity accepts double-array centroids and matches the float path") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(0.5, 1.0, -2.0)))
       .toDF("f", "d")

@@ -298,6 +298,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) === ((0L, None)))
   }
 
+  test("q_retention counts distinct returning users per cohort and offset") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ret").toString
+    val day0 = 1704067200L * 1000000000L // 2024-01-01 UTC in ns
+    def ns(day: Int, h: Int) = day0 + day * 86400000000000L + h * 3600000000000L
+    // user 1: days 0,1,3,7; user 2: days 0,2 (2 untracked); user 3: days 1,2
+    val evs = Seq(
+      (1L, ns(0, 1), 1L), (1L, ns(0, 5), 1L), // same-day dup must not double-count
+      (2L, ns(1, 2), 1L), (3L, ns(3, 3), 1L), (4L, ns(7, 4), 1L),
+      (5L, ns(0, 1), 2L), (6L, ns(2, 2), 2L),
+      (7L, ns(1, 1), 3L), (8L, ns(2, 2), 3L))
+      .map { case (id, t, u) => (id, t, u, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    evs.coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Registry.byName("q_retention").run(spark, d).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("cohort").toInstant.getEpochSecond,
+        r.getAs[Long]("day_offset"), r.getAs[Long]("n_users")))
+    val day0s = 1704067200L
+    val day1s = day0s + 86400L
+    assert(out.toSet === Set(
+      (day0s, 0L, 2L), (day0s, 1L, 1L), (day0s, 3L, 1L), (day0s, 7L, 1L),
+      (day1s, 0L, 1L), (day1s, 1L, 1L)), s"got ${out.toSeq}")
+  }
+
   test("q_lateral_join returns at most 2 customers per nation, balance-descending") {
     val rows = Registry.byName("q_lateral_join").run(spark, TestSpark.sf)
       .collect()
