@@ -786,6 +786,47 @@ object Relational {
     // any scale. Submitted as SQL TEXT (parser -> analyzer
     // decorrelation -> physical, end-to-end); DuckDB runs the identical
     // text.
+    // TPC-H Q14 (promo-revenue share), adapted: the part x lineitem join
+    // — the one corpus table no other query touched. The part dimension
+    // broadcasts (never shuffles the fact side); revenue stays exact
+    // decimal until the single closing share division (two
+    // decimal-derived doubles, one multiply, one divide — same literal
+    // op order in both engines).
+    QueryDef(
+      "q_tpch_q14",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1999-03-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1999-04-01")))
+        val p = broadcast(t(s, dir, "part").select("p_partkey", "p_type"))
+        val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(12,2)")))
+              .cast("double").as("promo_revenue"),
+            sum(rev).cast("double").as("total_revenue"))
+          .select(col("promo_revenue"), col("total_revenue"),
+            (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+              .as("promo_share"))
+      },
+      Some("""SELECT
+                CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue,
+                100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                  / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS promo_share
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1999-03-01'
+                AND l_shipdate < TIMESTAMP '1999-04-01'""")),
+
     // Cohort retention matrix — the canonical product-analytics rollup:
     // users bucketed by first-activity day, then distinct returning
     // users at day offsets 0/1/3/7. Two hash aggregations and one join,

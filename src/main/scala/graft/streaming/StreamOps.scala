@@ -451,6 +451,47 @@ object StreamOps {
                 arg_max(event_id, epoch_us(CAST(ts AS TIMESTAMP))) AS latest_event_id,
                 max(epoch_us(CAST(ts AS TIMESTAMP))) AS latest_ts_us
               FROM events GROUP BY user_id ORDER BY user_id"""),
+      bench = false),
+
+    // Stream-static join: the event stream enriched against the STATIC
+    // customer dimension (re-read per micro-batch, broadcast because the
+    // dim is small) and aggregated by market segment — the canonical
+    // "enrich the firehose with reference data" shape. The static side
+    // never enters the state store: only the post-join aggregate is
+    // stateful, so state is ∝ (segment x type) groups regardless of
+    // stream volume. At 100 TB rates the same plan holds — broadcast dim
+    // + map-side enrichment + windowed/keyed aggregation.
+    QueryDef(
+      "stream_static_enrich",
+      (s, dir) => {
+        val path = s"$dir/events.parquet"
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(path).schema
+        val sink = s"graft_stream_enrich_${nameCounter.incrementAndGet()}"
+        val cust = broadcast(graft.Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val q = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .join(cust, col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).cast("double")
+              .as("total_value"))
+          .writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink).orderBy("c_mktsegment", "event_type")
+      },
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+              FROM events JOIN customer ON user_id = c_custkey
+              GROUP BY c_mktsegment, event_type
+              ORDER BY c_mktsegment, event_type"""),
       bench = false)
   )
 }
