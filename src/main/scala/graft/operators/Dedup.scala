@@ -914,9 +914,18 @@ object Dedup {
             simhashedWide(s, dir), numChunks = 4, chunkBits = 15)
           .select("a_id", "b_id")
         def scorecard(name: String, cand: DataFrame): (String, Long, Long, Long, Double, Double) = {
-          val c = cand.localCheckpoint()
-          val n = c.count()
-          val hit = c.join(truth, Seq("a_id", "b_id")).count()
+          // one pass: candidate count and truth-hit count fold into a
+          // single aggregate over a broadcast-truth left join (truth is
+          // pair-scale, ≪ corpus), so each generator costs one job and
+          // its candidate frame is never materialized twice
+          val r = cand
+            .join(broadcast(truth.withColumn("t", lit(1))),
+              Seq("a_id", "b_id"), "left")
+            .agg(count(lit(1)).as("n"),
+              sum(coalesce(col("t"), lit(0))).as("hit"))
+            .collect()(0)
+          val n = r.getLong(0)
+          val hit = if (r.isNullAt(1)) 0L else r.getLong(1)
           (name, n, nTruth, hit,
             if (n == 0) 0.0 else hit.toDouble / n.toDouble,
             if (nTruth == 0) 0.0 else hit.toDouble / nTruth.toDouble)

@@ -935,7 +935,27 @@ object TextAnalysis {
                 COALESCE(sc.n_bigrams, 0) AS n_bigrams,
                 CAST(sc.ss AS DOUBLE) / sc.n_bigrams AS lm_score
               FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-              ORDER BY d.doc_id"""))
+              ORDER BY d.doc_id""")),
+
+    // Custom Generator UDTF (graft.functions.NGramsGenerator): positional
+    // word trigrams emitted by a user-defined table function — the third
+    // Catalyst extension point after the scalar Expression
+    // (CosineSimilarity) and the typed Aggregator (MinHashAgg). Catalyst
+    // plans it into the same in-stage Generate node as posexplode, so
+    // the fan-out is map-only (PlanSpec-asserted); output volume, not
+    // shuffle, is the 100 TB cost.
+    QueryDef(
+      "text_ngrams_gen",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.NGramsGenerator(s, col("text"), 3))
+          .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                array_to_string(string_split(text, ' ')[i:i+2], ' ') AS gram
+              FROM documents, LATERAL (SELECT unnest(range(1,
+                len(string_split(text, ' ')) - 1)) AS i) ix
+              ORDER BY doc_id, pos"""))
   )
 
   /** DuckDB replay of the 3 BPE merge rounds (same pair counts, same

@@ -298,6 +298,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) === ((0L, None)))
   }
 
+  test("ngrams generator emits positional trigrams; short and null-safe inputs emit none") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x")).toDF("id", "t")
+      .select(col("id"), graft.functions.NGramsGenerator(spark, col("t"), 3))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getAs[Long]("pos"), r.getAs[String]("gram"))).toSet
+    assert(rows === Set((1L, 0L, "a b c"), (1L, 1L, "b c d")))
+  }
+
   test("q_retention counts distinct returning users per cohort and offset") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_ret").toString

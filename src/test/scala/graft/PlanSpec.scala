@@ -86,6 +86,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
 
+  test("custom Generator UDTF plans an in-stage Generate (map-only fan-out)") {
+    val p = plan("text_ngrams_gen")
+    assert(p.contains("Generate"), s"expected a Generate node in:\n$p")
+    // only the presentation sort may exchange; the fan-out itself is map-only
+    assert(p.split("Exchange").length - 1 <= 1, s"unexpected exchanges in:\n$p")
+  }
+
   test("lateral correlated LIMIT subquery decorrelates to a ranked join") {
     val p = plan("q_lateral_join")
     // Catalyst rewrites the per-nation LATERAL ... LIMIT 2 into a window
