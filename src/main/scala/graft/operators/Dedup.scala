@@ -995,7 +995,9 @@ object Dedup {
     QueryDef(
       "dedup_containment",
       (s, dir) => {
-        val p = jaccardPairs(shingled(s, dir))
+        // the pair relation feeds BOTH direction projections — checkpoint
+        // so the posting self-join + aggregation runs once, not twice
+        val p = jaccardPairs(shingled(s, dir)).localCheckpoint()
         val ab = p.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
           (col("n_common").cast("double") / col("n_a").cast("double"))
             .as("containment"))

@@ -811,8 +811,16 @@ object TextAnalysis {
     QueryDef(
       "text_bpe_merges",
       (s, dir) => {
-        var docs = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("text")).localCheckpoint()
+        // single-file corpus = one input split: without the conditional
+        // repartition every pair-count and rewrite round runs on ONE
+        // core (measured 1.2x parallelism); pre-split inputs skip it
+        var docs = {
+          val d = Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("text"))
+          val p = s.sparkContext.defaultParallelism
+          (if (d.rdd.getNumPartitions >= p) d else d.repartition(p))
+            .localCheckpoint()
+        }
         val learned = Seq.newBuilder[(Long, String, String, Long)]
         for (iter <- 1 to 3) {
           val toks = split(col("text"), " ")
