@@ -62,7 +62,10 @@ object Graph {
               Seq("doc_id"), "left")
             .select(col("doc_id"),
               (lit(15L * Q / (100L * n)) + coalesce(col("cs"), lit(0L))).as("r"))
-            .localCheckpoint() // one pass per iteration; lineage stays O(1)
+          // with a FIXED small iteration count the chained plan executes
+          // as one job (edges read from the checkpoint blocks each time);
+          // a long-running production loop would localCheckpoint every
+          // ~10 generations to bound lineage, as connectedComponents does
         }
         r.select(col("doc_id"), col("r").as("pagerank_q"),
             (col("r").cast("double") / lit(Q.toDouble)).as("pagerank"))
