@@ -566,6 +566,59 @@ object Relational {
               WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
               ORDER BY o_orderkey""")),
 
+    // Window functions, third batch: nth_value, last_value over the full
+    // frame, lead with an explicit default — the remaining navigation
+    // forms. Same single hash shuffle on the partition key as every
+    // window query.
+    QueryDef(
+      "q_window_nth",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"), col("o_orderstatus"),
+            nth_value(col("o_orderkey"), 2).over(w).as("nv2"),
+            last(col("o_orderkey")).over(wFull).as("lastv"),
+            lead(col("o_orderkey"), 1, -1L).over(w).as("nxt"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+                nth_value(o_orderkey, 2) OVER w AS nv2,
+                last_value(o_orderkey) OVER
+                  (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS lastv,
+                lead(o_orderkey, 1, -1) OVER w AS nxt
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+              ORDER BY o_orderkey""")),
+
+    // Grouping diagnostics: grouping_id() / grouping() expose WHICH
+    // rollup level produced each row — required to disambiguate real
+    // NULL group values from subtotal rows in any rollup/cube consumer.
+    QueryDef(
+      "q_grouping_id",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            grouping_id().cast("long").as("gid"),
+            grouping(col("l_returnflag")).cast("long").as("g_rf"),
+            grouping(col("l_linestatus")).cast("long").as("g_ls"))
+          .orderBy(col("gid"),
+            asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+              FROM lineitem
+              GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
     // String scalar functions, second batch.
     QueryDef(
       "q_string_more",
