@@ -23,6 +23,7 @@ final case class QueryDef(
 object Registry {
   lazy val all: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.Warehouse.defs ++
       operators.Analytics.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++

@@ -1,0 +1,354 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Warehouse-grade analytics flagships: multi-fact TPC-H join plans (Q5,
+  * Q18), recursive-CTE hierarchy traversal (SQL:1999 WITH RECURSIVE —
+  * Spark 4 native), hopping (sliding) time windows, interval-overlap
+  * joins, exact-arithmetic correlation matrices, and heavy-hitter
+  * frequency ranking.
+  *
+  * These extend the relational closure in Relational.scala (reference
+  * surface: projection/DISTINCT/scan, main.rs:122-144) with the deeper
+  * plan shapes a warehouse workload exercises: bushy multi-join trees
+  * where the optimizer must pick broadcast vs shuffle per edge, recursion
+  * with a per-iteration shuffle, and windowed/interval temporal joins.
+  *
+  * Scale stance (100 TB):
+  *  - Q5/Q18 shuffle ONLY on the fact-fact keys (orderkey, custkey);
+  *    every dimension edge (supplier, nation, region, part) is an
+  *    explicit `broadcast()` — the classic star-join plan.
+  *  - The recursive CTE's per-step work is a map (halving walk), so each
+  *    recursion level is one narrow stage; Catalyst unions the levels.
+  *    Depth is log2(maxKey) — 11 levels here, ~40 at any realistic key
+  *    domain — far under spark.sql.cteRecursionLevelLimit.
+  *  - Hopping windows are map-only bucket assignment (each row lands in
+  *    exactly windowSize/slide buckets) + one hash aggregate with
+  *    map-side partials — shuffle volume = |rows| x 2 tiny keys, never
+  *    a range sort.
+  *  - The interval-overlap join is keyed on the equi-bucket (calendar
+  *    day) with the interval predicate applied inside the hash match,
+  *    and the window side (error bursts) is aggregated first — tiny —
+  *    then broadcast: zero shuffle of the span side beyond its own
+  *    aggregation.
+  *  - The correlation matrix is ONE pass: all five sufficient statistics
+  *    (n, Σx, Σy, Σx², Σy², Σxy) accumulate as exact decimals in a
+  *    single map-side-combined aggregate; the closing corr/covar/stddev
+  *    arithmetic is per-group scalar math on the driver-bound 3-row
+  *    result. No second scan, no double summation anywhere.
+  */
+object Warehouse {
+
+  /** Exact-decimal cast (same policy as Relational.dec). */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private val one = lit(1).cast("decimal(12,2)")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q5 (local supplier volume): the canonical 6-table star join.
+    // Plan: orders(filtered year) JOIN lineitem on orderkey (one fact
+    // shuffle) JOIN customer on custkey (second fact shuffle) — then
+    // supplier/nation/region all broadcast, with the Q5 signature
+    // c_nationkey = s_nationkey "local supplier" equi-filter evaluated
+    // inside the broadcast hash join. Revenue sums as exact decimal.
+    QueryDef(
+      "q_tpch_q5",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+          .select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val su = broadcast(
+          t(s, dir, "supplier").select("s_suppkey", "s_nationkey"))
+        val n = broadcast(
+          t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"))
+        val r = broadcast(
+          t(s, dir, "region").filter(col("r_name") === "ASIA")
+            .select("r_regionkey"))
+        val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(12,2)) -
+                          CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                  AS revenue
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN supplier ON l_suppkey = s_suppkey
+                                AND c_nationkey = s_nationkey
+                   JOIN nation ON s_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY n_name
+              ORDER BY revenue DESC, n_name""")),
+
+    // TPC-H Q18 (large-volume customer): aggregate-then-join instead of
+    // the textbook join-then-reaggregate — the per-order quantity sum is
+    // computed ONCE on lineitem (map-side combined, one shuffle on
+    // orderkey), the >180 filter shrinks it to the rare big orders, and
+    // only those join orders (same orderkey partitioning — no extra
+    // exchange) and then customer. Identical results, one fewer
+    // fact-sized shuffle than the literal SQL shape at any scale.
+    QueryDef(
+      "q_tpch_q18",
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_quantity"))).as("qty"))
+          .filter(col("qty") > 180)
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val c = t(s, dir, "customer").select("c_custkey", "c_name")
+        big.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"),
+            col("qty").cast("double").as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                o_totalprice, CAST(qty AS DOUBLE) AS total_qty
+              FROM (SELECT l_orderkey,
+                      sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+                    FROM lineitem GROUP BY l_orderkey
+                    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 180) b
+                   JOIN orders ON l_orderkey = o_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 100""")),
+
+    // SQL:1999 recursive CTE (Spark 4 native WITH RECURSIVE): every part
+    // walks the binary-halving ancestor chain key -> key DIV 2 -> ... ->
+    // 1, yielding its depth in the implied binary tree. Each recursion
+    // level is a map-only narrow stage over the previous level's
+    // survivors (the WHERE cur > 1 frontier shrinks geometrically);
+    // the closing depth aggregate is one hash shuffle. Submitted as SQL
+    // TEXT so the parser/analyzer recursion machinery itself is under
+    // test; DuckDB replays the identical recursion with `//` division.
+    QueryDef(
+      "q_recursive_cte",
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("part")
+        s.sql("""
+          WITH RECURSIVE walk(p_partkey, cur, steps) AS (
+            SELECT p_partkey, CAST(p_partkey AS BIGINT), 0 FROM part
+            UNION ALL
+            SELECT p_partkey, cur DIV 2, steps + 1 FROM walk WHERE cur > 1
+          )
+          SELECT p_partkey, CAST(max(steps) AS BIGINT) AS depth
+          FROM walk GROUP BY p_partkey ORDER BY p_partkey""")
+      },
+      Some("""WITH RECURSIVE walk(p_partkey, cur, steps) AS (
+                SELECT p_partkey, CAST(p_partkey AS BIGINT), 0 FROM part
+                UNION ALL
+                SELECT p_partkey, cur // 2, steps + 1 FROM walk WHERE cur > 1
+              )
+              SELECT p_partkey, CAST(max(steps) AS BIGINT) AS depth
+              FROM walk GROUP BY p_partkey ORDER BY p_partkey""")),
+
+    // Hopping (sliding) window: 1-hour windows advancing every 30
+    // minutes, so each event lands in exactly 2 windows. Spark's
+    // `window()` is a map-only bucket expansion (epoch-aligned starts)
+    // followed by one map-side-combined hash aggregate — shuffle volume
+    // is 2x the event keys, independent of window width. The DuckDB
+    // oracle materializes the same 2 buckets per event arithmetically.
+    QueryDef(
+      "q_hopping_window",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(
+            window(col("ts"), "1 hour", "30 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("win_start"), col("event_type"),
+            col("n"))
+          .orderBy("win_start", "event_type"),
+      Some("""WITH b AS (
+                SELECT make_timestamp((epoch_ms(ts) // 1800000) * 1800000000)
+                         AS s1,
+                       event_type
+                FROM events),
+              h AS (
+                SELECT s1 AS win_start, event_type FROM b
+                UNION ALL
+                SELECT s1 - INTERVAL 30 MINUTE, event_type FROM b)
+              SELECT win_start, event_type, count(*) AS n
+              FROM h GROUP BY win_start, event_type
+              ORDER BY win_start, event_type""")),
+
+    // Interval-overlap join: per-(user, day) activity spans [first event,
+    // last event] matched against error-burst windows (hours with >= 7
+    // error events) — "who was active during each incident". The join is
+    // keyed on the calendar-day equi-bucket with the overlap predicate
+    // (span_start < win_end AND span_end >= win_start) inside the hash
+    // match; spans never cross days by construction, so day-bucketing is
+    // lossless. The burst side aggregates to a handful of rows and
+    // broadcasts — the span side is touched exactly once after its own
+    // aggregation. At 100 TB: spans ~ |users x days| (already reduced),
+    // bursts ~ |incident hours| (tiny), candidates ∝ same-day pairs only.
+    QueryDef(
+      "q_overlap_activity",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val spans = e
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+        val bursts = e
+          .filter(col("event_type") === "error")
+          .groupBy(date_trunc("hour", col("ts")).as("win_start"))
+          .agg(count(lit(1)).as("n_err"))
+          .filter(col("n_err") >= 7)
+          .withColumn("win_end",
+            col("win_start") + expr("INTERVAL 1 HOUR"))
+          .withColumn("day", to_date(col("win_start")))
+        spans
+          .join(broadcast(bursts),
+            spans("day") === bursts("day") &&
+              col("s_start") < col("win_end") &&
+              col("s_end") >= col("win_start"))
+          .groupBy(col("win_start"), col("n_err"))
+          .agg(count(lit(1)).as("n_users_active"))
+          .orderBy("win_start")
+      },
+      Some("""WITH spans AS (
+                SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                       min(ts) AS s_start, max(ts) AS s_end
+                FROM events GROUP BY 1, 2),
+              bursts AS (
+                SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+                       count(*) AS n_err
+                FROM events WHERE event_type = 'error'
+                GROUP BY 1 HAVING count(*) >= 7)
+              SELECT b.win_start, b.n_err, count(*) AS n_users_active
+              FROM spans s JOIN bursts b
+                ON s.day = CAST(date_trunc('day', b.win_start) AS DATE)
+               AND s.s_start < b.win_start + INTERVAL 1 HOUR
+               AND s.s_end >= b.win_start
+              GROUP BY b.win_start, b.n_err
+              ORDER BY b.win_start""")),
+
+    // One-pass correlation matrix: corr/covar/stddev of (quantity,
+    // extendedprice) per return flag from exact-decimal sufficient
+    // statistics — Σx, Σy, Σx², Σy², Σxy accumulate as decimals (exact,
+    // associative, partition-order-free), and ONLY the closing
+    // per-group scalar formulas touch IEEE doubles, rounded to 6 dp.
+    // Spark's built-in corr()/covar_samp() stream doubles and are not
+    // bit-reproducible across partitionings; this shape is, at the cost
+    // of one widening multiply per row — the right trade for a
+    // regression-tested 100 TB pipeline.
+    QueryDef(
+      "q_corr_matrix",
+      (s, dir) => {
+        val x = dec(col("l_quantity"))
+        val y = dec(col("l_extendedprice"))
+        val g = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"),
+            sum(x * y).as("sxy"))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double")
+        val syD = col("sy").cast("double")
+        val sxxD = col("sxx").cast("double")
+        val syyD = col("syy").cast("double")
+        val sxyD = col("sxy").cast("double")
+        g.select(
+            col("l_returnflag"), col("n"),
+            round((nD * sxyD - sxD * syD) /
+              sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD)), 6)
+              .as("corr_qty_price"),
+            round((sxyD - sxD * syD / nD) / (nD - 1), 6)
+              .as("covar_qty_price"),
+            round(sqrt((nD * sxxD - sxD * sxD) / (nD * (nD - 1))), 6)
+              .as("stddev_qty"),
+            round(sqrt((nD * syyD - syD * syD) / (nD * (nD - 1))), 6)
+              .as("stddev_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH g AS (
+                SELECT l_returnflag, count(*) AS n,
+                  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+                  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+                  sum(CAST(l_quantity AS DECIMAL(12,2)) *
+                      CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+                  sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+                  sum(CAST(l_quantity AS DECIMAL(12,2)) *
+                      CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag, n,
+                round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                  AS corr_qty_price,
+                round((CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1), 6) AS covar_qty_price,
+                round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6)
+                  AS stddev_qty,
+                round(sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6)
+                  AS stddev_price
+              FROM g ORDER BY l_returnflag""")),
+
+    // Heavy hitters: the top-20 most-ordered parts with exact counts and
+    // quantities, dimension attributes attached AFTER the aggregate+limit
+    // (broadcast join against 20 rows, not 6M). The aggregate is
+    // map-side combined on l_partkey; the global top-20 is a
+    // TakeOrderedAndProject — no full sort. Companion to the CMS sketch
+    // estimate in Analytics (q_cms_freq), which answers the same
+    // question in bounded memory when the key domain explodes.
+    QueryDef(
+      "q_heavy_hitters",
+      (s, dir) => {
+        val top = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+          .orderBy(col("n_lines").desc, col("l_partkey"))
+          .limit(20)
+        top.join(broadcast(t(s, dir, "part").select("p_partkey", "p_name")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("p_name"), col("n_lines"),
+            col("total_qty"))
+          .orderBy(col("n_lines").desc, col("l_partkey"))
+      },
+      Some("""SELECT l_partkey, p_name, n_lines, total_qty
+              FROM (SELECT l_partkey, count(*) AS n_lines,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                        AS total_qty
+                    FROM lineitem GROUP BY l_partkey
+                    ORDER BY n_lines DESC, l_partkey LIMIT 20) t
+                   JOIN part ON l_partkey = p_partkey
+              ORDER BY n_lines DESC, l_partkey"""))
+  )
+}

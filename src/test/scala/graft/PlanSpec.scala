@@ -349,4 +349,35 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("TPC-H Q5 broadcasts every dimension edge and never goes cartesian") {
+    val p = plan("q_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"supplier/nation/region should all broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join shape:\n$p")
+  }
+
+  test("heavy hitters use a top-k sort, not a global sort") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
+  test("hopping window is map-only expansion + one hash aggregate") {
+    val p = plan("q_hopping_window")
+    // exactly one data shuffle (the aggregate) plus the ordering's range
+    // exchange — no join, no extra repartition
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n$p")
+    assert(!p.contains("Join"), s"hop expansion must not join:\n$p")
+  }
+
+  test("interval-overlap join broadcasts the burst side") {
+    val p = plan("q_overlap_activity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"burst windows should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap must stay an equi-bucket hash join:\n$p")
+  }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent cross-checks for the warehouse flagships (TPC-H Q5/Q18,
+  * recursive CTE, hopping windows, interval overlap, correlation matrix,
+  * heavy hitters) on the smoke corpus. */
+class WarehouseSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private def run(name: String) =
+    Registry.byName(name).run(spark, TestSpark.sf)
+
+  test("q_tpch_q5 equals the literal SQL-text formulation") {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(n =>
+        Tables.load(spark, TestSpark.sf, n).createOrReplaceTempView(n))
+    val sqlForm = spark.sql("""
+      SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) -
+                  CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+                        AND c_nationkey = s_nationkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name""").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = run("q_tpch_q5").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === sqlForm)
+  }
+
+  test("q_tpch_q18 rows all exceed the quantity threshold, capped at 100") {
+    val rows = run("q_tpch_q18").collect()
+    assert(rows.length <= 100)
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("total_qty") > 180.0))
+    // aggregate-then-join must agree with a direct per-order recompute
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+    val byOrder = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(byOrder(r.getAs[Long]("o_orderkey")) ===
+        r.getAs[Double]("total_qty"))
+    }
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_recursive_cte depth equals floor(log2(key)) closed form") {
+    val rows = run("q_recursive_cte").collect()
+    val parts = Tables.load(spark, TestSpark.sf, "part").count()
+    assert(rows.length === parts)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("p_partkey")
+      val expected =
+        if (k <= 1) 0L else (63 - java.lang.Long.numberOfLeadingZeros(k)).toLong
+      assert(r.getAs[Long]("depth") === expected, s"key $k")
+    }
+  }
+
+  test("q_hopping_window counts every event exactly twice") {
+    val out = run("q_hopping_window")
+    val events = Tables.load(spark, TestSpark.sf, "events").count()
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(total === 2 * events)
+    // every window start sits on a 30-minute boundary
+    val misaligned = out
+      .filter(unix_timestamp(col("win_start")) % 1800 =!= 0).count()
+    assert(misaligned === 0)
+  }
+
+  test("q_overlap_activity covers at least the users inside each window") {
+    val out = run("q_overlap_activity").collect()
+    val e = Tables.load(spark, TestSpark.sf, "events")
+    out.foreach { r =>
+      val winStart = r.getAs[java.sql.Timestamp]("win_start")
+      assert(r.getAs[Long]("n_err") >= 7)
+      // users with an event inside the hour necessarily have an
+      // overlapping same-day span, so they lower-bound the result
+      val inWindow = e
+        .filter(date_trunc("hour", col("ts")) === lit(winStart))
+        .select("user_id").distinct().count()
+      assert(r.getAs[Long]("n_users_active") >= inWindow)
+    }
+  }
+
+  test("q_corr_matrix agrees with Spark's streaming corr/stddev") {
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+    val builtin = li.groupBy("l_returnflag")
+      .agg(corr("l_quantity", "l_extendedprice").as("c"),
+        covar_samp("l_quantity", "l_extendedprice").as("cv"),
+        stddev_samp("l_quantity").as("sq"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    run("q_corr_matrix").collect().foreach { r =>
+      val (c, cv, sq) = builtin(r.getString(0))
+      assert(math.abs(r.getAs[Double]("corr_qty_price") - c) < 1e-5)
+      assert(math.abs(r.getAs[Double]("covar_qty_price") - cv) < 1e-3)
+      assert(math.abs(r.getAs[Double]("stddev_qty") - sq) < 1e-5)
+    }
+  }
+
+  test("q_heavy_hitters top part matches a direct recount") {
+    val rows = run("q_heavy_hitters").collect()
+    assert(rows.length === 20)
+    val counts = rows.map(_.getAs[Long]("n_lines"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+    val top = rows.head
+    val direct = li.filter(col("l_partkey") === top.getAs[Long]("l_partkey"))
+      .count()
+    assert(direct === top.getAs[Long]("n_lines"))
+    // nothing outside the returned set may beat the 20th count
+    val floor20 = counts.last
+    val better = li.groupBy("l_partkey").count()
+      .filter(col("count") > floor20).count()
+    assert(better <= 20)
+  }
+}
