@@ -792,8 +792,49 @@ object Analytics {
             col("sw.end").as("session_end"),
             col("n_events"))
           .orderBy("user_id", "session_start"),
-      Some(SessionWindowOracleSql))
+      Some(SessionWindowOracleSql)),
+
+    // Count-min sketch frequency estimation (custom mergeable typed
+    // aggregate, functions/CountMinAgg.scala): the bounded-memory answer
+    // to "how often does each key occur" when the key domain is too
+    // large for an exact groupBy — 32 KB of counters per partial
+    // regardless of cardinality, map-side combined, partitioning-
+    // independent by construction (counter sums commute). The query
+    // builds ONE sketch over all 6M+ line items, then probes it for the
+    // exact top-20 keys so estimate quality is visible next to ground
+    // truth: est >= exact always, est - exact <= 2N/width w.h.p.
+    // (bounds asserted in AnalyticsSpec). No SQL oracle — a sketch is
+    // engine-private state — so this is a declared rows-only entry like
+    // q_approx_sketches; the EXACT columns are covered by
+    // q_heavy_hitters' oracle.
+    QueryDef(
+      "q_cms_freq",
+      (s, dir) => {
+        import graft.functions.EngineFns.hash31
+        val li = t(s, dir, "lineitem").select(col("l_partkey"))
+        val cms = udaf(new graft.functions.CountMinAgg(CmsDepth, CmsWidth))
+        val sk = li.agg(cms(col("l_partkey")).as("sk"))
+        val top = li.groupBy("l_partkey").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("l_partkey")).limit(20)
+        // probe: min over the depth rows of the counter each hash selects
+        val est = (0 until CmsDepth).map { i =>
+          val slot = hash31(concat(lit(s"cms${i}_"),
+            col("l_partkey").cast("string"))) % CmsWidth
+          element_at(col("sk"), (lit(i * CmsWidth) + slot + 1).cast("int"))
+        }
+        top.crossJoin(broadcast(sk))
+          .select(col("l_partkey"), col("n_exact"),
+            least(est: _*).as("n_est"))
+          .orderBy(col("n_exact").desc, col("l_partkey"))
+      },
+      None)
   )
+
+  /** Count-min sketch geometry: 4 rows x 1024 counters = 32 KB. With
+    * |lineitem| = N, the estimate error is <= 2N/1024 with probability
+    * 1 - 2^-4 per key. */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
 
   /** Gaps-and-islands oracle for the native session-window operators
     * (batch + streaming): session end = last event + 30-minute gap.

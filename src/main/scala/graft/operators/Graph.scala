@@ -71,7 +71,59 @@ object Graph {
             (col("r").cast("double") / lit(Q.toDouble)).as("pagerank"))
           .orderBy("doc_id")
       },
-      Some(PagerankOracleSql))
+      Some(PagerankOracleSql)),
+
+    // Degree centrality of the near-dup graph: how many neighbors each
+    // edge-bearing document has. One union + one map-side-combined count
+    // per node — the cheapest graph statistic and the input to
+    // degree-ordered triangle orientation at scale.
+    QueryDef(
+      "graph_degrees",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select("a_id", "b_id")
+        pairs.select(col("a_id").as("doc_id"))
+          .union(pairs.select(col("b_id").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${Dedup.JaccardPairsCte},
+                 e AS (SELECT a_id AS doc_id FROM pairs
+                       UNION ALL SELECT b_id FROM pairs)
+               SELECT doc_id, count(*) AS degree
+               FROM e GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Triangle enumeration over the near-dup graph — the clustering-
+    // coefficient / community-density primitive. Edges arrive oriented
+    // (a_id < b_id from the pair generator), so each triangle a<b<c is
+    // found exactly once by the textbook two-join: wedges (a-b, b-c)
+    // then closure against the (a, c) edge. Both joins are hash
+    // equi-joins keyed on node ids; with oriented edges the wedge count
+    // is bounded by per-node out-degree, which the DF cap in the pair
+    // generator keeps small (a viral template family cannot explode the
+    // posting lists that feed the edge set). No cartesian shape anywhere.
+    QueryDef(
+      "graph_triangles",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select("a_id", "b_id")
+          .localCheckpoint() // feeds three subtrees: compute edges once
+        val ab = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+        val bc = pairs.select(col("a_id").as("wb"), col("b_id").as("c"))
+        val ac = pairs.select(col("a_id").as("wa"), col("b_id").as("wc"))
+        ab.join(bc, col("b") === col("wb"))
+          .join(ac, col("a") === col("wa") && col("c") === col("wc"))
+          .select(col("a"), col("b"), col("c"))
+          .orderBy("a", "b", "c")
+      },
+      Some(s"""WITH ${Dedup.JaccardPairsCte}
+               SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+               FROM pairs e1 JOIN pairs e2 ON e1.b_id = e2.a_id
+                    JOIN pairs e3 ON e3.a_id = e1.a_id
+                                 AND e3.b_id = e2.b_id
+               ORDER BY a, b, c"""))
   )
 
   /** DuckDB replay of the quantized iterations — generated so iteration

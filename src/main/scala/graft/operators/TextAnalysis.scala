@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -811,40 +811,29 @@ object TextAnalysis {
     QueryDef(
       "text_bpe_merges",
       (s, dir) => {
-        // single-file corpus = one input split: without the conditional
-        // repartition every pair-count and rewrite round runs on ONE
-        // core (measured 1.2x parallelism); pre-split inputs skip it
-        var docs = {
-          val d = Tables.load(s, dir, "documents")
-            .select(col("doc_id"), col("text"))
-          val p = s.sparkContext.defaultParallelism
-          (if (d.rdd.getNumPartitions >= p) d else d.repartition(p))
-            .localCheckpoint()
-        }
-        val learned = Seq.newBuilder[(Long, String, String, Long)]
-        for (iter <- 1 to 3) {
-          val toks = split(col("text"), " ")
-          val pairCol = when(size(toks) >= 2,
-            transform(sequence(lit(0), size(toks) - 2), i =>
-              struct(element_at(toks, i + 1).as("a"),
-                element_at(toks, i + 2).as("b"))))
-            .otherwise(expr("cast(array() as array<struct<a:string,b:string>>)"))
-          val best = docs.select(explode(pairCol).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(count(lit(1)).as("cnt"))
-            .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-            .limit(1).collect()(0)
-          val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-          learned += ((iter.toLong, a, b, cnt))
-          docs = docs.select(col("doc_id"),
-              expr(s"trim(replace(replace(concat('  ', replace(text, ' ', '  '), '  '), " +
-                s"' $a  $b ', ' $a~$b '), '  ', ' '))").as("text"))
-            .localCheckpoint()
-        }
         import s.implicits._
-        learned.result().toDF("iter", "a", "b", "cnt").orderBy("iter")
+        bpeRounds(s, dir)._2.toDF("iter", "a", "b", "cnt").orderBy("iter")
       },
       Some(BpeMergesOracleSql)),
+
+    // BPE ENCODING — the other half of the tokenizer: the corpus
+    // rewritten by the trained merge rules. Each learned rule applies as
+    // the same map-only double-space literal replace the trainer uses
+    // (greedy leftmost, one merge per overlap chain), so encode cost is
+    // |rules| map passes over the corpus with zero shuffles — at 100 TB
+    // the rounds pipeline inside one whole-stage-codegen projection per
+    // localCheckpoint generation. Output is the per-document token count
+    // and the merged token string; the oracle replays the identical
+    // rounds (training AND encoding) in chained CTEs.
+    QueryDef(
+      "text_bpe_encode",
+      (s, dir) =>
+        bpeRounds(s, dir)._1
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            col("text").as("text_bpe"))
+          .orderBy("doc_id"),
+      Some(BpeEncodeOracleSql)),
 
     // Temperature-flattened source mixture (the multi-source training-mix
     // knob): keep each document with probability C / sqrt(n_source) —
@@ -966,10 +955,52 @@ object TextAnalysis {
               ORDER BY doc_id, pos"""))
   )
 
-  /** DuckDB replay of the 3 BPE merge rounds (same pair counts, same
+  /** Run the 3 BPE merge-training rounds corpus-parallel; returns the
+    * final rewritten corpus (doc_id, text with '~'-joined merges) and
+    * the learned rules. Each round: one pair-count aggregate (map-side
+    * combined, one hash shuffle), ONE argmax row back to the driver
+    * (bounded state), one map-only literal-replace rewrite. */
+  private def bpeRounds(
+      s: SparkSession,
+      dir: String): (DataFrame, Seq[(Long, String, String, Long)]) = {
+    // single-file corpus = one input split: without the conditional
+    // repartition every pair-count and rewrite round runs on ONE
+    // core (measured 1.2x parallelism); pre-split inputs skip it
+    var docs = {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val p = s.sparkContext.defaultParallelism
+      (if (d.rdd.getNumPartitions >= p) d else d.repartition(p))
+        .localCheckpoint()
+    }
+    val learned = Seq.newBuilder[(Long, String, String, Long)]
+    for (iter <- 1 to 3) {
+      val toks = split(col("text"), " ")
+      val pairCol = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2), i =>
+          struct(element_at(toks, i + 1).as("a"),
+            element_at(toks, i + 2).as("b"))))
+        .otherwise(expr("cast(array() as array<struct<a:string,b:string>>)"))
+      val best = docs.select(explode(pairCol).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      learned += ((iter.toLong, a, b, cnt))
+      docs = docs.select(col("doc_id"),
+          expr(s"trim(replace(replace(concat('  ', replace(text, ' ', '  '), '  '), " +
+            s"' $a  $b ', ' $a~$b '), '  ', ' '))").as("text"))
+        .localCheckpoint()
+    }
+    (docs, learned.result())
+  }
+
+  /** Shared DuckDB replay of the 3 BPE rounds (same pair counts, same
     * tie-break, same double-space literal replace). Built
-    * programmatically so both engines always run the same round count. */
-  private lazy val BpeMergesOracleSql: String = {
+    * programmatically so both engines always run the same round count;
+    * the trainer and encoder oracles close over the same CTE chain. */
+  private lazy val BpeRoundsCte: String = {
     val iters = (1 to 3).map { i =>
       s"""p$i AS (
             SELECT z[1] AS a, z[2] AS b, count(*) AS cnt
@@ -987,11 +1018,21 @@ object TextAnalysis {
                 '  ', ' ')) AS text
             FROM d${i - 1})"""
     }.mkString(",\n")
-    s"""WITH d0 AS (SELECT doc_id, text FROM documents),
-        $iters
+    s"""d0 AS (SELECT doc_id, text FROM documents),
+        $iters"""
+  }
+
+  private lazy val BpeMergesOracleSql: String =
+    s"""WITH $BpeRoundsCte
         SELECT * FROM (
           SELECT CAST(1 AS BIGINT) AS iter, a, b, cnt FROM best1
           UNION ALL SELECT 2, a, b, cnt FROM best2
           UNION ALL SELECT 3, a, b, cnt FROM best3) ORDER BY iter"""
-  }
+
+  private lazy val BpeEncodeOracleSql: String =
+    s"""WITH $BpeRoundsCte
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          text AS text_bpe
+        FROM d3 ORDER BY doc_id"""
 }

@@ -57,6 +57,41 @@ object StreamOps {
     s.table(sink).orderBy("hour", "event_type")
   }
 
+  /** Streaming hopping (sliding) windows: the same 1h/30min overlapping
+    * windows as the batch q_hopping_window, run incrementally — each
+    * event expands into its 2 windows map-side, state is one counter per
+    * (window, type) bounded by the 1-hour watermark, and the complete-
+    * mode sink holds only the aggregated table (∝ windows x types,
+    * never ∝ events). */
+  def hoppingByType(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val sink = s"graft_stream_hopping_${nameCounter.incrementAndGet()}"
+    val q = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    s.table(sink)
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"))
+      .orderBy("win_start", "event_type")
+  }
+
   /** Streaming deduplication: dropDuplicates over the event-id key keeps
     * per-key state in the state store (bounded by the watermark at 100 TB
     * rates); the deduped append stream lands in a memory sink and is
@@ -362,6 +397,22 @@ object StreamOps {
       (s, dir) => streamingDedup(s, dir),
       Some("""SELECT event_type, count(DISTINCT event_id) AS n
               FROM events GROUP BY event_type ORDER BY event_type"""),
+      bench = false),
+    QueryDef(
+      "stream_hopping",
+      (s, dir) => hoppingByType(s, dir),
+      Some("""WITH b AS (
+                SELECT make_timestamp((epoch_ms(ts) // 1800000) * 1800000000)
+                         AS s1,
+                       event_type
+                FROM events),
+              h AS (
+                SELECT s1 AS win_start, event_type FROM b
+                UNION ALL
+                SELECT s1 - INTERVAL 30 MINUTE, event_type FROM b)
+              SELECT win_start, event_type, count(*) AS n
+              FROM h GROUP BY win_start, event_type
+              ORDER BY win_start, event_type"""),
       bench = false),
     QueryDef(
       "stream_hourly",

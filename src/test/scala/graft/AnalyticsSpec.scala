@@ -114,4 +114,38 @@ class AnalyticsSpec extends AnyFunSuite {
       .orderBy("event_type").collect().map(_.toString).toSeq
     assert(streamed === batch)
   }
+
+  test("count-min estimates never undercount and stay inside the bound") {
+    val out = run("q_cms_freq").collect()
+    assert(out.length === 20)
+    val n = Tables.load(spark, TestSpark.sf, "lineitem").count()
+    out.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("n_est")
+      assert(est >= exact, s"CMS may never undercount: $r")
+      // deterministic sketch, loose bound (4x the e*N/w guarantee)
+      assert(est - exact <= 8 * n / 1024 + 1, s"overestimate too large: $r")
+    }
+    // the estimates must agree with a direct recount for the top key
+    val top = out.head
+    val direct = Tables.load(spark, TestSpark.sf, "lineitem")
+      .filter(col("l_partkey") === top.getAs[Long]("l_partkey")).count()
+    assert(top.getAs[Long]("n_exact") === direct)
+  }
+
+  test("bpe encode round-trips: expanding merges restores the corpus") {
+    val enc = run("text_bpe_encode").collect()
+    val orig = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enc.length === orig.size)
+    enc.foreach { r =>
+      val merged = r.getAs[String]("text_bpe")
+      assert(merged.replace('~', ' ') === orig(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_tokens") ===
+        merged.split(" ", -1).length.toLong)
+    }
+    // the merges must actually fire somewhere in the corpus
+    assert(enc.exists(_.getAs[String]("text_bpe").contains("~")))
+  }
 }

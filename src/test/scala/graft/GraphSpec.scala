@@ -40,4 +40,52 @@ class GraphSpec extends AnyFunSuite {
     // only loses mass; nothing is created)
     assert(out.values.sum <= 1000000000000L)
   }
+
+  /** Planted triangle: docs 0/1/2 all share one trigram (3-clique);
+    * docs 3/4 share another (single edge, no triangle). */
+  private lazy val triDir: String = {
+    val d = Files.createTempDirectory("graft_tri").toString
+    val docs = Seq(
+      (0L, "t1 t2 t3 a0 b0 c0"),
+      (1L, "t1 t2 t3 a1 b1 c1"),
+      (2L, "t1 t2 t3 a2 b2 c2"),
+      (3L, "u1 u2 u3 a3 b3 c3"),
+      (4L, "u1 u2 u3 a4 b4 c4"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("triangles finds exactly the planted 3-clique") {
+    val tri = Registry.byName("graph_triangles").run(spark, triDir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c")))
+    assert(tri.toSeq === Seq((0L, 1L, 2L)))
+    val deg = Registry.byName("graph_degrees").run(spark, triDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("degree")).toMap
+    assert(deg === Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("triangles on the corpus match a brute-force closure of the edges") {
+    val pairs = operators.Dedup
+      .jaccardPairs(operators.Dedup.shingled(spark, TestSpark.sf))
+      .filter(org.apache.spark.sql.functions.col("jaccard") >=
+        operators.Dedup.JaccardThreshold)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = pairs.toSet
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val brute = (for {
+      (a, succ) <- adj.toSeq
+      i <- succ.indices; j <- (i + 1) until succ.length
+      if edgeSet.contains((succ(i), succ(j)))
+    } yield (a, succ(i), succ(j))).sorted
+    val got = Registry.byName("graph_triangles").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c")))
+      .toSeq.sorted
+    assert(got === brute)
+    assert(got.nonEmpty, "smoke corpus should contain triangles")
+  }
 }
