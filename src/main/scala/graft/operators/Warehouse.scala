@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -349,6 +350,87 @@ object Warehouse {
                     FROM lineitem GROUP BY l_partkey
                     ORDER BY n_lines DESC, l_partkey LIMIT 20) t
                    JOIN part ON l_partkey = p_partkey
-              ORDER BY n_lines DESC, l_partkey"""))
+              ORDER BY n_lines DESC, l_partkey""")),
+
+    // SQL-language scalar UDF (SQL:2016 / Spark 4 CREATE FUNCTION ...
+    // RETURN expr): user-defined abstraction with ZERO execution cost —
+    // the analyzer inlines the body into the plan as ordinary Catalyst
+    // expressions, so the aggregate below stays fully inside whole-stage
+    // codegen (no ScalaUDF / no serialization boundary; asserted in
+    // PlanSpec). The body keeps the engine's exact-decimal money policy,
+    // so the UDF is safe to sum at any parallelism. The oracle inlines
+    // the same expression — which is exactly what Spark itself does.
+    QueryDef(
+      "q_sql_udf",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_net(
+                   p DOUBLE, d DOUBLE) RETURNS DECIMAL(25,4)
+                 RETURN CAST(p AS DECIMAL(12,2)) *
+                   (CAST(1 AS DECIMAL(12,2)) - CAST(d AS DECIMAL(12,2)))""")
+        s.sql("""SELECT l_returnflag,
+                   CAST(sum(graft_net(l_extendedprice, l_discount))
+                     AS DOUBLE) AS net_revenue,
+                   count(*) AS n
+                 FROM lineitem GROUP BY l_returnflag
+                 ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(12,2)) -
+                          CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                  AS net_revenue,
+                count(*) AS n
+              FROM lineitem GROUP BY l_returnflag
+              ORDER BY l_returnflag""")),
+
+    // 2-D skyline (Pareto frontier): parts no other part beats on BOTH
+    // (cheaper-or-equal price, bigger-or-equal size, one strict). The
+    // quadratic NOT-EXISTS formulation is replaced by the scan shape:
+    // (1) aggregate to the distinct-price domain with the max size per
+    // price (one map-side-combined shuffle — collapses 6M rows to the
+    // price domain); (2) one prefix-max window over that aggregated
+    // domain (same "window over the already-aggregated tiny table"
+    // posture as stream_topk — the domain is |distinct prices|, not
+    // |rows|; a domain too big for one partition would switch to the
+    // two-pass range-partitioned prefix scan); (3) broadcast the
+    // surviving frontier back against `part` to recover the rows.
+    QueryDef(
+      "q_skyline",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val byPrice = p.groupBy(col("p_retailprice"))
+          .agg(max(col("p_size")).as("m"))
+        val w = Window.orderBy(col("p_retailprice"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = byPrice
+          .withColumn("cm_prev", max(col("m")).over(w))
+          // on the frontier iff the best size at this price strictly
+          // beats every strictly-cheaper point
+          .filter(col("cm_prev").isNull || col("m") > col("cm_prev"))
+          // rename: the frontier derives from `part`, so keeping the
+          // original column names would make the join self-ambiguous
+          .select(col("p_retailprice").as("f_price"), col("m"))
+        p.join(broadcast(frontier),
+            col("p_retailprice") === col("f_price") &&
+              col("p_size") === col("m"))
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+            col("p_size"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH bp AS (
+                SELECT p_retailprice, max(p_size) AS m
+                FROM part GROUP BY p_retailprice),
+              f AS (
+                SELECT p_retailprice, m,
+                  max(m) OVER (ORDER BY p_retailprice
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS cm_prev
+                FROM bp)
+              SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+              FROM part p JOIN f ON p.p_retailprice = f.p_retailprice
+                               AND p.p_size = f.m
+              WHERE f.cm_prev IS NULL OR f.m > f.cm_prev
+              ORDER BY p.p_partkey"""))
   )
 }

@@ -372,6 +372,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"hop expansion must not join:\n$p")
   }
 
+  test("SQL UDF inlines into the plan: no ScalaUDF, stays in codegen") {
+    val p = plan("q_sql_udf")
+    assert(!p.contains("ScalaUDF"), s"SQL UDF must inline, not box:\n$p")
+    // the inlined body must appear as a plain decimal expression inside
+    // the aggregate (codegen-eligible), not as a function call boundary
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("decimal(12,2)"), s"inlined body not visible:\n$p")
+  }
+
   test("interval-overlap join broadcasts the burst side") {
     val p = plan("q_overlap_activity")
     assert(p.contains("BroadcastHashJoin"),

@@ -108,6 +108,36 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_skyline equals brute-force Pareto dominance") {
+    val parts = Tables.load(spark, TestSpark.sf, "part")
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val brute = parts.filter { case (_, price, size) =>
+      !parts.exists { case (_, p2, s2) =>
+        p2 <= price && s2 >= size && (p2 < price || s2 > size)
+      }
+    }.map(_._1).sorted.toSeq
+    val got = run("q_skyline").collect().map(_.getAs[Long]("p_partkey")).toSeq
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
+  test("q_sql_udf result equals the DataFrame-API computation") {
+    val got = run("q_sql_udf").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val direct = Tables.load(spark, TestSpark.sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") -
+            col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("net"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(got === direct)
+  }
+
   test("q_heavy_hitters top part matches a direct recount") {
     val rows = run("q_heavy_hitters").collect()
     assert(rows.length === 20)
