@@ -1,10 +1,8 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
 /** Count-min sketch aggregate: bounded-memory frequency estimation over
   * an unbounded key domain. The buffer is a depth x width counter matrix
@@ -13,29 +11,34 @@ import org.apache.spark.sql.expressions.Aggregator
   * depth counters — an overestimate by at most eN/width with probability
   * 1 - (1/2)^depth (Cormode & Muthukrishnan 2005).
   *
+  * The aggregator's input is the per-row slot vector, NOT the raw key:
+  * the depth hash positions are computed by `CountMinAgg.slots` as
+  * ordinary codegen Column expressions (the engine-portable md5 hash31
+  * family) in the projection feeding the aggregate, so (a) the hot loop
+  * here is pure array increments with zero hashing or allocation, and
+  * (b) the estimate-probe side of a query addresses the same counters
+  * by construction — it reuses the very same Column builder.
+  *
   * Distributed-correctness properties:
   *  - counters are plain sums, so reduce/merge are associative AND
   *    commutative — Spark runs map-side partials and the sketch is
   *    bit-identical under any partitioning (unlike order-sensitive
   *    sketches such as space-saving, whose merge result depends on
   *    arrival order);
-  *  - the hash family is the engine-portable md5 recipe (EngineFns
-  *    .hash31): h_i(k) = md5("cms{i}_{k}") mod width, reproducible from
-  *    SQL for the estimate-lookup side of the query.
-  *
-  * At 100 TB the sketch never grows: 4 x 1024 longs = 32 KB per partial
-  * regardless of key cardinality — the whole point vs an exact
-  * groupBy-count whose state is ∝ distinct keys.
+  *  - at 100 TB the sketch never grows: 4 x 1024 longs = 32 KB per
+  *    partial regardless of key cardinality — the whole point vs an
+  *    exact groupBy-count whose state is ∝ distinct keys.
   */
 class CountMinAgg(depth: Int, width: Int)
-    extends Aggregator[Long, Array[Long], Seq[Long]] {
+    extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
 
   override def zero: Array[Long] = Array.fill(depth * width)(0L)
 
-  override def reduce(buf: Array[Long], key: Long): Array[Long] = {
+  override def reduce(buf: Array[Long], slots: Seq[Int]): Array[Long] = {
+    if (slots == null) return buf
     var i = 0
     while (i < depth) {
-      buf(i * width + CountMinAgg.slot(i, key, width)) += 1
+      buf(i * width + slots(i)) += 1
       i += 1
     }
     buf
@@ -61,15 +64,15 @@ class CountMinAgg(depth: Int, width: Int)
 
 object CountMinAgg {
 
-  /** JVM twin of the SQL-side hash31("cms{row}_{key}") % width — the
-    * first 15 md5 hex chars as a long, mod 2^31-1, mod width. Must stay
-    * in lockstep with EngineFns.hash31 so estimate lookups written as
-    * SQL expressions address the same counters the aggregator filled. */
-  def slot(row: Int, key: Long, width: Int): Int = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"cms${row}_$key".getBytes(StandardCharsets.UTF_8))
-      .take(8).map(b => f"$b%02x").mkString // 16 hex chars; take 15
-    ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2147483647L)
-      % width).toInt
-  }
+  /** The depth hash positions of `key` as one array column — h_i(key) =
+    * hash31("cms{i}_" || key) mod width, fully codegen. Both the
+    * sketch-build projection and the estimate probe MUST use this
+    * builder so they can never address different counters. */
+  def slots(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(i => slot(i, key, width)): _*)
+
+  /** Single hash position (int) for probe-side counter lookups. */
+  def slot(row: Int, key: Column, width: Int): Column =
+    (EngineFns.hash31(concat(lit(s"cms${row}_"), key.cast("string")))
+      % width).cast("int")
 }

