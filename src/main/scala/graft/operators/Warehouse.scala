@@ -435,6 +435,122 @@ object Warehouse {
               FROM part p JOIN f ON p.p_retailprice = f.p_retailprice
                                AND p.p_size = f.m
               WHERE f.cm_prev IS NULL OR f.m > f.cm_prev
-              ORDER BY p.p_partkey"""))
+              ORDER BY p.p_partkey""")),
+
+    // Data-quality audit (Deequ/dbt-test style): a fixed rule catalog
+    // evaluated in one pass per table — null checks and domain checks
+    // compile to conditional-sum aggregates over a single scan;
+    // referential-integrity rules are left-anti joins (orphan probes)
+    // where the dimension side broadcasts. Each rule emits (rule,
+    // n_violations, n_checked); a clean corpus yields all-zero
+    // violations, which is itself the assertion a pipeline gates on.
+    // At 100 TB every rule is embarrassingly parallel and the rule
+    // results are one row each — the audit output never grows.
+    QueryDef(
+      "q_constraints",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val e = t(s, dir, "events")
+        def rule(name: String, violations: Column): DataFrame => DataFrame =
+          df => df.agg(count(lit(1)).as("n_checked"),
+            sum(when(violations, 1L).otherwise(0L)).as("n_violations"))
+            .select(lit(name).as("rule"), col("n_violations"),
+              col("n_checked"))
+        val scans = Seq(
+          rule("lineitem_qty_domain",
+            col("l_quantity") < 1 || col("l_quantity") > 50)(li),
+          rule("lineitem_price_positive", col("l_extendedprice") <= 0)(li),
+          rule("customer_name_not_null", col("c_name").isNull)(c),
+          rule("events_user_not_null", col("user_id").isNull)(e),
+          rule("orders_date_range",
+            col("o_orderdate") < to_timestamp(lit("1990-01-01")))(o))
+        val orphanLi = li.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("lineitem_orderkey_fk").as("rule"),
+            col("n_violations"), lit(null).cast("long").as("n_checked"))
+        val orphanO = o.select(col("o_custkey"))
+          .join(c.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("orders_custkey_fk").as("rule"),
+            col("n_violations"), lit(null).cast("long").as("n_checked"))
+        (scans :+ orphanLi :+ orphanO)
+          .reduce(_.unionAll(_))
+          .orderBy("rule")
+      },
+      Some("""SELECT * FROM (
+                SELECT 'lineitem_qty_domain' AS rule,
+                  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                      THEN 1 ELSE 0 END) AS n_violations,
+                  count(*) AS n_checked FROM lineitem
+                UNION ALL
+                SELECT 'lineitem_price_positive',
+                  sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END),
+                  count(*) FROM lineitem
+                UNION ALL
+                SELECT 'customer_name_not_null',
+                  sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+                  count(*) FROM customer
+                UNION ALL
+                SELECT 'events_user_not_null',
+                  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+                  count(*) FROM events
+                UNION ALL
+                SELECT 'orders_date_range',
+                  sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                      THEN 1 ELSE 0 END),
+                  count(*) FROM orders
+                UNION ALL
+                SELECT 'lineitem_orderkey_fk',
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+                  NULL
+                UNION ALL
+                SELECT 'orders_custkey_fk',
+                  (SELECT count(*) FROM orders
+                   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+                  NULL)
+              ORDER BY rule""")),
+
+    // Higher-order array functions with lambdas (SQL:2016 / Spark
+    // transform / filter / exists / aggregate): per-document token
+    // statistics computed INSIDE the array domain — no explode, no
+    // shuffle, the entire row stays one codegen projection. This is the
+    // pattern that replaces explode+groupBy for per-row collection
+    // math at scale (explode multiplies the shuffle by array length;
+    // a lambda pipeline multiplies nothing).
+    QueryDef(
+      "q_higher_order",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val lens = transform(toks, t => length(t))
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            size(filter(toks, t => length(t) > 4)).cast("long")
+              .as("n_long"),
+            aggregate(lens, lit(0), (acc, x) => acc + x).cast("long")
+              .as("sum_len"),
+            exists(toks, t => t === "the").as("has_the"),
+            array_join(transform(slice(toks, 1, 3), t => upper(t)), "-")
+              .as("head3"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(string_split(text, ' '),
+                  t -> len(t) > 4)) AS BIGINT) AS n_long,
+                CAST(list_sum(list_transform(string_split(text, ' '),
+                  t -> len(t))) AS BIGINT) AS sum_len,
+                list_contains(string_split(text, ' '), 'the') AS has_the,
+                array_to_string(list_transform(
+                  string_split(text, ' ')[1:3], t -> upper(t)), '-')
+                  AS head3
+              FROM documents ORDER BY doc_id"""))
   )
 }

@@ -92,6 +92,59 @@ object StreamOps {
       .orderBy("win_start", "event_type")
   }
 
+  /** foreachBatch merge-writer: the custom-sink escape hatch. Each
+    * micro-batch is first reduced to its per-key argmax (map-side
+    * combined), then MERGEd into a keyed parquet snapshot — union with
+    * the previous snapshot + one more argmax, written to a NEW
+    * versioned directory (never overwriting what is being read, the
+    * same copy-on-write discipline every table format applies). The
+    * argmax is associative, so merge order across batches cannot change
+    * the result. State lives in the snapshot files, not the state
+    * store — the pattern for sinks Spark has no native writer for; at
+    * 100 TB the snapshot is a real table format and the merge is its
+    * MERGE INTO, but the per-batch plan is exactly this one. */
+  def foreachBatchMerge(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val tableRoot = java.nio.file.Files
+      .createTempDirectory("graft_fb_merge").toString
+    @volatile var current: Option[String] = None
+    def argmax(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(max(struct(col("ts_us"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.ts_us").as("ts_us"),
+          col("m.event_id").as("event_id"))
+    val q = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = argmax(batch)
+        val merged = current match {
+          case None => delta
+          case Some(p) =>
+            argmax(batch.sparkSession.read.parquet(p).unionByName(delta))
+        }
+        merged.write.mode("overwrite").parquet(s"$tableRoot/v$batchId")
+        current = Some(s"$tableRoot/v$batchId")
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    s.read.parquet(current.get)
+      .select(col("user_id"), col("event_id").as("latest_event_id"),
+        col("ts_us").as("latest_ts_us"))
+      .orderBy("user_id")
+  }
+
   /** Streaming deduplication: dropDuplicates over the event-id key keeps
     * per-key state in the state store (bounded by the watermark at 100 TB
     * rates); the deduped append stream lands in a memory sink and is
@@ -490,6 +543,17 @@ object StreamOps {
           .orderBy("user_id", "session_start")
       },
       Some(graft.operators.Analytics.SessionWindowOracleSql),
+      bench = false),
+
+    QueryDef(
+      "stream_foreach_merge",
+      (s, dir) => foreachBatchMerge(s, dir),
+      // same argmax relation as stream_latest_by_key: (user_id, ts) is
+      // unique in this corpus, so the ts-argmax is tie-free
+      Some("""SELECT user_id,
+                arg_max(event_id, epoch_us(CAST(ts AS TIMESTAMP))) AS latest_event_id,
+                max(epoch_us(CAST(ts AS TIMESTAMP))) AS latest_ts_us
+              FROM events GROUP BY user_id ORDER BY user_id"""),
       bench = false),
 
     QueryDef(

@@ -139,6 +139,42 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got === direct)
   }
 
+  test("q_constraints: clean corpus yields zero violations, full coverage") {
+    val rows = run("q_constraints").collect()
+    assert(rows.length === 7)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_violations") === 0L, r.getString(0))
+    }
+    val checked = rows.map(r => r.getString(0) ->
+      (if (r.isNullAt(2)) -1L else r.getAs[Long]("n_checked"))).toMap
+    val li = Tables.load(spark, TestSpark.sf, "lineitem").count()
+    assert(checked("lineitem_qty_domain") === li)
+    assert(checked("lineitem_orderkey_fk") === -1L) // anti-join rule
+  }
+
+  test("q_higher_order token stats match JVM string ops per document") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    run("q_higher_order").collect().foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).split(" ", -1)
+      assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+      assert(r.getAs[Long]("n_long") === toks.count(_.length > 4).toLong)
+      assert(r.getAs[Long]("sum_len") === toks.map(_.length).sum.toLong)
+      assert(r.getAs[Boolean]("has_the") === toks.contains("the"))
+      assert(r.getAs[String]("head3") ===
+        toks.take(3).map(_.toUpperCase).mkString("-"))
+    }
+  }
+
+  test("stream_foreach_merge equals the stateful latest-by-key view") {
+    val a = Registry.byName("stream_foreach_merge")
+      .run(spark, TestSpark.sf).collect().map(_.toString).toSeq
+    val b = Registry.byName("stream_latest_by_key")
+      .run(spark, TestSpark.sf).collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
   test("q_heavy_hitters top part matches a direct recount") {
     val rows = run("q_heavy_hitters").collect()
     assert(rows.length === 20)
