@@ -296,6 +296,94 @@ object Multimodal {
                 CAST(list_sum(list_transform(range(1, length(text) + 1),
                   i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS DOUBLE)
                   / CAST(length(text) AS DOUBLE) AS mean_byte
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // Audio feature extraction over the WAV payloads (doc_id odd): the
+    // body bytes are treated as unsigned 8-bit PCM samples centered at
+    // 128 (the u8 WAV midpoint), split into 4 equal frames by the same
+    // integer partitioning as mm_phash, and each frame's energy is the
+    // integer sum of squared centered samples — the frame-energy /
+    // silence-detection primitive of an audio pipeline, on the same
+    // mapPartitions plumbing as decode. sum_sq and n_samples are exact
+    // BIGINTs; mean_sq is their single IEEE division. Map-only flatMap
+    // (4 rows out per clip) at any scale; the oracle recomputes every
+    // frame from the planted payload recipe (body = ASCII text bytes).
+    QueryDef(
+      "mm_audio_energy",
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), payloadCol.as("payload"))
+          .as[MediaIn]
+          .mapPartitions(_.flatMap { in =>
+            val b = in.payload
+            val L = b.length - 16
+            (0 until 4).map { f =>
+              val lo = 16 + (L.toLong * f / 4).toInt
+              val hi = 16 + (L.toLong * (f + 1) / 4).toInt
+              val ss = (lo until hi).map { j =>
+                val v = (b(j) & 0xff).toLong - 128L; v * v
+              }.sum
+              (in.doc_id, f.toLong, ss, (hi - lo).toLong,
+                ss.toDouble / (hi - lo).toDouble)
+            }
+          })
+          .toDF("doc_id", "frame_idx", "sum_sq", "n_samples", "mean_sq")
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH b AS (
+                SELECT doc_id,
+                  list_transform(range(1, length(text) + 1),
+                    i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) - 128) AS cs,
+                  CAST(length(text) AS BIGINT) AS L
+                FROM documents WHERE doc_id % 2 = 1),
+              fr AS (
+                SELECT doc_id, f,
+                  CAST(list_sum(list_transform(
+                    cs[CAST(L * f // 4 AS INTEGER) + 1 : CAST(L * (f + 1) // 4 AS INTEGER)],
+                    x -> x * x)) AS BIGINT) AS sum_sq,
+                  L * (f + 1) // 4 - L * f // 4 AS n_samples
+                FROM b, (SELECT unnest(range(0, 4)) AS f) fs)
+              SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, sum_sq,
+                CAST(n_samples AS BIGINT) AS n_samples,
+                CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE) AS mean_sq
+              FROM fr ORDER BY doc_id, frame_idx""")),
+
+    // Multimodal training-sample assembly: one manifest row per sample
+    // joining the text record (documents) with its embedding row
+    // (vec_id = doc_id) and the media payload's typed metadata — the
+    // "gather all modalities of a sample into one row" step that feeds
+    // a training-data writer. One equi-join (broadcast at this scale,
+    // hash-partitioned on the shared id at 100 TB — both sides already
+    // keyed by it); payload size and embedding norm are derived in-plan,
+    // so the manifest needs no second pass over either table.
+    QueryDef(
+      "mm_manifest",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        docs(s, dir)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(
+            col("doc_id").as("sample_id"),
+            col("lang"), col("source"),
+            col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            when(col("doc_id") % 2 === 0, lit("png")).otherwise(lit("wav"))
+              .as("media_format"),
+            (col("n_chars") + lit(16L)).as("n_payload_bytes"),
+            col("label").cast("long").as("label"),
+            sqrt(graft.functions.EngineFns.dot(col("embedding"), col("embedding")))
+              .as("emb_norm"))
+          .orderBy("sample_id")
+      },
+      Some(s"""SELECT d.doc_id AS sample_id, d.lang, d.source, d.n_chars,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+                 CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_format,
+                 d.n_chars + 16 AS n_payload_bytes,
+                 CAST(e.label AS BIGINT) AS label,
+                 sqrt(${graft.functions.EngineFns.dotSql("e.embedding", "e.embedding")}) AS emb_norm
+               FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+               ORDER BY sample_id"""))
   )
 }

@@ -26,6 +26,7 @@ object Similarity {
   private val NumQueries = 10
   private val NearDupThreshold = 0.4
   private val NumHyperplanes = 8 // 256 buckets
+  private val KnnGraphK = 3 // neighbors per vector in the k-NN graph
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -404,6 +405,60 @@ object Similarity {
                    (x, y) -> x + y) AS proj
                FROM embeddings, (SELECT unnest(range(0, $NumHyperplanes)) AS j) js
                ORDER BY vec_id, j""")),
+
+    // Corpus-wide k-NN GRAPH (every vector's top-KnnGraphK neighbors, not
+    // just a query set's): candidates from the same banded sign-bit LSH
+    // the near-dup pairs use — directed this time (x != y, both
+    // orientations), because "a is b's neighbor" is not symmetric once
+    // ranked — then exact-cosine re-rank within each source's candidate
+    // set. This is the graph SemDeDup-style pipelines and graph-based
+    // ANN indexes are built from. Work ∝ band collisions (one equi-join)
+    // + one window over the candidate set, never |corpus|^2; vectors
+    // whose bands collide with nothing simply have no row, exactly as an
+    // index build would treat an isolated point. Band keys are
+    // md5-derived with exact decimal dots, so the whole approximate
+    // graph is oracle-checked bit-for-bit.
+    QueryDef(
+      "sim_knn_graph",
+      (s, dir) => {
+        val bands = bandKeys(embParallel(s, dir))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.vec_id") =!= col("y.vec_id"))
+          .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("nbr_id"))
+          .distinct()
+        val e = emb(s, dir)
+        val w = Window.partitionBy(col("src_id"))
+          .orderBy(col("cos").desc, col("nbr_id"))
+        cand
+          .join(e.select(col("vec_id").as("src_id"), col("embedding").as("s_emb")),
+            Seq("src_id"))
+          .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("n_emb")),
+            Seq("nbr_id"))
+          .select(col("src_id"), col("nbr_id"),
+            CosineSimilarity(s, col("s_emb"), col("n_emb")).as("cos"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= KnnGraphK)
+          .orderBy("src_id", "rank")
+      },
+      Some(s"""WITH ${bandKeysSql()},
+               cand AS (
+                 SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS nbr_id
+                 FROM bandvals x JOIN bandvals y
+                   ON x.band = y.band AND x.band_val = y.band_val
+                    AND x.vec_id != y.vec_id),
+               scored AS (
+                 SELECT c.src_id, c.nbr_id,
+                   ${cosineSql("a.embedding", "b.embedding")} AS cos
+                 FROM cand c
+                 JOIN embeddings a ON a.vec_id = c.src_id
+                 JOIN embeddings b ON b.vec_id = c.nbr_id),
+               r AS (SELECT src_id, nbr_id, cos,
+                       row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS rank
+                     FROM scored)
+               SELECT src_id, nbr_id, cos, CAST(rank AS BIGINT) AS rank
+               FROM r WHERE rank <= $KnnGraphK ORDER BY src_id, rank""")),
 
     // Top principal direction by QUANTIZED power iteration — the "what
     // axis does this corpus vary along" pass (PCA top component) done

@@ -952,7 +952,50 @@ object TextAnalysis {
                 array_to_string(string_split(text, ' ')[i:i+2], ' ') AS gram
               FROM documents, LATERAL (SELECT unnest(range(1,
                 len(string_split(text, ' ')) - 1)) AS i) ix
-              ORDER BY doc_id, pos"""))
+              ORDER BY doc_id, pos""")),
+
+    // Model-based quality scoring — the fasttext-style linear classifier
+    // step of a data pipeline, made engine-exact: each token contributes
+    // a hashing-trick weight (hash31(token) mod 201 - 100, the standard
+    // feature-hashing construction with a fixed public hash), plus
+    // engineered count features (stopword count, token count) with
+    // integer coefficients. The margin is a pure BIGINT dot product —
+    // no sigmoid, because exp() is not bit-portable across engines and
+    // the keep decision only needs the margin's sign; a production
+    // deployment swaps the md5-derived weights for trained ones, same
+    // plan. Map-only (one pass, no shuffle before the presentation
+    // sort), whole-stage-codegen except the per-token lambda.
+    QueryDef(
+      "text_quality_model",
+      (s, dir) => {
+        val toksC = tokens(col("text"))
+        val lex = aggregate(
+          transform(toksC, t => hash31(t) % 201L - 100L),
+          lit(0L), (a, x) => a + x)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            tokenCount(col("text")).as("n_tokens"),
+            size(filter(toksC, t => t.isin(stopwords.map(x => x: Any): _*)))
+              .cast("long").as("n_stop"),
+            lex.as("lex_score"))
+          .withColumn("margin",
+            col("lex_score") + lit(8L) * col("n_stop") - col("n_tokens"))
+          .withColumn("keep", col("margin") >= 0L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+                SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','and','of','to','is','in'))) AS BIGINT) AS n_stop,
+                  CAST(list_sum(list_transform(string_split(text, ' '),
+                    t -> (CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                          % 2147483647) % 201 - 100)) AS BIGINT) AS lex_score
+                FROM documents)
+              SELECT doc_id, n_tokens, n_stop, lex_score,
+                lex_score + 8 * n_stop - n_tokens AS margin,
+                lex_score + 8 * n_stop - n_tokens >= 0 AS keep
+              FROM f ORDER BY doc_id"""))
   )
 
   /** Run the 3 BPE merge-training rounds corpus-parallel; returns the

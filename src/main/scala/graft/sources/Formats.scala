@@ -238,7 +238,48 @@ object Formats {
                 CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS sum_val,
                 min(id) AS min_id, max(id) AS max_id
               FROM g WHERE val > 0.5
-              GROUP BY cat ORDER BY cat""")))
+              GROUP BY cat ORDER BY cat""")),
+
+    // Bucketed warehouse tables + co-located join: both fact tables are
+    // written through the session catalog pre-shuffled into 8 buckets on
+    // the join key (bucketBy + sortBy), so the subsequent join reads
+    // bucket i against bucket i with NO exchange on either side — the
+    // layout investment that converts every repeated fact-fact join on
+    // the key from a full 100 TB shuffle into a local zip of buckets
+    // (BucketingSpec asserts the exchange-free plan). External-table
+    // paths keep the warehouse in per-process scratch; the oracle
+    // computes the same aggregate from the original parquet, so the
+    // bucketed write→catalog→join path must preserve every row.
+    QueryDef(
+      "q_bucketed_join",
+      (s, dir) => {
+        val scratch = scratchFor("bucket")
+        s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+        s.sql("DROP TABLE IF EXISTS graft_o_bucketed")
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$scratch/li")
+          .mode("overwrite").saveAsTable("graft_li_bucketed")
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$scratch/o")
+          .mode("overwrite").saveAsTable("graft_o_bucketed")
+        s.table("graft_li_bucketed")
+          .join(s.table("graft_o_bucketed"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"))
+          .orderBy("o_orderpriority")
+      },
+      bench = false, // layout pass: the write dominates; join throughput is covered by q_join_*
+      oracle = Some("""SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
 
   /** All part-*.parquet files under a local scratch dir. */
   private def listParquet(path: String): Seq[java.io.File] = {

@@ -607,6 +607,56 @@ object StreamOps {
               FROM events JOIN customer ON user_id = c_custkey
               GROUP BY c_mktsegment, event_type
               ORDER BY c_mktsegment, event_type"""),
+      bench = false),
+
+    // Streaming ingest dedup against a STANDING corpus: the incoming
+    // document stream is fingerprinted (md5 of the text bytes) and
+    // checked against the static fingerprint index of what the corpus
+    // already holds (docs with doc_id % 7 == 0 stand in for the
+    // previously-ingested set); only novel documents pass. STATELESS —
+    // the standing index is a static side (broadcast at this size,
+    // re-readable per micro-batch), so unlike stream_dedup there is no
+    // state store at all: the state IS the standing index, exactly how a
+    // production ingest gate holds its fingerprint table. Implemented as
+    // a stream-static LEFT OUTER join + null filter (the anti-join
+    // formulation Structured Streaming supports for static right sides);
+    // append mode, each novel doc emitted exactly once.
+    QueryDef(
+      "stream_ingest_dedup",
+      (s, dir) => {
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val sink = s"graft_stream_ingest_${nameCounter.incrementAndGet()}"
+        val standing = broadcast(
+          s.read.option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .filter(col("doc_id") % 7 === 0)
+            .select(md5(col("text").cast("binary")).as("fp"))
+            .distinct()
+            .withColumn("seen", lit(1)))
+        val q = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .filter(col("doc_id") % 7 =!= 0)
+          .withColumn("fp", md5(col("text").cast("binary")))
+          .join(standing, Seq("fp"), "left_outer")
+          .filter(col("seen").isNull)
+          .select(col("doc_id"), col("fp"))
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink).orderBy("doc_id")
+      },
+      Some("""SELECT d.doc_id, md5(d.text) AS fp
+              FROM documents d
+              WHERE d.doc_id % 7 != 0
+                AND NOT EXISTS (
+                  SELECT 1 FROM documents x
+                  WHERE x.doc_id % 7 = 0 AND md5(x.text) = md5(d.text))
+              ORDER BY d.doc_id"""),
       bench = false)
   )
 }

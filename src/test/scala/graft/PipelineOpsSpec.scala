@@ -359,4 +359,79 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning in:\n$p")
   }
+
+  test("text_quality_model: margin is the declared linear form and both classes occur") {
+    val rows = Registry.byName("text_quality_model").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_stop"),
+        r.getAs[Long]("lex_score"), r.getAs[Long]("margin"),
+        r.getAs[Boolean]("keep")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nt, ns, lex, m, keep) =>
+      assert(m === lex + 8 * ns - nt)
+      assert(keep === (m >= 0))
+      assert(ns <= nt)
+    }
+    assert(rows.exists(_._5) && rows.exists(!_._5),
+      "classifier must separate the corpus into both classes")
+  }
+
+  test("mm_audio_energy: 4 frames per odd doc, sample counts tile the body") {
+    val rows = Registry.byName("mm_audio_energy").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("sum_sq"), r.getAs[Long]("n_samples"),
+        r.getAs[Double]("mean_sq")))
+    assert(rows.nonEmpty)
+    val lens = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (id, g) =>
+      assert(id % 2 === 1)
+      assert(g.map(_._2).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+      assert(g.map(_._4).sum === lens(id), s"doc $id frame sizes don't tile")
+    }
+    rows.foreach { case (_, _, ss, n, ms) =>
+      assert(ss >= 0 && n > 0 && math.abs(ms - ss.toDouble / n.toDouble) == 0.0)
+    }
+  }
+
+  test("mm_manifest joins all modalities on the shared id") {
+    val m = Registry.byName("mm_manifest").run(spark, TestSpark.sf)
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val vecs = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(m.count() === (docs & vecs).size.toLong)
+    val bad = m.filter(col("n_payload_bytes") =!= col("n_chars") + 16L).count()
+    assert(bad === 0L)
+  }
+
+  test("stream_ingest_dedup equals the batch anti join") {
+    val streamed = Registry.byName("stream_ingest_dedup")
+      .run(spark, TestSpark.sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val standing = docs.filter(col("doc_id") % 7 === 0).select("fp").distinct()
+    val expected = docs.filter(col("doc_id") % 7 =!= 0)
+      .join(standing, Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(streamed === expected)
+    assert(streamed.nonEmpty)
+  }
+
+  test("q_bucketed_join equals the plain join aggregate") {
+    val bucketed = Registry.byName("q_bucketed_join").run(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = Tables.load(spark, TestSpark.sf, "lineitem")
+      .join(Tables.load(spark, TestSpark.sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(bucketed.toSeq === plain.toSeq)
+  }
 }

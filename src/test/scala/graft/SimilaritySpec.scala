@@ -160,4 +160,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
     lsh.foreach { case (q, c) => assert(c <= bruteMax(q) + 1e-12) }
   }
+
+  test("sim_knn_graph: ranks are contiguous top-3 and cosines are exact") {
+    val rows = Registry.byName("sim_knn_graph").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("nbr_id"),
+        r.getAs[Double]("cos"), r.getAs[Long]("rank")))
+    assert(rows.nonEmpty)
+    // per-source: ranks are 1..n (n <= 3), cosines non-increasing
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to g.length).toSeq, s"src $src")
+      assert(sorted.map(_._3).toSeq.reverse.sorted.reverse ===
+        sorted.map(_._3).toSeq, s"src $src cos not sorted")
+      assert(g.length <= 3)
+    }
+    // graph edges carry the true cosine: recompute a sample exactly
+    val embMap = spark.read
+      .parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding"))
+      .toMap
+    def exactCos(a: scala.collection.Seq[Float],
+        b: scala.collection.Seq[Float]): Double = {
+      val dot = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val na = a.zip(a).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val nb = b.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      dot / math.sqrt(na * nb)
+    }
+    rows.take(20).foreach { case (s0, n0, c, _) =>
+      assert(math.abs(exactCos(embMap(s0), embMap(n0)) - c) < 1e-12)
+    }
+  }
 }
