@@ -36,6 +36,9 @@ object Clustering {
   private val Q = 262144.0 // 2^18 component quantization (emb_pca_power's)
   private val SeedStride = 50 // seeds vec_id 0, 50, 100, 150 exist at every SF
   private val SemThreshold = 0.92 // sim_semdedup keep-rule cosine threshold
+  private val PqM = 8 // PQ subspaces
+  private val PqSubDim = Dim / PqM
+  private val PqK = K // PQ codes per subspace — the k-means seed set
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -139,7 +142,7 @@ object Clustering {
           .orderBy("vec_id")
       },
       Some(SemDedupOracleSql))
-  )
+  ) ++ pqDefs
 
   /** DuckDB replay of the full k-means loop (same seeds, same argmax
     * ordering, same quantized decimal sums, same division order) — built
@@ -201,4 +204,67 @@ object Clustering {
               AND ${cosineSql("sa.embedding", "sb.embedding")} >= $SemThreshold
           ) AS keep
         FROM fin sa ORDER BY sa.vec_id"""
+
+  /** Product-quantization encode: 64 dims → PqM codes (one byte each at
+    * PqK ≤ 256) — the memory-compression step in front of IVF-PQ serving
+    * (Jégou et al.): each vector is split into PqM contiguous 8-dim
+    * subvectors, and each subvector is replaced by the id of its nearest
+    * codebook entry under exact L2. The codebook here is the
+    * deterministic seed set (the same vec_id % 50 seeds the IVF and
+    * k-means operators use) so the whole encode — distances included —
+    * is oracle-replayable; a production deployment trains the codebook
+    * with the emb_kmeans Lloyd loop per subspace, same encode plan.
+    * Map-only: codebooks are plan-time literals (PqM x PqK x 8 doubles),
+    * assignment is argmin over a PqK-element array per subspace with the
+    * canonical left-to-right fold, no shuffle before the presentation
+    * sort. */
+  private def pqDefs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "emb_pq_encode",
+      (s, dir) => {
+        val e = emb(s, dir).select("vec_id", "embedding")
+        val seeds = e.filter(col("vec_id") % SeedStride === 0 &&
+            col("vec_id") < SeedStride.toLong * PqK)
+          .orderBy("vec_id").collect()
+          .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        val subStructs = (0 until PqM).map { j =>
+          val sv = slice(col("embedding"), j * PqSubDim + 1, PqSubDim)
+          val dists = array((0 until PqK).map { c =>
+            val cb = array(seeds(c).slice(j * PqSubDim, (j + 1) * PqSubDim)
+              .map(lit): _*)
+            aggregate(
+              zip_with(sv, cb, (x, y) =>
+                (x.cast("double") - y) * (x.cast("double") - y)),
+              lit(0.0), (a, x) => a + x)
+          }: _*)
+          struct(lit(j.toLong).as("sub"), dists.as("dists"))
+        }
+        e.select(col("vec_id"), explode(array(subStructs: _*)).as("s"))
+          .select(col("vec_id"), col("s.sub").as("sub"),
+            (array_position(col("s.dists"), array_min(col("s.dists"))) - 1)
+              .cast("long").as("code"),
+            array_min(col("s.dists")).as("dist2"))
+          .orderBy("vec_id", "sub")
+      },
+      Some(s"""WITH seeds AS (
+                 SELECT CAST(vec_id // $SeedStride AS INTEGER) AS c, embedding
+                 FROM embeddings
+                 WHERE vec_id % $SeedStride = 0 AND vec_id < ${SeedStride.toLong * PqK}),
+               cand AS (
+                 SELECT e.vec_id, j, s.c,
+                   list_reduce(list_transform(
+                     list_zip(e.embedding[j * $PqSubDim + 1 : j * $PqSubDim + $PqSubDim],
+                              s.embedding[j * $PqSubDim + 1 : j * $PqSubDim + $PqSubDim]),
+                     p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                     (a, b) -> a + b) AS dist2
+                 FROM embeddings e, (SELECT unnest(range(0, $PqM)) AS j) js, seeds s),
+               r AS (
+                 SELECT vec_id, j, c, dist2,
+                   row_number() OVER (PARTITION BY vec_id, j
+                     ORDER BY dist2, c) AS rn
+                 FROM cand)
+               SELECT vec_id, CAST(j AS BIGINT) AS sub, CAST(c AS BIGINT) AS code,
+                 dist2
+               FROM r WHERE rn = 1 ORDER BY vec_id, sub""")))
 }

@@ -1019,7 +1019,54 @@ object Dedup {
                WHERE a.doc_id != b.doc_id AND len(a.sh) > 0
                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                    / CAST(len(a.sh) AS DOUBLE) >= $ContainmentThreshold
-               ORDER BY src_id, dst_id"""))
+               ORDER BY src_id, dst_id""")),
+
+    // Soft dedup by REWEIGHTING instead of dropping: every document gets
+    // training weight 1/|near-dup cluster| (the "count duplicates once in
+    // expectation" alternative to hard removal — preserves coverage while
+    // de-biasing repeated content), plus its cluster id and canonical
+    // flag so a sampler can choose either policy from one table. Clusters
+    // are the same Jaccard-pair connected components dedup_cluster
+    // collapses (scale-safe inverted-index candidates + pointer-doubled
+    // propagation); the only addition is one window count over rep_id.
+    // The weight is CAST(1)/CAST(size) — a single IEEE division, so the
+    // whole table is oracle-exact.
+    QueryDef(
+      "dedup_weighting",
+      (s, dir) => {
+        val pairs = jaccardPairs(shingled(s, dir))
+          .filter(col("jaccard") >= JaccardThreshold)
+          .select("a_id", "b_id")
+        val docs = Tables.load(s, dir, "documents").select("doc_id")
+        val w = Window.partitionBy("rep_id")
+        connectedComponents(docs, pairs)
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .select(col("doc_id"), col("rep_id"), col("cluster_size"),
+            (col("doc_id") === col("rep_id")).as("canonical"),
+            (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $JaccardPairsCte,
+               edges AS (
+                 SELECT a_id AS u, b_id AS v FROM pairs
+                 UNION ALL SELECT b_id, a_id FROM pairs),
+               reach(u, v) AS (
+                 SELECT u, v FROM edges
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+               rep AS (
+                 SELECT u AS doc_id, least(u, min(v)) AS rep_id
+                 FROM reach GROUP BY u),
+               lab AS (
+                 SELECT doc.doc_id, COALESCE(rep.rep_id, doc.doc_id) AS rep_id
+                 FROM documents doc LEFT JOIN rep ON doc.doc_id = rep.doc_id)
+               SELECT doc_id, rep_id,
+                 CAST(count(*) OVER w AS BIGINT) AS cluster_size,
+                 doc_id = rep_id AS canonical,
+                 CAST(1 AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS weight
+               FROM lab
+               WINDOW w AS (PARTITION BY rep_id)
+               ORDER BY doc_id"""))
   )
 
   /** Oracle for dedup_eval: exact-Jaccard truth + both generators'

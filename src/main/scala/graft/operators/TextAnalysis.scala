@@ -61,6 +61,28 @@ object TextAnalysis {
     size(filter(tokens(c), t => t.isin(markers.map(x => x: Any): _*)))
       .cast("long")
 
+  /** BIGINT-exact linear quality margin — text_quality_model's scorer
+    * (hashing-trick token weights + integer count features), exposed so
+    * the streaming gate applies the identical model. */
+  private[graft] def qualityMargin(c: Column): Column = {
+    val toksC = tokens(c)
+    val lex = aggregate(
+      transform(toksC, t => hash31(t) % 201L - 100L),
+      lit(0L), (a, x) => a + x)
+    val nStop = size(filter(toksC, t => t.isin(stopwords.map(x => x: Any): _*)))
+      .cast("long")
+    lex + lit(8L) * nStop - size(toksC).cast("long")
+  }
+
+  /** DuckDB mirror of qualityMargin over a bare `text` column. */
+  private[graft] val QualityMarginSql: String =
+    """(CAST(list_sum(list_transform(string_split(text, ' '),
+         t -> (CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+               % 2147483647) % 201 - 100)) AS BIGINT)
+       + 8 * CAST(len(list_filter(string_split(text, ' '),
+           t -> t IN ('the','a','and','of','to','is','in'))) AS BIGINT)
+       - CAST(len(string_split(text, ' ')) AS BIGINT))"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace tokens + a BPE-ish sub-word regex

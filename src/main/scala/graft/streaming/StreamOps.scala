@@ -657,6 +657,42 @@ object StreamOps {
                   SELECT 1 FROM documents x
                   WHERE x.doc_id % 7 = 0 AND md5(x.text) = md5(d.text))
               ORDER BY d.doc_id"""),
+      bench = false),
+
+    // Streaming model-based quality gate: the text_quality_model linear
+    // scorer (shared Column builder — the batch and streaming gates
+    // cannot drift) applied to the document stream as a pure map-only
+    // filter. No aggregation, no watermark, no state store: each doc is
+    // scored and passed/dropped in the micro-batch it arrives in —
+    // the shape of every stateless ingest transform at 100 TB rates.
+    QueryDef(
+      "stream_quality_gate",
+      (s, dir) => {
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val sink = s"graft_stream_qgate_${nameCounter.incrementAndGet()}"
+        val q = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .withColumn("margin",
+            graft.operators.TextAnalysis.qualityMargin(col("text")))
+          .filter(col("margin") >= 0L)
+          .select("doc_id", "margin")
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink).orderBy("doc_id")
+      },
+      Some(s"""WITH f AS (
+                 SELECT doc_id,
+                   ${graft.operators.TextAnalysis.QualityMarginSql} AS margin
+                 FROM documents)
+               SELECT doc_id, margin FROM f
+               WHERE margin >= 0 ORDER BY doc_id"""),
       bench = false)
   )
 }
