@@ -39,6 +39,8 @@ object Clustering {
   private val PqM = 8 // PQ subspaces
   private val PqSubDim = Dim / PqM
   private val PqK = K // PQ codes per subspace — the k-means seed set
+  private val PqTopK = 5 // neighbors returned per query by the ADC search
+  private val PqNumQueries = 10 // query set: vec_id < 10 (every SF has them)
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -266,5 +268,114 @@ object Clustering {
                  FROM cand)
                SELECT vec_id, CAST(j AS BIGINT) AS sub, CAST(c AS BIGINT) AS code,
                  dist2
-               FROM r WHERE rn = 1 ORDER BY vec_id, sub""")))
+               FROM r WHERE rn = 1 ORDER BY vec_id, sub""")),
+
+    // IVF-PQ search with asymmetric distance computation (ADC) — the
+    // complete compressed-index serving path (Jégou et al.): every vector
+    // lives in the inverted list of its nearest coarse centroid and is
+    // stored only as PqM codebook codes (8 bytes here); a query builds a
+    // PqM x PqK lookup table of EXACT subspace distances to the codebook
+    // once, then scores each candidate in its probed list by summing PqM
+    // table lookups — no candidate embedding is ever touched. Distributed
+    // shape: codes + list ids are a map-only pass over the corpus, the
+    // 10-row query side (with its tables) broadcasts, candidates ∝ list
+    // population, and the only shuffle is the per-query top-k window. At
+    // 100 TB the code table is ~1/32 the corpus bytes and the scan of a
+    // probed list is memory-bandwidth-bound — exactly why IVF-PQ is the
+    // standard billion-scale ANN layout. Every distance is a fixed-order
+    // double fold over float-exact values, so ranks — ties broken by
+    // vec_id — replay bit-for-bit in the oracle.
+    QueryDef(
+      "emb_ivfpq_search",
+      (s, dir) => {
+        val e = emb(s, dir).select("vec_id", "embedding")
+        val seeds = e.filter(col("vec_id") % SeedStride === 0 &&
+            col("vec_id") < SeedStride.toLong * PqK)
+          .orderBy("vec_id").collect()
+          .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        def l2(sub: Column, cb: Array[Double]): Column =
+          aggregate(
+            zip_with(sub, array(cb.map(lit): _*), (x, y) =>
+              (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (a, x) => a + x)
+        // coarse list: argmin full-dim L2 over the seed centroids
+        // (first-min tie-break = lowest centroid id, as in the encode)
+        val coarseD = array((0 until PqK).map(c => l2(col("embedding"), seeds(c))): _*)
+        val listId = (array_position(coarseD, array_min(coarseD)) - 1)
+          .cast("int").as("list_id")
+        // per-subspace distance rows table[j][c]; codes are its argmins
+        val subDists = (0 until PqM).map { j =>
+          array((0 until PqK).map { c =>
+            l2(slice(col("embedding"), j * PqSubDim + 1, PqSubDim),
+              seeds(c).slice(j * PqSubDim, (j + 1) * PqSubDim))
+          }: _*)
+        }
+        val codes = array(subDists.map(d =>
+          (array_position(d, array_min(d)) - 1).cast("int")): _*).as("codes")
+        val cands = e.select(col("vec_id"), listId, codes)
+        val queries = e.filter(col("vec_id") < PqNumQueries)
+          .select(col("vec_id").as("q_id"), listId,
+            array(subDists: _*).as("qtable"))
+        val adist2 = aggregate(
+          zip_with(col("codes"), col("qtable"), (c, t) => element_at(t, c + 1)),
+          lit(0.0), (a, x) => a + x)
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("adist2").asc, col("vec_id").asc)
+        cands.join(broadcast(queries), "list_id")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("adist2", adist2)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= PqTopK)
+          .select(col("q_id"), col("rank"), col("vec_id"), col("adist2"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH seeds AS (
+                 SELECT CAST(vec_id // $SeedStride AS INTEGER) AS c, embedding
+                 FROM embeddings
+                 WHERE vec_id % $SeedStride = 0 AND vec_id < ${SeedStride.toLong * PqK}),
+               coarse_d AS (
+                 SELECT e.vec_id, s.c,
+                   list_reduce(list_transform(list_zip(e.embedding, s.embedding),
+                     p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                     (a, b) -> a + b) AS d2
+                 FROM embeddings e, seeds s),
+               coarse AS (
+                 SELECT vec_id, c AS list_id FROM (
+                   SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+                   FROM coarse_d) WHERE rn = 1),
+               sub_d AS (
+                 SELECT e.vec_id, j, s.c,
+                   list_reduce(list_transform(
+                     list_zip(e.embedding[j * $PqSubDim + 1 : j * $PqSubDim + $PqSubDim],
+                              s.embedding[j * $PqSubDim + 1 : j * $PqSubDim + $PqSubDim]),
+                     p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                     (a, b) -> a + b) AS dist2
+                 FROM embeddings e, (SELECT unnest(range(0, $PqM)) AS j) js, seeds s),
+               codes AS (
+                 SELECT vec_id, j, c AS code FROM (
+                   SELECT vec_id, j, c,
+                     row_number() OVER (PARTITION BY vec_id, j
+                       ORDER BY dist2, c) AS rn
+                   FROM sub_d) WHERE rn = 1),
+               pairs AS (
+                 SELECT cq.vec_id AS q_id, cx.vec_id,
+                   list_reduce(list(t.dist2 ORDER BY t.j), (a, b) -> a + b)
+                     AS adist2
+                 FROM coarse cq
+                 JOIN coarse cx ON cx.list_id = cq.list_id
+                 JOIN codes k ON k.vec_id = cx.vec_id
+                 JOIN sub_d t ON t.vec_id = cq.vec_id AND t.j = k.j
+                             AND t.c = k.code
+                 WHERE cq.vec_id < $PqNumQueries AND cx.vec_id != cq.vec_id
+                 GROUP BY cq.vec_id, cx.vec_id),
+               rk AS (
+                 SELECT q_id, vec_id, adist2,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY adist2, vec_id) AS rank
+                 FROM pairs)
+               SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adist2
+               FROM rk WHERE rank <= $PqTopK ORDER BY q_id, rank""")))
 }

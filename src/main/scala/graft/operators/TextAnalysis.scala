@@ -1017,7 +1017,57 @@ object TextAnalysis {
               SELECT doc_id, n_tokens, n_stop, lex_score,
                 lex_score + 8 * n_stop - n_tokens AS margin,
                 lex_score + 8 * n_stop - n_tokens >= 0 AS keep
-              FROM f ORDER BY doc_id"""))
+              FROM f ORDER BY doc_id""")),
+
+    // Reciprocal-rank fusion of two independent quality signals — the
+    // standard way to combine heterogeneous rankers (BM25 + ANN in
+    // retrieval, model score + heuristics in data curation) without
+    // calibrating their score scales: each signal contributes
+    // 1 / (60 + rank), so only rank order matters. Signals here: the
+    // text_quality_model linear margin (shared Column builder) and the
+    // type-token ratio (vocabulary diversity — a repetition penalty).
+    // Ranks are PER LANGUAGE (row_number windows partitioned by lang),
+    // which is both the realistic curation unit and the scale-safe shape:
+    // a global rank would funnel the corpus through one partition, while
+    // per-lang windows shuffle once on lang. All-integer ranks + two IEEE
+    // divisions make the fused score engine-exact.
+    QueryDef(
+      "text_rank_fusion",
+      (s, dir) => {
+        val toksC = tokens(col("text"))
+        val ttr = size(array_distinct(toksC)).cast("double") /
+          size(toksC).cast("double")
+        val w1 = Window.partitionBy("lang")
+          .orderBy(col("margin").desc, col("doc_id").asc)
+        val w2 = Window.partitionBy("lang")
+          .orderBy(col("ttr").desc, col("doc_id").asc)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            qualityMargin(col("text")).as("margin"), ttr.as("ttr"))
+          .withColumn("r_margin", row_number().over(w1).cast("long"))
+          .withColumn("r_ttr", row_number().over(w2).cast("long"))
+          .withColumn("rrf",
+            lit(1.0) / (lit(60).cast("double") + col("r_margin")) +
+              lit(1.0) / (lit(60).cast("double") + col("r_ttr")))
+          .select("doc_id", "lang", "r_margin", "r_ttr", "rrf")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH f AS (
+                 SELECT doc_id, lang,
+                   $QualityMarginSql AS margin,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+                 FROM documents),
+               r AS (
+                 SELECT doc_id, lang,
+                   CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY margin DESC, doc_id) AS BIGINT) AS r_margin,
+                   CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY ttr DESC, doc_id) AS BIGINT) AS r_ttr
+                 FROM f)
+               SELECT doc_id, lang, r_margin, r_ttr,
+                 1.0 / (60.0 + r_margin) + 1.0 / (60.0 + r_ttr) AS rrf
+               FROM r ORDER BY doc_id"""))
   )
 
   /** Run the 3 BPE merge-training rounds corpus-parallel; returns the
