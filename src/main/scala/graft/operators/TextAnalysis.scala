@@ -1067,7 +1067,81 @@ object TextAnalysis {
                  FROM f)
                SELECT doc_id, lang, r_margin, r_ttr,
                  1.0 / (60.0 + r_margin) + 1.0 / (60.0 + r_ttr) AS rrf
-               FROM r ORDER BY doc_id"""))
+               FROM r ORDER BY doc_id""")),
+
+    // Training-mix planner: water-filling source balancing under a global
+    // budget (half the corpus here). Every source gets an equal share of
+    // the budget unless it has fewer documents than the common level L —
+    // then it keeps everything and its unused share redistributes to the
+    // larger sources (the classic max-min fair allocation; the integer
+    // level is the largest L with sum(min(n_s, L)) <= budget). Per-source
+    // counts are a k-row aggregate (k = #sources, never corpus-sized), L
+    // is O(k) arithmetic on those counts, and membership is the
+    // deterministic hash-rank gate sample_fixed_k uses — one window
+    // shuffle on source. The oracle derives the identical level from
+    // sorted prefix sums, so quotas and membership replay exactly.
+    QueryDef(
+      "sample_mixture",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val counts = docs.groupBy("source")
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+          .sortBy { case (src, n) => (n, src) }
+        val k = counts.length
+        val budget = counts.map(_._2).sum / 2
+        // max-min fair integer level: i saturated smallest sources,
+        // L_i = (budget - prefix_i) / (k - i), valid while c_i <= L_i
+        var level = 0L
+        var prefix = 0L
+        for (i <- 0 until k) {
+          val li = (budget - prefix) / (k - i)
+          if (i == 0 || counts(i - 1)._2 <= li) level = li
+          prefix += counts(i)._2
+        }
+        val quotas = counts.toSeq
+          .map { case (src, n) => (src, n, math.min(n, level)) }
+          .toDF("source", "n_source", "quota")
+        val u = hash31(concat_ws("|", lit("mix"), col("doc_id").cast("string")))
+        val w = Window.partitionBy("source").orderBy(u.asc, col("doc_id").asc)
+        docs.join(broadcast(quotas), "source")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= col("quota"))
+          .select(col("doc_id"), col("source"), col("n_source"),
+            col("quota"), col("rk"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (
+                 SELECT source, count(*) AS n FROM documents GROUP BY source),
+               t AS (SELECT sum(n) // 2 AS budget, count(*) AS k FROM c),
+               sorted AS (
+                 SELECT source, n,
+                   row_number() OVER (ORDER BY n, source) AS i,
+                   COALESCE(sum(n) OVER (ORDER BY n, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+                 FROM c),
+               cand AS (
+                 SELECT i, n, (t.budget - p) // (t.k - i + 1) AS lvl,
+                   lag(n) OVER (ORDER BY i) AS prev_n
+                 FROM sorted, t),
+               lvl AS (
+                 SELECT lvl FROM cand
+                 WHERE prev_n IS NULL OR prev_n <= lvl
+                 ORDER BY i DESC LIMIT 1),
+               q AS (
+                 SELECT source, n AS n_source,
+                   least(n, (SELECT lvl FROM lvl)) AS quota
+                 FROM c),
+               r AS (
+                 SELECT d.doc_id, d.source, q.n_source, q.quota,
+                   row_number() OVER (PARTITION BY d.source ORDER BY
+                     (CAST(concat('0x', substr(md5(concat('mix', '|',
+                         CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       % 2147483647) ASC, d.doc_id ASC) AS rk
+                 FROM documents d JOIN q USING (source))
+               SELECT doc_id, source, n_source, quota, CAST(rk AS BIGINT) AS rk
+               FROM r WHERE rk <= quota ORDER BY doc_id"""))
   )
 
   /** Run the 3 BPE merge-training rounds corpus-parallel; returns the

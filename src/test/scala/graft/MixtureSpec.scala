@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** sample_mixture water-filling semantics. */
+class MixtureSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("sample_mixture: max-min fair quotas under the half-corpus budget") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = counts.values.sum / 2
+    val rows = Registry.byName("sample_mixture").run(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    // per-source kept count equals the reported quota; quota <= n_source
+    val quotaOf = bySource.map { case (src, members) =>
+      val q = members.head.getAs[Long]("quota")
+      assert(members.length.toLong === q, s"source $src kept != quota")
+      assert(members.head.getAs[Long]("n_source") === counts(src))
+      assert(q <= counts(src))
+      src -> q
+    }
+    // total kept within budget, and greedy optimality: no unsaturated
+    // source could take one more doc without breaking the budget
+    val kept = quotaOf.values.sum
+    assert(kept <= budget, s"kept $kept > budget $budget")
+    val level = quotaOf.collect {
+      case (src, q) if q < counts(src) => q
+    }
+    // all saturated sources share one common level L
+    assert(level.toSet.size <= 1, s"levels $level")
+    level.headOption.foreach { l =>
+      // level+1 would exceed the budget (maximality of L)
+      val keptAtNext = counts.values.map(n => math.min(n, l + 1)).sum
+      assert(keptAtNext > budget, s"level $l not maximal")
+      // a source that kept everything must sit at or below the level
+      quotaOf.foreach { case (src, q) =>
+        if (q == counts(src)) assert(q <= l, s"source $src above level")
+      }
+    }
+    // ranks within a source are exactly 1..quota
+    bySource.foreach { case (src, members) =>
+      assert(members.map(_.getAs[Long]("rk")).sorted.toSeq ===
+        (1L to quotaOf(src)), s"source $src ranks")
+    }
+  }
+}
