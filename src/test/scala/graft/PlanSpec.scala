@@ -389,4 +389,27 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"overlap must stay an equi-bucket hash join:\n$p")
   }
+
+  test("IVF-PQ search broadcasts the query tables and stays an equi-join") {
+    val p = plan("emb_ivfpq_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query side (with ADC tables) should broadcast on list_id:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate scoring must never go all-pairs:\n$p")
+  }
+
+  test("mixture sampler broadcasts the quota table; ranks shuffle on source only") {
+    val p = plan("sample_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      s"k-row quota table should broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"membership rank must not funnel to one partition:\n$p")
+  }
+
+  test("rank fusion windows partition by lang — no global-sort funnel") {
+    val p = plan("text_rank_fusion")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-lang ranks must not collapse to one partition:\n$p")
+  }
 }
