@@ -95,6 +95,20 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, ok)
   }
 
+  /** Drop every persisted/localCheckpointed RDD and cached table left
+    * behind by a finished query. Operators use localCheckpoint to reuse
+    * expensive intermediates WITHIN one query; across a 150+-query
+    * best-of-2 sweep those blocks are dead weight that accumulates in
+    * the storage pool (hundreds of checkpointed RDDs by the late
+    * queries) and steals execution memory — observed as late-sweep
+    * queries burning multiples of their isolated task CPU. The result
+    * is already fully materialized to the noop sink, so nothing still
+    * references the blocks. */
+  private def clearPersisted(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -116,7 +130,12 @@ object Bench {
     val meter = new StageMeter
     spark.sparkContext.addSparkListener(meter)
 
+    // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (iteration tool; the
+    // driver never sets it, so official runs always cover the registry)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     val defs = Registry.all.filter(_.bench)
+      .filter(d => only.forall(_.contains(d.name)))
 
     // Warm every query once at sf0.01: whole-stage codegen classes are
     // cached by plan structure, and the HotSpot C2 compiler only tiers a
@@ -134,6 +153,7 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] WARMUP FAILED ${d.name}: $e")
       }
+      clearPersisted(spark)
     }
 
     // best-successful, best-failed, and per-pass history per query, in
@@ -150,6 +170,7 @@ object Bench {
         val g0 = gcMs; val j0 = jitMs; val c0 = procCpuMs
         val s0 = meter.snap()
         val (sec, ok) = runOne(spark, d, sfDir)
+        clearPersisted(spark)
         val s1 = meter.snap()
         System.err.println(
           f"[bench] p$pass ${d.name}: $sec%.2f s ok=$ok gc=${gcMs - g0}ms " +

@@ -1141,7 +1141,68 @@ object TextAnalysis {
                        % 2147483647) ASC, d.doc_id ASC) AS rk
                  FROM documents d JOIN q USING (source))
                SELECT doc_id, source, n_source, quota, CAST(rk AS BIGINT) AS rk
-               FROM r WHERE rk <= quota ORDER BY doc_id"""))
+               FROM r WHERE rk <= quota ORDER BY doc_id""")),
+
+    // Balanced shard packing: assign every document to one of 8 output
+    // shards so per-shard TOKEN totals come out near-equal — the
+    // assignment step before writing fixed-count training shards.
+    // Scale shape: docs are banded by coarse size (n_tok div 8, so a
+    // band's members differ by <8 tokens) and sub-salted into groups of
+    // ~256 docs (salt cardinality = corpus_count/2048, a bounded
+    // driver-side scalar like sample_mixture's quota table); a
+    // round-robin over the hash-ranked members of each (band, salt)
+    // group balances token mass within every group, hence globally.
+    // The window key (band, salt) has cardinality that GROWS with the
+    // corpus — no single-partition funnel, no global sort, group size
+    // ~constant at any scale. A per-group hash offset rotates the
+    // round-robin start so remainder rows do not systematically favor
+    // low shard ids. Deterministic: rerun-, engine- and
+    // partitioning-invariant (hash ranks, not RNG).
+    QueryDef(
+      "text_shard_pack",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val nSalt = math.max(1L, docs.count() / 2048L)
+        val nTok = tokenCount(col("text"))
+        val u = hash31(concat_ws("|", lit("spack"), col("doc_id").cast("string")))
+        val salt = hash31(concat_ws("|", lit("ssalt"), col("doc_id").cast("string"))) % nSalt
+        val w = Window.partitionBy("band", "salt").orderBy(col("u").asc, col("doc_id").asc)
+        val goff = hash31(concat_ws("|", lit("soff"),
+          col("band").cast("string"), col("salt").cast("string"))) % 8L
+        docs
+          .select(col("doc_id"), nTok.as("n_tok"), u.as("u"), salt.as("salt"))
+          .withColumn("band", expr("n_tok div 8"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("n_tok"),
+            ((col("rk") - 1L + goff) % 8L).as("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (
+                SELECT greatest(1, count(*) // 2048) AS n_salt FROM documents),
+              t AS (
+                SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  (CAST(concat('0x', substr(md5(concat('spack', '|',
+                      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                    % 2147483647) AS u,
+                  (CAST(concat('0x', substr(md5(concat('ssalt', '|',
+                      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                    % 2147483647) % (SELECT n_salt FROM s) AS salt
+                FROM documents),
+              b AS (
+                SELECT doc_id, n_tok, u, salt, n_tok // 8 AS band FROM t),
+              r AS (
+                SELECT doc_id, n_tok, band, salt,
+                  row_number() OVER (PARTITION BY band, salt
+                    ORDER BY u ASC, doc_id ASC) AS rk,
+                  (CAST(concat('0x', substr(md5(concat('soff', '|',
+                      CAST(band AS VARCHAR), '|',
+                      CAST(salt AS VARCHAR))), 1, 15)) AS BIGINT)
+                    % 2147483647) % 8 AS goff
+                FROM b)
+              SELECT doc_id, n_tok,
+                CAST((rk - 1 + goff) % 8 AS BIGINT) AS shard
+              FROM r ORDER BY doc_id"""))
   )
 
   /** Run the 3 BPE merge-training rounds corpus-parallel; returns the
@@ -1164,11 +1225,15 @@ object TextAnalysis {
     }
     val learned = Seq.newBuilder[(Long, String, String, Long)]
     for (iter <- 1 to 3) {
+      // adjacent-pair extraction stays inside whole-stage codegen:
+      // slice+arrays_zip are codegen'd collection expressions, unlike a
+      // transform() lambda (interpreted, and it re-evaluates the split
+      // per element — measured ~300 s CPU per sweep at sf0.1 before)
       val toks = split(col("text"), " ")
       val pairCol = when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2), i =>
-          struct(element_at(toks, i + 1).as("a"),
-            element_at(toks, i + 2).as("b"))))
+        arrays_zip(
+          slice(toks, lit(1), size(toks) - 1).as("a"),
+          slice(toks, lit(2), size(toks) - 1).as("b")))
         .otherwise(expr("cast(array() as array<struct<a:string,b:string>>)"))
       val best = docs.select(explode(pairCol).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))

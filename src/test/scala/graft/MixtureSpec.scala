@@ -46,4 +46,21 @@ class MixtureSpec extends AnyFunSuite {
         (1L to quotaOf(src)), s"source $src ranks")
     }
   }
+
+  test("text_shard_pack: every doc assigned once; shard token sums balanced") {
+    val rows = Registry.byName("text_shard_pack").run(spark, TestSpark.sf).collect()
+    val nDocs = Tables.load(spark, TestSpark.sf, "documents").count()
+    assert(rows.length.toLong === nDocs, "one assignment per document")
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet === (0L to 7L).toSet, s"shards ${byShard.keySet}")
+    val sums = byShard.map { case (_, m) => m.map(_.getAs[Long]("n_tok")).sum }
+    val (mx, mn) = (sums.max, sums.min)
+    // round-robin within <8-token-wide bands: totals within a few
+    // percent of each other even at sf0.001
+    assert(mx - mn <= (mx + mn) / 2 / 10,
+      s"shard token sums unbalanced: min $mn max $mx")
+    // determinism: a second run produces the identical assignment
+    val again = Registry.byName("text_shard_pack").run(spark, TestSpark.sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }

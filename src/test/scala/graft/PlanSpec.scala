@@ -412,4 +412,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"per-lang ranks must not collapse to one partition:\n$p")
   }
+
+  test("shard packing windows on (band, salt) — no global-sort funnel") {
+    val p = plan("text_shard_pack")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"shard round-robin must not collapse to one partition:\n$p")
+  }
 }
