@@ -195,6 +195,47 @@ object Multimodal {
       },
       Some(DecodeOracleSql)),
 
+    // The decode driven from Spark's binaryFile SOURCE — the layout real
+    // media corpora arrive in (one file per blob on shared storage,
+    // id in the filename). Payloads are written file-per-blob from the
+    // executors (partition-parallel, the shape of a distributed media
+    // exporter), then read back with format("binaryFile") — path /
+    // length / content columns — the id parsed from the path and the
+    // bytes parsed by the same HeaderCodec. Reading packs small files
+    // into splits via maxPartitionBytes + openCostInBytes, so 10^9
+    // small blobs do not mean 10^9 tasks. The oracle recomputes the
+    // planted ground truth: a byte mangled anywhere in the
+    // export→list→read→parse path is a correctness failure.
+    QueryDef(
+      "mm_binary_source",
+      (s, dir) => {
+        import s.implicits._
+        // per-sf subdir: the same JVM verifies/benches several sf dirs,
+        // and file-per-blob dirs (unlike parquet) have no overwrite mode
+        val path = s"$ioScratch/files_${Integer.toHexString(dir.hashCode)}"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+        docs(s, dir).select(col("doc_id"), payloadCol.as("payload"))
+          .as[MediaIn]
+          .foreachPartition { (it: Iterator[MediaIn]) =>
+            it.foreach { m =>
+              val ext = if (m.doc_id % 2 == 0) "png" else "wav"
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(path, f"doc_${m.doc_id}%010d.$ext"),
+                m.payload)
+            }
+          }
+        s.read.format("binaryFile").load(path)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.", 1)
+              .cast("long").as("doc_id"),
+            col("content").as("payload"))
+          .as[MediaIn]
+          .mapPartitions(_.map(HeaderCodec.decode))
+          .toDF()
+          .orderBy("doc_id")
+      },
+      Some(DecodeOracleSql)),
+
     // Perceptual-hash dedup over the media PAYLOAD BODY: a 16-bit
     // block-mean hash (bit i set iff segment i's byte sum, cross-
     // multiplied to stay integer-exact, exceeds its share of the total),
