@@ -102,6 +102,68 @@ object Warehouse {
               GROUP BY n_name
               ORDER BY revenue DESC, n_name""")),
 
+    // TPC-H Q7 (volume shipping): the role-playing-dimension pattern —
+    // the SAME nation table joins twice under different roles (supplier
+    // nation via supplier, customer nation via orders->customer), with
+    // the symmetric two-nation predicate evaluated across the roles.
+    // Plan: lineitem->orders (fact-fact shuffle on orderkey) ->customer
+    // (shuffle on custkey); supplier and both nation roles broadcast.
+    // Filtering each broadcast nation copy to the 2 relevant rows BEFORE
+    // the join turns the cross-role OR predicate into two tiny
+    // broadcast hash joins plus one residual inequality — at 100 TB the
+    // fact side is never re-shuffled for either dimension role. Revenue
+    // sums as exact decimal; the year key comes from the shipdate.
+    QueryDef(
+      "q_tpch_q7",
+      (s, dir) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+          .select("l_orderkey", "l_suppkey", "l_extendedprice",
+            "l_discount", "l_shipdate")
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val su = broadcast(
+          t(s, dir, "supplier").select("s_suppkey", "s_nationkey"))
+        val n1 = broadcast(t(s, dir, "nation")
+          .filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+        val n2 = broadcast(t(s, dir, "nation")
+          .filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+        val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(n1, col("s_nationkey") === col("n1_key"))
+          .join(n2, col("c_nationkey") === col("n2_key"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(12,2)) -
+                          CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                  AS revenue
+              FROM lineitem
+                   JOIN orders ON l_orderkey = o_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN supplier ON l_suppkey = s_suppkey
+                   JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                   JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+                AND n2.n_name IN ('NATION_1', 'NATION_2')
+                AND n1.n_name <> n2.n_name
+                AND l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2, 3
+              ORDER BY 1, 2, 3""")),
+
     // TPC-H Q18 (large-volume customer): aggregate-then-join instead of
     // the textbook join-then-reaggregate — the per-order quantity sum is
     // computed ONCE on lineitem (map-side combined, one shuffle on

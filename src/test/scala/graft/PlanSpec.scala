@@ -358,6 +358,14 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"non-equi join shape:\n$p")
   }
 
+  test("TPC-H Q7 broadcasts supplier and both nation roles") {
+    val p = plan("q_tpch_q7")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"supplier + both nation roles should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join shape:\n$p")
+  }
+
   test("heavy hitters use a top-k sort, not a global sort") {
     val p = plan("q_heavy_hitters")
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
