@@ -169,11 +169,15 @@ object Dedup {
   private def bandsOf(withSig: DataFrame): DataFrame =
     withSig.select(
       col("doc_id"),
-      explode(transform(sequence(lit(0), lit(NumPerms / BandRows - 1)), b =>
+      // band count is a compile-time constant: unroll to an array
+      // literal of codegen'd slices instead of a transform() lambda
+      // (higher-order lambdas run interpreted)
+      explode(array((0 until NumPerms / BandRows).map { b =>
         struct(
-          b.as("band_id"),
-          concat_ws(",", slice(col("sig"), b * BandRows + lit(1), lit(BandRows)))
-            .as("band_key")))).as("band"))
+          lit(b.toLong).as("band_id"),
+          concat_ws(",", slice(col("sig"), b * BandRows + 1, BandRows))
+            .as("band_key"))
+      }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
 
   /** (doc_id, simhash): 16-bit SimHash on the whole-stage-codegen path —
@@ -667,7 +671,10 @@ object Dedup {
       "dedup_substring",
       (s, dir) => {
         val W = 8
-        val ts = split(col("text"), " ")
+        // tokenize ONCE into a materialized column before the window
+        // lambda: a split inside a transform() body runs interpreted and
+        // re-tokenizes per element (the bpeRounds CPU hazard)
+        val ts = col("ts")
         val wins = when(size(ts) >= W,
           transform(sequence(lit(0), size(ts) - W),
             i => concat_ws(" ", slice(ts, i + lit(1), lit(W)))))
@@ -675,6 +682,7 @@ object Dedup {
         // positional postings feed the viral-DF count and both join
         // sides; checkpoint so the corpus is windowed exactly once
         val postings = docsParallel(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
           .select(col("doc_id"), posexplode(wins).as(Seq("pos", "w")))
           .localCheckpoint()
         val viral = postings.groupBy("w")

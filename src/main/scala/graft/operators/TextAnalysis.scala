@@ -330,10 +330,16 @@ object TextAnalysis {
         val d = Tables.load(s, dir, "documents")
         val p = s.sparkContext.defaultParallelism
         val docs = if (d.rdd.getNumPartitions >= p) d else d.repartition(p)
+        // bigram strings from two shifted slices zipped — stays in
+        // codegen; a tokens() call inside a transform() lambda would
+        // run interpreted and re-tokenize per element
         val ts = tokens(col("text"))
         val grams = when(size(ts) >= 2,
-          transform(sequence(lit(0), size(ts) - 2),
-            i => concat_ws(" ", slice(ts, i + lit(1), lit(2)))))
+          transform(
+            arrays_zip(
+              slice(ts, lit(1), size(ts) - 1).as("a"),
+              slice(ts, lit(2), size(ts) - 1).as("b")),
+            s2 => concat_ws(" ", s2.getField("a"), s2.getField("b"))))
           .otherwise(slice(ts, lit(1), lit(0)))
         val perGram = docs
           .select(col("doc_id"), explode(grams).as("g"))
@@ -909,11 +915,14 @@ object TextAnalysis {
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         val ts = split(col("text"), " ")
+        // slice+arrays_zip, NOT a transform() lambda: higher-order
+        // lambdas run interpreted and re-evaluate the split per element
+        // (the same hazard measured at 300 s CPU in bpeRounds)
         val bg = d.select(col("doc_id"),
             explode(when(size(ts) >= 2,
-              transform(sequence(lit(0), size(ts) - 2), i =>
-                struct(element_at(ts, i + 1).as("w1"),
-                  element_at(ts, i + 2).as("w2"))))
+              arrays_zip(
+                slice(ts, lit(1), size(ts) - 1).as("w1"),
+                slice(ts, lit(2), size(ts) - 1).as("w2")))
               .otherwise(expr(
                 "cast(array() as array<struct<w1:string,w2:string>>)")))
               .as("b"))
