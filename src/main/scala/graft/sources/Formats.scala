@@ -64,6 +64,32 @@ object Formats {
     QueryDef("q_fmt_json", (s, dir) => roundTrip(s, dir, "json"), Some(RoundTripAgg)),
     QueryDef("q_fmt_orc", (s, dir) => roundTrip(s, dir, "orc"), Some(RoundTripAgg)),
 
+    // Line-oriented text round-trip — the raw-log shape. One string
+    // column per line out and back; a `lang|text` line plus a limit-2
+    // split recovers the fields (document text is letter/space word
+    // soup, so the first '|' is always the delimiter). The oracle
+    // aggregates the original table, so any byte lost or mangled in the
+    // write→read path breaks the hash match.
+    QueryDef(
+      "q_fmt_text",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, concat_ws, count, length, lit, split, sum}
+        val scratch = scratchFor("text")
+        Tables.load(s, dir, "documents")
+          .select(concat_ws("|", col("lang"), col("text")).as("value"))
+          .write.mode("overwrite").text(scratch)
+        val parts = split(col("value"), "\\|", 2)
+        s.read.text(scratch)
+          .select(parts.getItem(0).as("lang"), parts.getItem(1).as("text"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).cast("long").as("n_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n,
+                CAST(sum(length(text)) AS BIGINT) AS n_chars
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
     // Hive-style partitioned layout + partition pruning: events written
     // once per invocation partitioned by event_type, then read back with
     // an event_type predicate. The filter resolves against DIRECTORY
