@@ -116,7 +116,7 @@ object Warehouse {
     QueryDef(
       "q_tpch_q7",
       (s, dir) => {
-        val pair = Seq("NATION_1", "NATION_2")
+        val pair = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
         val l = t(s, dir, "lineitem")
           .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
             col("l_shipdate") < to_timestamp(lit("1997-01-01")))
@@ -156,8 +156,8 @@ object Warehouse {
                    JOIN supplier ON l_suppkey = s_suppkey
                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
-              WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-                AND n2.n_name IN ('NATION_1', 'NATION_2')
+              WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+                AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
                 AND n1.n_name <> n2.n_name
                 AND l_shipdate >= TIMESTAMP '1995-01-01'
                 AND l_shipdate < TIMESTAMP '1997-01-01'
