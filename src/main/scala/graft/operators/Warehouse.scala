@@ -102,6 +102,34 @@ object Warehouse {
               GROUP BY n_name
               ORDER BY revenue DESC, n_name""")),
 
+    // TPC-H Q6 (forecasting revenue change): the canonical pure
+    // scan-filter-aggregate — three predicates (date range, discount
+    // band, quantity cap) all push into the parquet reader (row-group
+    // min/max skipping decides before decode), then ONE partial/final
+    // global aggregate. No shuffle beyond the 1-row final combine; at
+    // 100 TB the scan itself is the entire query, which is the point.
+    QueryDef(
+      "q_tpch_q6",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+            col("l_discount").between(0.04, 0.08) &&
+            col("l_quantity") < 24)
+          .agg(
+            sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n")),
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                       AS revenue,
+                     count(*) AS n
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+                AND l_discount BETWEEN 0.04 AND 0.08
+                AND l_quantity < 24""")),
+
     // TPC-H Q7 (volume shipping): the role-playing-dimension pattern —
     // the SAME nation table joins twice under different roles (supplier
     // nation via supplier, customer nation via orders->customer), with

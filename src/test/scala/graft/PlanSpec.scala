@@ -358,6 +358,24 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"non-equi join shape:\n$p")
   }
 
+  test("TPC-H Q6 pushes all three predicates and prunes to four columns") {
+    val p = plan("q_tpch_q6")
+    // toString elides long PushedFilters lists — use formatted explain
+    val full = Registry.byName("q_tpch_q6").run(spark, TestSpark.sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scan = full.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(scan.contains("l_shipdate") && scan.contains("l_discount") &&
+      scan.contains("LessThan(l_quantity"),
+      s"Q6 predicates not all pushed to the scan: $scan")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"),
+      s"Q6 scan reads columns beyond the predicate+measure set: $read")
+    // global agg: exactly one exchange (partial → single final combine)
+    assert("Exchange".r.findAllIn(p).size === 1, s"Q6 shuffled data:\n$p")
+  }
+
   test("TPC-H Q7 broadcasts supplier and both nation roles") {
     val p = plan("q_tpch_q7")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,

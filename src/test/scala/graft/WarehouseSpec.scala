@@ -36,6 +36,24 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got === sqlForm)
   }
 
+  test("q_tpch_q6 equals the literal SQL-text formulation") {
+    Tables.load(spark, TestSpark.sf, "lineitem")
+      .createOrReplaceTempView("lineitem")
+    val sqlForm = spark.sql("""
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.04 AND 0.08
+        AND l_quantity < 24""").collect()(0)
+    val got = run("q_tpch_q6").collect()(0)
+    assert(got.getAs[Long]("n") === sqlForm.getAs[Long]("n"))
+    assert(got.getAs[Long]("n") > 0)
+    assert(got.getAs[Double]("revenue") === sqlForm.getAs[Double]("revenue"))
+  }
+
   test("q_tpch_q18 rows all exceed the quantity threshold, capped at 100") {
     val rows = run("q_tpch_q18").collect()
     assert(rows.length <= 100)
