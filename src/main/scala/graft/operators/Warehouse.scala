@@ -130,6 +130,38 @@ object Warehouse {
                 AND l_discount BETWEEN 0.04 AND 0.08
                 AND l_quantity < 24""")),
 
+    // TPC-H Q13 (customer order-count distribution): the count-of-counts
+    // DOUBLE aggregation — the histogram-of-group-sizes shape every
+    // engagement/skew analysis needs. Plan: aggregate the filtered
+    // orders per customer FIRST (map-side combined, shuffle ∝ distinct
+    // custkeys, never raw orders), left-join customer so zero-order
+    // customers survive as c_count=0, then the second aggregate groups
+    // on c_count — whose cardinality is O(max orders per customer),
+    // a few hundred values at ANY corpus scale, so the second shuffle
+    // is constant-size. The first join's probe side is the customer
+    // key column only (one bigint per customer).
+    QueryDef(
+      "q_tpch_q13",
+      (s, dir) => {
+        val perCust = t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"))
+        t(s, dir, "customer").select("c_custkey")
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+          .select(coalesce(col("n"), lit(0L)).as("c_count"))
+          .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+              FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                    FROM customer LEFT OUTER JOIN orders
+                         ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+                    GROUP BY c_custkey) cc
+              GROUP BY c_count
+              ORDER BY custdist DESC, c_count DESC""")),
+
     // TPC-H Q7 (volume shipping): the role-playing-dimension pattern —
     // the SAME nation table joins twice under different roles (supplier
     // nation via supplier, customer nation via orders->customer), with
