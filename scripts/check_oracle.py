@@ -28,11 +28,39 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def dtype_err(a: pd.DataFrame, b: pd.DataFrame):
+    """Driver-strictness dtype gate: the driver's typed-hash comparator
+    distinguishes int64 from float64/object/HUGEINT, so a value-level
+    pass with coerced dtypes (numpy ==) is NOT a driver pass. DuckDB
+    widens integer sum() to HUGEINT (-> float64/object in fetchdf);
+    flag any column whose dtype differs between the Spark parquet and
+    the DuckDB result before comparing values."""
+    errs = []
+    for c in a.columns:
+        ad, bd = a[c].dtype, b[c].dtype
+        if ad == bd:
+            continue
+        # Nullable-int representation drift is not a driver signal:
+        # pandas surfaces an int64 column containing nulls as float64
+        # or object on EITHER side. Only flag when the non-null values
+        # themselves disagree in kind.
+        if a[c].isna().any() or b[c].isna().any():
+            if {ad.kind, bd.kind} <= {"i", "f", "O"}:
+                continue
+        errs.append(f"{c}: spark={ad} oracle={bd}")
+    if errs:
+        return "dtype mismatch (driver hash would fail): " + "; ".join(errs)
+    return None
+
+
 def cmp(a: pd.DataFrame, b: pd.DataFrame):
     if list(a.columns) != list(b.columns):
         return f"columns {list(a.columns)} != {list(b.columns)}"
     if len(a) != len(b):
         return f"rows {len(a)} != {len(b)}"
+    derr = dtype_err(a, b)
+    if derr:
+        return derr
     for c in a.columns:
         av, bv = a[c].values, b[c].values
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):

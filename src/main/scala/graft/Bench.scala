@@ -235,13 +235,53 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
         s""""passes":$passesJson,"failures":$failures,"failed":$failedJson,""" +
         s""""best_of":$bestOf,"sf":"$sfDir"}"""
-    try {
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), full + "\n")
+    // artifacts + regression report only for OFFICIAL full sweeps (the
+    // driver's config: full registry at sf0.1) — a partial or small-sf
+    // dev run must neither overwrite the committed sf0.1 per-query
+    // baseline nor append an incomparable line to the trend file
+    val official = only.isEmpty && sfShort == "sf0.1"
+    try if (official) {
+      // per-query regression report vs the previous run's BENCH_LAST:
+      // with 160+ benched queries a single-query 2x regression hides
+      // inside total noise (round-3 advice: q_fmt_csv 1.36->2.32 s was
+      // only visible by manual diff). Parse the old per-query map
+      // before overwriting and print the top-5 slowdowns.
+      val lastPath = java.nio.file.Paths.get("/root/repo/BENCH_LAST.json")
+      val prev: Map[String, Double] =
+        if (java.nio.file.Files.exists(lastPath)) {
+          val txt = java.nio.file.Files.readString(lastPath)
+          val qStart = txt.indexOf("\"queries\":{")
+          if (qStart < 0) Map.empty
+          else {
+            val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+            "\"([^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        } else Map.empty
+      if (prev.nonEmpty) {
+        val regressions = best
+          .collect { case (name, v) if !v.isNaN && prev.contains(name) &&
+              v > prev(name) + 0.25 => // ignore sub-noise-floor jitter
+            (name, prev(name), v, v / prev(name))
+          }
+          .sortBy { case (_, _, _, ratio) => -ratio }
+          .take(5)
+        if (regressions.isEmpty)
+          System.err.println("[bench] no per-query regressions vs previous run")
+        else regressions.foreach { case (name, old, now, ratio) =>
+          System.err.println(
+            f"[bench] REGRESSION $name: $old%.2f -> $now%.2f s (${ratio}%.2fx)")
+        }
+      }
+      java.nio.file.Files.writeString(lastPath, full + "\n")
+      // the trend file carries the per-query map too (round-3 task #5):
+      // one compact-precision line per run, so any two rounds diff
+      // per-query without needing the driver's artifacts
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/BENCH_HISTORY.jsonl"),
         s"""{"total":${fmt(total)},"n_queries":${best.size},""" +
-          s""""failures":$failures,"best_of":$bestOf,"sf":"$sfDir"}""" + "\n",
+          s""""failures":$failures,"best_of":$bestOf,"sf":"$sfDir",""" +
+          s""""queries":$qs}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch {

@@ -19,16 +19,30 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet timestamp[ns], which Spark 4 refuses to read
-    * natively — read nanos as long and truncate to microseconds with
-    * integer division (a double division would lose precision on 2^60-ns
-    * epoch values). DuckDB's CAST(ts_ns AS TIMESTAMP) truncates the same
-    * way, so oracle comparisons stay exact. */
+  /** events.ts normalized to TimestampType micros whatever the parquet
+    * physical type. The corpus has shipped it two ways across driver
+    * rounds: timestamp[ns] (which Spark 4 refuses to read natively —
+    * read nanos as long via the legacy conf and truncate to micros with
+    * integer division; a double division would lose precision on
+    * 2^60-ns epoch values) and timestamp[us] (TIMESTAMP_NTZ in Spark 4
+    * — cast to TIMESTAMP, a micros-identity under the pinned UTC
+    * session timezone). Both match DuckDB's CAST(ts AS TIMESTAMP)
+    * exactly, so oracle comparisons stay bit-for-bit either way. */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.withColumn("ts", normTsCol(df.schema))
+  }
+
+  /** The ts-normalizing column for an events schema (see loadEvents). */
+  def normTsCol(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr}
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
   }
 
   /** Register every corpus table as a temp view (idempotent), so SQL-text

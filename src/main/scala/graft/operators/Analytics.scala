@@ -762,19 +762,19 @@ object Analytics {
           }: _*)
       },
       Some("""SELECT 'lineitem' AS tbl,
-                sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS l_orderkey_nulls,
+                CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_orderkey_nulls,
                 count(DISTINCT l_orderkey) AS l_orderkey_ndv,
                 CAST(min(l_orderkey) AS BIGINT) AS l_orderkey_min,
                 CAST(max(l_orderkey) AS BIGINT) AS l_orderkey_max,
-                sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS l_partkey_nulls,
+                CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_partkey_nulls,
                 count(DISTINCT l_partkey) AS l_partkey_ndv,
                 CAST(min(l_partkey) AS BIGINT) AS l_partkey_min,
                 CAST(max(l_partkey) AS BIGINT) AS l_partkey_max,
-                sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS l_suppkey_nulls,
+                CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_suppkey_nulls,
                 count(DISTINCT l_suppkey) AS l_suppkey_ndv,
                 CAST(min(l_suppkey) AS BIGINT) AS l_suppkey_min,
                 CAST(max(l_suppkey) AS BIGINT) AS l_suppkey_max,
-                sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS l_linenumber_nulls,
+                CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_linenumber_nulls,
                 count(DISTINCT l_linenumber) AS l_linenumber_ndv,
                 CAST(min(l_linenumber) AS BIGINT) AS l_linenumber_min,
                 CAST(max(l_linenumber) AS BIGINT) AS l_linenumber_max
@@ -805,8 +805,9 @@ object Analytics {
     // truth: est >= exact always, est - exact <= 2N/width w.h.p.
     // (bounds asserted in AnalyticsSpec). No SQL oracle — a sketch is
     // engine-private state — so this is a declared rows-only entry like
-    // q_approx_sketches; the EXACT columns are covered by
-    // q_heavy_hitters' oracle.
+    // q_approx_sketches; the EXACT columns get their own oracle-gated
+    // companion q_cms_exact below (and q_heavy_hitters covers the
+    // exact-groupBy shape).
     QueryDef(
       "q_cms_freq",
       (s, dir) => {
@@ -833,7 +834,24 @@ object Analytics {
             least(est: _*).as("n_est"))
           .orderBy(col("n_exact").desc, col("l_partkey"))
       },
-      None)
+      None),
+
+    // Half-oracle companion to q_cms_freq (same split q_sketch_exact
+    // provides for q_approx_sketches): the probe's exact top-20 keys and
+    // exact counts ARE DuckDB-expressible, so they get their own
+    // bit-for-bit gate; only the sketch estimates stay rows-only
+    // (bound-checked in AnalyticsSpec). A regression in the exact
+    // key/count selection now fails CORRECTNESS instead of hiding
+    // inside the rows-only entry.
+    QueryDef(
+      "q_cms_exact",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_partkey").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("l_partkey")).limit(20),
+      Some("""SELECT l_partkey, count(*) AS n_exact
+              FROM lineitem GROUP BY l_partkey
+              ORDER BY n_exact DESC, l_partkey LIMIT 20"""))
   )
 
   /** Count-min sketch geometry: 4 rows x 1024 counters = 32 KB. With

@@ -28,6 +28,21 @@ object Dedup {
   private[graft] val BandRows = 2 // 8 bands x 2 rows — recall-biased for low-J corpora
   private[graft] val JaccardThreshold = 0.015
 
+  // Hard input-size gate for the declared all-pairs/saturating baseline
+  // variants (dedup_simhash_pairs here, sim_embed_neardup_exact in
+  // Similarity): far above every test SF, far below any corpus where
+  // the quadratic shape would hurt.
+  private[graft] val MaxAllPairsRows = 100000L
+
+  /** Registry-level gate for declared all-pairs baselines (mirrors
+    * CosineTopK's <= 4096 query gate): throws before any quadratic work
+    * is planned, naming the production-shaped alternative. */
+  private[graft] def requireAllPairsSmall(
+      n: Long, name: String, unit: String, alternative: String): Unit =
+    require(n <= MaxAllPairsRows,
+      s"$name is an all-pairs baseline, capped at $MaxAllPairsRows " +
+        s"$unit (got $n); use $alternative")
+
   // Bloom front gate (dedup_bloom_probe): 4096-bit filter, 3 hash
   // positions per document text — small enough that the planted corpus
   // exercises real false positives, large enough that they stay rare.
@@ -404,7 +419,16 @@ object Dedup {
     // equivalence check.) Exact Hamming is verified on candidates.
     QueryDef(
       "dedup_simhash_pairs",
-      (s, dir) => simhashChunkPairs(simhashed(s, dir)),
+      (s, dir) => {
+        // 16-bit signatures SATURATE (result set grows ~quadratically
+        // with corpus size), so this didactic variant gets a hard
+        // registry-level gate; the production 60-bit
+        // dedup_simhash_wide_pairs has no such cliff.
+        requireAllPairsSmall(Tables.load(s, dir, "documents").count(),
+          "dedup_simhash_pairs (16-bit, saturating)", "docs",
+          "dedup_simhash_wide_pairs")
+        simhashChunkPairs(simhashed(s, dir))
+      },
       // cross-join oracle is fine for DuckDB at sf0.01; the Spark plan is
       // the chunk-blocked equi-join, identical output for distance <= 3.
       // bench=false: 16 bits SATURATE — at sf0.1 ~22% of all pairs sit

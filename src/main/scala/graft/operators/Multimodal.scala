@@ -211,9 +211,19 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         // per-sf subdir: the same JVM verifies/benches several sf dirs,
-        // and file-per-blob dirs (unlike parquet) have no overwrite mode
-        val path = s"$ioScratch/files_${Integer.toHexString(dir.hashCode)}"
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+        // and file-per-blob dirs (unlike parquet) have no overwrite
+        // mode. Keyed on the sanitized full dir path (a 32-bit hashCode
+        // can collide across sf dirs) and cleared before export, so a
+        // regenerated or shrunk corpus at the same path never leaves
+        // stale doc_* blobs for the binaryFile read to sweep back in.
+        val path = s"$ioScratch/files_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        val pathP = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.isDirectory(pathP)) {
+          val old = java.nio.file.Files.list(pathP)
+          try old.forEach(p => java.nio.file.Files.delete(p))
+          finally old.close()
+        }
+        java.nio.file.Files.createDirectories(pathP)
         docs(s, dir).select(col("doc_id"), payloadCol.as("payload"))
           .as[MediaIn]
           .foreachPartition { (it: Iterator[MediaIn]) =>

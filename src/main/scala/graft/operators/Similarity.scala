@@ -264,6 +264,13 @@ object Similarity {
     QueryDef(
       "sim_embed_neardup_exact",
       (s, dir) => {
+        // Declared all-pairs baseline: O(n^2) compare + full broadcast.
+        // Hard registry-level gate (like CosineTopK's <= 4096 query
+        // gate) so the baseline cannot be pointed at a large corpus by
+        // accident — the production path is sim_embed_neardup (LSH).
+        Dedup.requireAllPairsSmall(
+          Tables.load(s, dir, "embeddings").count(),
+          "sim_embed_neardup_exact", "vectors", "sim_embed_neardup")
         val base = embParallel(s, dir)
         val a = base.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
         val b = base.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))

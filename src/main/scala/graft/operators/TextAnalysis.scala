@@ -724,7 +724,7 @@ object TextAnalysis {
                 FROM documents),
               ctf AS (SELECT term, count(*) AS ctf FROM tk GROUP BY 1)
               SELECT tk.doc_id, count(*) AS n_tokens,
-                sum(ctf.ctf) AS sum_ctf,
+                CAST(sum(ctf.ctf) AS BIGINT) AS sum_ctf,
                 CAST(sum(ctf.ctf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_ctf
               FROM tk JOIN ctf ON tk.term = ctf.term
               GROUP BY tk.doc_id ORDER BY tk.doc_id""")),
@@ -1101,11 +1101,17 @@ object TextAnalysis {
         val k = counts.length
         val budget = counts.map(_._2).sum / 2
         // max-min fair integer level: i saturated smallest sources,
-        // L_i = (budget - prefix_i) / (k - i), valid while c_i <= L_i
+        // L_i = (budget - prefix_i) / (k - i), valid while c_i <= L_i.
+        // Clamped at 0: Scala's `/` truncates toward zero while the
+        // oracle's DuckDB `//` floors, so the two disagree on negative
+        // candidates (budget - prefix < 0 on late iterations). A
+        // negative candidate is never a valid level anyway (counts are
+        // >= 1 > it), and clamping makes that invariant explicit
+        // instead of relying on both engines rejecting it.
         var level = 0L
         var prefix = 0L
         for (i <- 0 until k) {
-          val li = (budget - prefix) / (k - i)
+          val li = math.max(0L, (budget - prefix) / (k - i))
           if (i == 0 || counts(i - 1)._2 <= li) level = li
           prefix += counts(i)._2
         }
@@ -1140,7 +1146,7 @@ object TextAnalysis {
                  ORDER BY i DESC LIMIT 1),
                q AS (
                  SELECT source, n AS n_source,
-                   least(n, (SELECT lvl FROM lvl)) AS quota
+                   CAST(least(n, (SELECT lvl FROM lvl)) AS BIGINT) AS quota
                  FROM c),
                r AS (
                  SELECT d.doc_id, d.source, q.n_source, q.quota,

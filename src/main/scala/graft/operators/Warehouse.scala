@@ -604,38 +604,45 @@ object Warehouse {
           .reduce(_.unionAll(_))
           .orderBy("rule")
       },
+      // Every integer sum() is cast back to BIGINT: DuckDB widens
+      // integer sums to HUGEINT (int128), which fails the driver's
+      // typed-hash compare against Spark's int64 (same pattern as
+      // PagerankOracleSql). NULL literals are typed explicitly too.
       Some("""SELECT * FROM (
                 SELECT 'lineitem_qty_domain' AS rule,
-                  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
-                      THEN 1 ELSE 0 END) AS n_violations,
+                  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
                   count(*) AS n_checked FROM lineitem
                 UNION ALL
                 SELECT 'lineitem_price_positive',
-                  sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END),
+                  CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT),
                   count(*) FROM lineitem
                 UNION ALL
                 SELECT 'customer_name_not_null',
-                  sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+                  CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
                   count(*) FROM customer
                 UNION ALL
                 SELECT 'events_user_not_null',
-                  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+                  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
                   count(*) FROM events
                 UNION ALL
                 SELECT 'orders_date_range',
-                  sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
-                      THEN 1 ELSE 0 END),
+                  CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                      THEN 1 ELSE 0 END) AS BIGINT),
                   count(*) FROM orders
                 UNION ALL
                 SELECT 'lineitem_orderkey_fk',
                   (SELECT count(*) FROM lineitem
                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
-                  NULL
+                  CAST(NULL AS BIGINT)
                 UNION ALL
                 SELECT 'orders_custkey_fk',
                   (SELECT count(*) FROM orders
                    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
-                  NULL)
+                  CAST(NULL AS BIGINT))
               ORDER BY rule""")),
 
     // Higher-order array functions with lambdas (SQL:2016 / Spark

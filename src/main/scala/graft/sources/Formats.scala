@@ -228,7 +228,8 @@ object Formats {
       oracle = Some(s"""WITH z AS (
                  SELECT ${zOrderSqlExpr("l_partkey", "l_suppkey")} AS zval
                  FROM lineitem)
-               SELECT count(*) AS n, sum(zval) AS sum_z,
+               SELECT count(*) AS n,
+                 CAST(sum(zval) AS BIGINT) AS sum_z,
                  min(zval) AS min_z, max(zval) AS max_z
                FROM z WHERE zval < 1000000""")),
 

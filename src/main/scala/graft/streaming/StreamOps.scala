@@ -38,7 +38,7 @@ object StreamOps {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.normTsCol(schema))
       .withWatermark("ts", "1 hour")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(
@@ -72,7 +72,7 @@ object StreamOps {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.normTsCol(schema))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -119,8 +119,9 @@ object StreamOps {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+      .withColumn("ts", graft.Tables.normTsCol(schema))
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("ts_us"))
+        unix_micros(col("ts")).as("ts_us"))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val delta = argmax(batch)
@@ -158,7 +159,7 @@ object StreamOps {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.normTsCol(schema))
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
       .writeStream
@@ -196,7 +197,7 @@ object StreamOps {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.normTsCol(schema))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream
@@ -248,7 +249,7 @@ object StreamOps {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.normTsCol(schema))
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"))
       .as[Ev]
@@ -333,7 +334,7 @@ object StreamOps {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.normTsCol(schema))
   }
 
   /** Stream-stream interval join: each purchase joined to the same
@@ -371,6 +372,91 @@ object StreamOps {
     s.table(sink)
       .groupBy(col("p_id").as("purchase_id"))
       .agg(count(lit(1)).as("n_clicks_1h"))
+      .orderBy("purchase_id")
+  }
+
+  /** Stream-stream LEFT OUTER interval join — the null-padding-on-
+    * watermark-expiry shape CDC enrichment pipelines hit first: every
+    * purchase emits, clicks attached when they exist, null-padded
+    * otherwise — but the null-padded row may only be emitted once the
+    * watermark has passed the purchase's join window (no earlier click
+    * can still arrive). State stays bounded exactly as in the inner
+    * form: one hour of clicks per user plus unresolved purchases, both
+    * evicted at the watermark.
+    *
+    * To make the finite-corpus run equal the batch LEFT JOIN oracle,
+    * the source is staged into a scratch dir and, after the corpus is
+    * consumed, a sentinel click+purchase pair far past the corpus max
+    * event time lands as a second file: it advances BOTH sides'
+    * watermarks (the query watermark is the min) past every real
+    * purchase, so every real unmatched purchase null-pads. The sentinel
+    * purchase itself stays unresolved in state (nothing is ever later
+    * than it) and the sentinel click matches no purchase — neither
+    * reaches the output, and both carry user_id -1 which is filtered
+    * defensively anyway. The per-batch emission order (padded rows only
+    * after the watermark passes) is proven in StreamCancelSpec. */
+  def intervalJoinLeftOuter(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.read.parquet(s"$dir/events.parquet")
+    val schema = src.schema
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_loj_stage").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$stage/00_events.parquet"))
+    val ev = s.readStream
+      .schema(schema)
+      .parquet(stage)
+      .withColumn("ts", graft.Tables.normTsCol(schema))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val sink = s"graft_stream_loj_${nameCounter.incrementAndGet()}"
+    val q = purchases.join(clicks,
+        expr("""p_user = c_user AND
+                c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"""),
+        "leftOuter")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable() // phase 1: the real corpus
+      // phase 2: sentinel rows 10h past the corpus max close the tail
+      val maxUs = src.withColumn("ts", graft.Tables.normTsCol(schema))
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val sentTs = timestamp_micros(lit(maxUs + 10L * 3600L * 1000000L))
+        .cast(schema("ts").dataType)
+      val sent = s.range(1).select(
+          lit(-1L).as("event_id"), sentTs.as("ts"), lit(-1L).as("user_id"),
+          lit("click").as("event_type"), lit(0.0).as("value"),
+          lit("").as("props"))
+        .unionAll(s.range(1).select(
+          lit(-2L).as("event_id"), sentTs.as("ts"), lit(-1L).as("user_id"),
+          lit("purchase").as("event_type"), lit(0.0).as("value"),
+          lit("").as("props")))
+      val sentOut = s"${stage}_sent"
+      sent.coalesce(1).write.mode("overwrite").parquet(sentOut)
+      val part = new java.io.File(sentOut).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/10_sentinel.parquet"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    // count(c_id) counts matches only — a null-padded purchase scores 0,
+    // exactly the batch LEFT JOIN + count(c.event_id) oracle
+    s.table(sink)
+      .filter(col("p_user") >= 0)
+      .groupBy(col("p_id").as("purchase_id"))
+      .agg(count(col("c_id")).as("n_clicks_1h"))
       .orderBy("purchase_id")
   }
 
@@ -479,6 +565,22 @@ object StreamOps {
               GROUP BY purchase_id ORDER BY purchase_id"""),
       bench = false),
     QueryDef(
+      "stream_interval_join_left",
+      (s, dir) => intervalJoinLeftOuter(s, dir),
+      // batch LEFT JOIN oracle: count(c.event_id) scores a clickless
+      // purchase as 0 — the row the streaming side emits null-padded
+      // once the watermark passes its join window
+      Some("""SELECT p.event_id AS purchase_id,
+                count(c.event_id) AS n_clicks_1h
+              FROM events p LEFT JOIN events c
+                ON c.user_id = p.user_id
+               AND c.event_type = 'click'
+               AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+               AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+              WHERE p.event_type = 'purchase'
+              GROUP BY purchase_id ORDER BY purchase_id"""),
+      bench = false),
+    QueryDef(
       "stream_sessionize",
       (s, dir) => sessionizeStream(s, dir),
       Some(graft.operators.Analytics.SessionizeOracleSql),
@@ -569,7 +671,7 @@ object StreamOps {
           .schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ts", graft.Tables.normTsCol(schema))
           .groupBy(col("user_id"),
             session_window(col("ts"), "30 minutes").as("sw"))
           .agg(count(lit(1)).as("n_events"))

@@ -13,6 +13,26 @@ class DedupTextSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("all-pairs baselines are hard-gated on input size") {
+    // the declared quadratic baselines must refuse a large corpus at
+    // the registry level, naming the production-shaped alternative
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.requireAllPairsSmall(
+        graft.operators.Dedup.MaxAllPairsRows + 1,
+        "dedup_simhash_pairs (16-bit, saturating)", "docs",
+        "dedup_simhash_wide_pairs")
+    }
+    assert(e1.getMessage.contains("dedup_simhash_wide_pairs"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.requireAllPairsSmall(
+        500000L, "sim_embed_neardup_exact", "vectors", "sim_embed_neardup")
+    }
+    assert(e2.getMessage.contains("sim_embed_neardup"))
+    // at-the-cap passes (every test SF is far below it)
+    graft.operators.Dedup.requireAllPairsSmall(
+      graft.operators.Dedup.MaxAllPairsRows, "x", "rows", "y")
+  }
+
   private lazy val plantedDir: String = {
     val dir = Files.createTempDirectory("graft_planted").toString
     val base = "the quick brown fox jumps over the lazy dog and runs far away " +

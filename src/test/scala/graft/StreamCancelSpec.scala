@@ -112,6 +112,48 @@ class StreamCancelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join null-pads only after the watermark passes") {
+    // purchase 201 (user 2) has no clicks: it must NOT appear while the
+    // watermark could still admit a matching click, and must appear
+    // null-padded once later data on BOTH sides (the query watermark is
+    // the min across inputs) pushes the watermark past its join window.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + min * 60000L)
+    val clicksIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val purchIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val clicks = clicksIn.toDF().toDF("c_user", "c_ts", "c_id")
+      .withWatermark("c_ts", "1 hour")
+    val purchases = purchIn.toDF().toDF("p_user", "p_ts", "p_id")
+      .withWatermark("p_ts", "2 hours")
+    val sink = "graft_loj_spec"
+    val q = purchases.join(clicks,
+        expr("""p_user = c_user AND
+                c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"""),
+        "leftOuter")
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .start()
+    try {
+      clicksIn.addData((1L, ts(0), 100L))
+      purchIn.addData((1L, ts(30), 200L), (2L, ts(40), 201L))
+      q.processAllAvailable()
+      val r1 = spark.table(sink).collect()
+      assert(r1.map(_.getAs[Long]("p_id")).toSet === Set(200L),
+        "only the matched purchase may emit before the watermark passes")
+      // unrelated users far in the future advance both watermarks
+      clicksIn.addData((8L, ts(600), 101L))
+      purchIn.addData((9L, ts(600), 202L))
+      q.processAllAvailable()
+      val padded = spark.table(sink).collect()
+        .filter(_.getAs[Long]("p_id") == 201L)
+      assert(padded.length === 1, "clickless purchase must null-pad exactly once")
+      assert(padded.head.isNullAt(padded.head.fieldIndex("c_id")),
+        "padded row must carry a null click side")
+    } finally q.stop()
+  }
+
   test("file-sink stream resumes from checkpoint exactly-once") {
     // stop → new data → restart with the same checkpoint: the restarted
     // query must process ONLY the new files (offset log) and the file
