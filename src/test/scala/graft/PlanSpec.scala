@@ -389,6 +389,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
   }
 
+  test("cms exact companion is partial-agg + top-k, no global sort") {
+    val p = plan("q_cms_exact")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate:\n$p")
+  }
+
   test("hopping window is map-only expansion + one hash aggregate") {
     val p = plan("q_hopping_window")
     // exactly one data shuffle (the aggregate) plus the ordering's range
