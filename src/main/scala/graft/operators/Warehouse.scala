@@ -260,6 +260,168 @@ object Warehouse {
               ORDER BY o_totalprice DESC, o_orderkey
               LIMIT 100""")),
 
+    // TPC-H Q4 (priority checking), adapted: the corpus has no
+    // l_commitdate/l_receiptdate, so "order with a late lineitem"
+    // becomes l_shipdate > o_orderdate + 60 days — the same EXISTS
+    // shape the literal query plans: a LEFT SEMI join (first matching
+    // lineitem short-circuits, no fan-out, no dedup pass) on the
+    // orderkey with the lateness inequality as the residual, then a
+    // 5-group aggregate. The quarter predicate prunes orders before
+    // the join at any scale.
+    QueryDef(
+      "q_tpch_q4",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-07-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-10-01")))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        o.join(l,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") >
+                col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+              FROM orders o
+              WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+                AND o_orderdate < TIMESTAMP '1996-10-01'
+                AND EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey
+                              AND l.l_shipdate >
+                                  o.o_orderdate + INTERVAL 60 DAY)
+              GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
+    // TPC-H Q10 (returned-item revenue): which customers returned the
+    // most revenue in a half-year window. Plan: lineitem pre-filtered
+    // to returnflag='R' (pushed to the scan) joins date-pruned orders
+    // fact-fact on orderkey, the result re-shuffles once on custkey
+    // for the customer join + aggregate, and the 25-row nation
+    // dimension broadcasts. Revenue folds in exact decimal; top-20 by
+    // revenue runs as TakeOrderedAndProject (never a global sort).
+    QueryDef(
+      "q_tpch_q10",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-07-01")))
+          .select("o_orderkey", "o_custkey")
+        val c = t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey")
+        val n = broadcast(t(s, dir, "nation").select("n_nationkey", "n_name"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(expr("""CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                               CAST(1.0 - l_discount AS DECIMAL(3,2)))
+                        AS DOUBLE)""").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                  AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-07-01'
+              GROUP BY c_custkey, c_name, n_name
+              ORDER BY revenue DESC, c_custkey
+              LIMIT 20""")),
+
+    // TPC-H Q15 (top supplier): per-supplier quarter revenue, keep the
+    // supplier(s) hitting the maximum. The per-supplier aggregate is
+    // one map-side-combined shuffle ∝ distinct suppliers; the max is a
+    // 1-row aggregate OF that tiny table, broadcast back as the filter
+    // — never a second pass over lineitem. The equality compares exact
+    // DECIMALs (bit-stable under any partitioning), so "the max" is
+    // well-defined cross-engine; the double cast happens only at
+    // output.
+    QueryDef(
+      "q_tpch_q15",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+          .groupBy(col("l_suppkey"))
+          .agg(expr("""sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                           CAST(1.0 - l_discount AS DECIMAL(3,2)))""")
+            .as("total_rev"))
+        val top = rev.agg(max(col("total_rev")).as("max_rev"))
+        val su = t(s, dir, "supplier").select("s_suppkey", "s_name")
+        rev.crossJoin(broadcast(top))
+          .filter(col("total_rev") === col("max_rev"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+                SELECT l_suppkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(1.0 - l_discount AS DECIMAL(3,2))) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+              SELECT s_suppkey, s_name,
+                CAST(total_rev AS DOUBLE) AS total_revenue
+              FROM rev JOIN supplier ON l_suppkey = s_suppkey
+              WHERE total_rev = (SELECT max(total_rev) FROM rev)
+              ORDER BY s_suppkey""")),
+
+    // TPC-H Q19 (discounted revenue), adapted: the corpus has no
+    // p_container/l_shipmode, so the three disjunctive branches pair
+    // p_brand/p_size with l_quantity bands. The point of Q19 is what
+    // Catalyst does with an OR-of-ANDs join predicate: the part-only
+    // disjunction (brand+size) pushes THROUGH the join to the part
+    // scan, the lineitem-only quantity disjunction pushes to the
+    // lineitem scan, and only the cross-side residual stays on the
+    // broadcast hash join — so both scans prune before any join work
+    // at 100 TB.
+    QueryDef(
+      "q_tpch_q19",
+      (s, dir) => {
+        val p = broadcast(t(s, dir, "part")
+          .select("p_partkey", "p_brand", "p_size"))
+        val l = t(s, dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        def branch(brand: String, maxSize: Int, qLo: Int, qHi: Int) =
+          col("p_brand") === brand &&
+            col("p_size").between(1, maxSize) &&
+            col("l_quantity").between(qLo, qHi)
+        val cond = branch("Brand#12", 15, 1, 11) ||
+          branch("Brand#23", 25, 10, 20) ||
+          branch("Brand#3", 35, 20, 30)
+        l.join(p, col("l_partkey") === col("p_partkey") && cond)
+          .agg(count(lit(1)).as("n_items"),
+            expr("""CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                             CAST(1.0 - l_discount AS DECIMAL(3,2)))
+                     AS DOUBLE)""").as("revenue"))
+      },
+      Some("""SELECT count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                  AS revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                     AND l_quantity BETWEEN 1 AND 11)
+                 OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                     AND l_quantity BETWEEN 10 AND 20)
+                 OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                     AND l_quantity BETWEEN 20 AND 30)""")),
+
     // SQL:1999 recursive CTE (Spark 4 native WITH RECURSIVE): every part
     // walks the binary-halving ancestor chain key -> key DIV 2 -> ... ->
     // 1, yielding its depth in the implied binary tree. Each recursion

@@ -389,6 +389,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
   }
 
+  test("q19 disjunctive predicate splits and pushes to BOTH scans") {
+    val p = plan("q_tpch_q19")
+    // part-only (brand,size) OR-branch pushed to the part scan...
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      s"part-side disjunction not pushed:\n$p")
+    // ...and the lineitem-only quantity OR-ranges to the lineitem scan,
+    // leaving only the cross-side residual on the broadcast join
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"lineitem-side disjunction not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part side not broadcast:\n$p")
+  }
+
+  test("q4 EXISTS plans as a semi join with the date range pushed") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order date range not pushed:\n$p")
+  }
+
+  test("q10 pushes the returnflag filter and uses top-k, not global sort") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
   test("cms exact companion is partial-agg + top-k, no global sort") {
     val p = plan("q_cms_exact")
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
