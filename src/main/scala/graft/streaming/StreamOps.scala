@@ -395,18 +395,50 @@ object StreamOps {
     * reaches the output, and both carry user_id -1 which is filtered
     * defensively anyway. The per-batch emission order (padded rows only
     * after the watermark passes) is proven in StreamCancelSpec. */
-  def intervalJoinLeftOuter(s: SparkSession, dir: String): DataFrame = {
+  /** Staged file-source dir for watermark-closure runs: the corpus
+    * parquet is copied in as the first file; `addSentinel()` later
+    * drops a file with one sentinel event per requested type, 10 hours
+    * past the corpus max event time (user_id -1, event_ids -1, -2, …),
+    * advancing every event-time watermark derived from this source
+    * past all real data so held state (outer-join rows, open sessions)
+    * flushes. Finite-corpus closure only — a continuous deployment
+    * simply never closes. */
+  private final class SentinelStage(s: SparkSession, dir: String) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.read.parquet(s"$dir/events.parquet")
-    val schema = src.schema
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft_loj_stage").toString
+    private val src = s.read.parquet(s"$dir/events.parquet")
+    val schema: org.apache.spark.sql.types.StructType = src.schema
+    val stage: String = java.nio.file.Files
+      .createTempDirectory("graft_sentinel_stage").toString
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$stage/00_events.parquet"))
+
+    def addSentinel(eventTypes: String*): Unit = {
+      val maxUs = src.withColumn("ts", graft.Tables.normTsCol(schema))
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val sentTs = timestamp_micros(lit(maxUs + 10L * 3600L * 1000000L))
+        .cast(schema("ts").dataType)
+      val sent = eventTypes.zipWithIndex.map { case (et, i) =>
+        s.range(1).select(
+          lit(-1L - i).as("event_id"), sentTs.as("ts"),
+          lit(-1L).as("user_id"), lit(et).as("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+      }.reduce(_.unionAll(_))
+      val sentOut = s"${stage}_sent"
+      sent.coalesce(1).write.mode("overwrite").parquet(sentOut)
+      val part = new java.io.File(sentOut).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/10_sentinel.parquet"))
+    }
+  }
+
+  def intervalJoinLeftOuter(s: SparkSession, dir: String): DataFrame = {
+    val staged = new SentinelStage(s, dir)
+    val schema = staged.schema
     val ev = s.readStream
       .schema(schema)
-      .parquet(stage)
+      .parquet(staged.stage)
       .withColumn("ts", graft.Tables.normTsCol(schema))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
@@ -428,25 +460,8 @@ object StreamOps {
       .start()
     try {
       q.processAllAvailable() // phase 1: the real corpus
-      // phase 2: sentinel rows 10h past the corpus max close the tail
-      val maxUs = src.withColumn("ts", graft.Tables.normTsCol(schema))
-        .agg(max(unix_micros(col("ts")))).head().getLong(0)
-      val sentTs = timestamp_micros(lit(maxUs + 10L * 3600L * 1000000L))
-        .cast(schema("ts").dataType)
-      val sent = s.range(1).select(
-          lit(-1L).as("event_id"), sentTs.as("ts"), lit(-1L).as("user_id"),
-          lit("click").as("event_type"), lit(0.0).as("value"),
-          lit("").as("props"))
-        .unionAll(s.range(1).select(
-          lit(-2L).as("event_id"), sentTs.as("ts"), lit(-1L).as("user_id"),
-          lit("purchase").as("event_type"), lit(0.0).as("value"),
-          lit("").as("props")))
-      val sentOut = s"${stage}_sent"
-      sent.coalesce(1).write.mode("overwrite").parquet(sentOut)
-      val part = new java.io.File(sentOut).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(s"$stage/10_sentinel.parquet"))
+      // phase 2: sentinels close the tail (both sides' watermarks)
+      staged.addSentinel("click", "purchase")
       q.processAllAvailable()
     } finally {
       q.stop()
@@ -459,6 +474,97 @@ object StreamOps {
       .agg(count(col("c_id")).as("n_clicks_1h"))
       .orderBy("purchase_id")
   }
+
+  /** The currently-open session held in the state store. */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  /** A session emitted once it can no longer grow. */
+  final case class ClosedSession(
+      user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** flatMapGroupsWithState handler with EVENT-TIME TIMEOUT — the
+    * production form of stateful sessionization (the NoTimeout variant
+    * `sessionizeGroup` holds every user's state forever; this one's
+    * state store contains ONLY open sessions, each carrying a timeout
+    * at lastEvent + gap). Sessions that close inside a batch (a later
+    * event arrives past the gap) emit immediately; the trailing open
+    * session emits when the WATERMARK passes its timeout — Spark calls
+    * the handler once more with an empty iterator and hasTimedOut set,
+    * the state is removed, and the store shrinks. That timeout-driven
+    * eviction is the property that bounds state at 100 TB rates. */
+  def sessionTtlGroup(uid: Long, it: Iterator[EvWithTime],
+      state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    import graft.operators.Analytics.{SessionGapUs => Gap}
+    if (!it.hasNext && state.hasTimedOut) {
+      val o = state.get
+      state.remove()
+      Iterator.single(ClosedSession(uid, o.startUs, o.lastUs + Gap, o.n))
+    } else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var cur = state.getOption
+      it.map(_.ts_us).toArray.sorted.foreach { t =>
+        cur = cur match {
+          case Some(o) if t - o.lastUs <= Gap =>
+            Some(OpenSession(o.startUs, t, o.n + 1))
+          case Some(o) =>
+            out += ClosedSession(uid, o.startUs, o.lastUs + Gap, o.n)
+            Some(OpenSession(t, t, 1))
+          case None => Some(OpenSession(t, t, 1))
+        }
+      }
+      cur.foreach { o =>
+        state.update(o)
+        state.setTimeoutTimestamp((o.lastUs + Gap) / 1000L)
+      }
+      out.iterator
+    }
+  }
+
+  /** Sessionization with watermark-driven state expiry: same session
+    * relation as `q_session_window_native` / `stream_session_window`,
+    * but sessions EMIT on close (append semantics) and closed state is
+    * EVICTED — the deployable form. The sentinel stage closes every
+    * trailing session so the finite run equals the batch
+    * gaps-and-islands oracle exactly. */
+  def sessionizeTtl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = new SentinelStage(s, dir)
+    val schema = staged.schema
+    val sink = s"graft_stream_sess_ttl_${nameCounter.incrementAndGet()}"
+    val q = s.readStream
+      .schema(schema)
+      .parquet(staged.stage)
+      .withColumn("ts", graft.Tables.normTsCol(schema))
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[EvWithTime]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionTtlGroup)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable() // real corpus: gap-closed sessions emit
+      staged.addSentinel("click") // watermark past every open session
+      q.processAllAvailable() // timeouts fire, trailing sessions emit
+    } finally {
+      q.stop()
+    }
+    s.table(sink)
+      .filter(col("user_id") >= 0) // drop the sentinel's own session
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Typed row keeping the event-time column for the watermark. */
+  final case class EvWithTime(
+      event_id: Long, user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
 
   /** One LSH band assignment of a streamed document. */
   final case class BandDoc(band_id: Int, band_key: String, doc_id: Long)
@@ -688,6 +794,19 @@ object StreamOps {
             col("n_events"))
           .orderBy("user_id", "session_start")
       },
+      Some(graft.operators.Analytics.SessionWindowOracleSql),
+      bench = false),
+
+    // The deployable form of stateful sessionization: EVENT-TIME
+    // TIMEOUT + watermark. Closed sessions emit (append) and their
+    // state is evicted — the store holds only OPEN sessions, unlike
+    // stream_sessionize's NoTimeout handler which retains every user
+    // forever. Same session relation, same gaps-and-islands oracle;
+    // the sentinel stage closes trailing sessions so the finite run
+    // is exact.
+    QueryDef(
+      "stream_session_ttl",
+      (s, dir) => sessionizeTtl(s, dir),
       Some(graft.operators.Analytics.SessionWindowOracleSql),
       bench = false),
 

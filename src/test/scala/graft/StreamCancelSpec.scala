@@ -154,6 +154,50 @@ class StreamCancelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ttl sessionizer emits on timeout and evicts the state row") {
+    // user 7's open session must NOT emit while the watermark could
+    // still extend it; once later data advances the watermark past
+    // lastEvent + gap, the event-time timeout fires, the closed
+    // session emits, and the state row is REMOVED (store shrinks) —
+    // the eviction contract that bounds state at production rates.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + min * 60000L)
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val sink = "graft_sess_ttl_spec"
+    val q = in.toDF().toDF("event_id", "user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[StreamOps.EvWithTime]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreamOps.OpenSession, StreamOps.ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        StreamOps.sessionTtlGroup)
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .start()
+    try {
+      in.addData((1L, 7L, ts(0)), (2L, 7L, ts(10)))
+      q.processAllAvailable()
+      assert(spark.table(sink).isEmpty,
+        "open session must not emit before its timeout")
+      in.addData((3L, 99L, ts(600))) // watermark → 19:50, far past 10:40
+      q.processAllAvailable()
+      val rows = spark.table(sink).as[StreamOps.ClosedSession].collect()
+        .filter(_.user_id == 7L)
+      assert(rows.length === 1, "exactly one closed session for user 7")
+      assert(rows.head.n_events === 2)
+      assert(rows.head.end_us - rows.head.start_us ===
+        10L * 60000000L + graft.operators.Analytics.SessionGapUs)
+      val lastState = q.recentProgress.last.stateOperators.head
+      assert(lastState.numRowsRemoved >= 1 || lastState.numRowsTotal <= 2,
+        "timed-out session state was not evicted")
+    } finally q.stop()
+  }
+
   test("file-sink stream resumes from checkpoint exactly-once") {
     // stop → new data → restart with the same checkpoint: the restarted
     // query must process ONLY the new files (offset log) and the file
