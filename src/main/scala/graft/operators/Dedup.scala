@@ -262,6 +262,71 @@ object Dedup {
       Some("""SELECT min(doc_id) AS doc_id, text FROM documents
               GROUP BY text ORDER BY doc_id""")),
 
+    // Paragraph-level dedup (the C4/RefinedWeb within-corpus pass):
+    // documents split into fixed 4-token pseudo-paragraphs (the corpus
+    // is unpunctuated word soup; real pipelines split on newlines),
+    // every paragraph beyond its FIRST corpus occurrence dropped, and
+    // each document rebuilt from its surviving paragraphs in order —
+    // so exact-duplicate documents keep one full copy and later copies
+    // collapse to empty, while partial overlaps lose only the shared
+    // spans. Shape: chunking is in-scan lambda work (no explode until
+    // the paragraph relation), first-occurrence is ONE window shuffle
+    // on hash(para) — work ∝ corpus paragraphs, state ∝ nothing — and
+    // the rebuild is one groupBy(doc_id) with an order-restoring
+    // array_sort, never a self-join. The oracle replays chunking,
+    // ranking, and reassembly with DuckDB's 1-based list slices.
+    QueryDef(
+      "text_dedup_paragraph",
+      (s, dir) => {
+        val d = docsParallel(s, dir)
+        val toks = split(col("text"), " ")
+        val nChunks = ((size(toks) + lit(3)) / lit(4)).cast("int")
+        val paras = d.select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), nChunks - 1), i =>
+              array_join(slice(toks, i * 4 + 1, lit(4)), " "))))
+          .select(col("doc_id"), col("pos").as("p_idx"),
+            col("col").as("para"))
+        val w = Window.partitionBy("para")
+          .orderBy(col("doc_id").asc, col("p_idx").asc)
+        val kept = paras
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("p_idx"), col("para")))),
+              x => x.getField("para")), " ").as("clean_text"))
+        d.select(col("doc_id"),
+            ((size(toks) + lit(3)) / lit(4)).cast("long").as("n_paras"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_paras"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              p AS (
+                SELECT doc_id, i AS p_idx,
+                  array_to_string(w[(i*4 + 1):(i*4 + 4)], ' ') AS para
+                FROM tk, LATERAL (SELECT unnest(range(0,
+                  CAST((len(w) + 3) // 4 AS INT))) AS i) ix),
+              r AS (
+                SELECT doc_id, p_idx, para,
+                  row_number() OVER (PARTITION BY para
+                    ORDER BY doc_id, p_idx) AS rk
+                FROM p),
+              kept AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  string_agg(para, ' ' ORDER BY p_idx) AS clean_text
+                FROM r WHERE rk = 1 GROUP BY doc_id)
+              SELECT tk.doc_id,
+                CAST((len(tk.w) + 3) // 4 AS BIGINT) AS n_paras,
+                COALESCE(kept.n_kept, 0) AS n_kept,
+                COALESCE(kept.clean_text, '') AS clean_text
+              FROM tk LEFT JOIN kept ON tk.doc_id = kept.doc_id
+              ORDER BY tk.doc_id""")),
+
     // N-gram Jaccard near-dup pairs. Spark side: inverted-index join
     // (scale path); oracle: cross-join over distinct shingle lists —
     // identical output for threshold > 0.

@@ -13,6 +13,23 @@ class DedupTextSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("paragraph dedup empties an exact-duplicate doc, keeps the first") {
+    val out = Registry.byName("text_dedup_paragraph").run(spark, plantedDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text")))
+      .toMap
+    // doc 0 is the first corpus occurrence of every one of its
+    // paragraphs; doc 1 is its exact duplicate, so every paragraph is
+    // a repeat and the cleaned document is empty
+    val (p0, k0, t0) = out(0L)
+    assert(k0 === p0 && t0.nonEmpty, "first copy must keep all paragraphs")
+    val (p1, k1, t1) = out(1L)
+    assert(p1 === p0 && k1 === 0L && t1 === "",
+      s"exact dup must collapse to empty, got kept=$k1 text='$t1'")
+  }
+
   test("all-pairs baselines are hard-gated on input size") {
     // the declared quadratic baselines must refuse a large corpus at
     // the registry level, naming the production-shaped alternative

@@ -198,6 +198,56 @@ class StreamCancelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ttl sessionizer runs on the RocksDB state store provider") {
+    // the HDFS-backed default keeps state in executor heap; RocksDB is
+    // the provider a 100 TB deployment uses (state spills to local
+    // disk, bounded memory). Same handler, same emissions — and the
+    // progress metrics prove RocksDB actually backed the store.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + min * 60000L)
+      val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val sink = "graft_sess_rocksdb_spec"
+      val q = in.toDF().toDF("event_id", "user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("ts"))
+        .as[StreamOps.EvWithTime]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[StreamOps.OpenSession, StreamOps.ClosedSession](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          StreamOps.sessionTtlGroup)
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .start()
+      try {
+        in.addData((1L, 7L, ts(0)), (2L, 7L, ts(10)))
+        q.processAllAvailable()
+        in.addData((3L, 99L, ts(600)))
+        q.processAllAvailable()
+        val rows = spark.table(sink).as[StreamOps.ClosedSession].collect()
+          .filter(_.user_id == 7L)
+        assert(rows.length === 1 && rows.head.n_events === 2,
+          "RocksDB-backed run must emit the same closed session")
+        import scala.jdk.CollectionConverters._
+        val custom = q.recentProgress.flatMap(_.stateOperators)
+          .flatMap(_.customMetrics.keySet.asScala)
+        assert(custom.exists(_.toLowerCase.contains("rocksdb")),
+          s"state store was not RocksDB-backed: ${custom.distinct.mkString(",")}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("file-sink stream resumes from checkpoint exactly-once") {
     // stop → new data → restart with the same checkpoint: the restarted
     // query must process ONLY the new files (offset log) and the file
