@@ -23,7 +23,7 @@ import graft.functions.CosineSimilarity
 object Similarity {
 
   private val TopK = 5
-  private val NumQueries = 10
+  private[graft] val NumQueries = 10
   private val NearDupThreshold = 0.4
   private val NumHyperplanes = 8 // 256 buckets
   private val KnnGraphK = 3 // neighbors per vector in the k-NN graph
@@ -549,21 +549,35 @@ object Similarity {
     * higher values trade one more broadcast-join probe per query for
     * recall — the candidate side is still partitioned by list, so the
     * 100 TB shape (broadcast centroids + one equi-join) is unchanged. */
-  private def ivfTopK(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  private def ivfTopK(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    ivfSearchFor(s, dir, nprobe,
+      embParallel(s, dir).filter(col("vec_id") < NumQueries)
+        .select("vec_id", "embedding"))
+
+  /** The IVF search against the static corpus index for an ARBITRARY
+    * query frame (vec_id, embedding): centroid assignment runs the
+    * identical scoring expressions on the query side, so the searched
+    * lists match what corpus-side assignment would produce — the batch
+    * registry entries pass a corpus slice, the streaming probe
+    * (StreamOps.streamAnnProbe) passes each micro-batch. Queries
+    * broadcast; the corpus is touched once per call through the
+    * list-keyed equi-join. */
+  private[graft] def ivfSearchFor(s: SparkSession, dir: String,
+      nprobe: Int, queries: DataFrame): DataFrame = {
     val e = embParallel(s, dir)
     val centroids = broadcast(
       e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
-    val scored = e.join(centroids)
+    def assign(df: DataFrame): DataFrame = df.join(centroids)
       .select(col("vec_id"), col("embedding"),
         col("c_id"), CosineSimilarity(s, col("embedding"), col("c_emb")).as("c_cos"))
       .withColumn("arn", row_number().over(wAssign))
-    val assigned = scored.filter(col("arn") === 1)
+    val assigned = assign(e).filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("list_id"))
     val q = broadcast(
-      scored.filter(col("vec_id") < NumQueries && col("arn") <= nprobe)
+      assign(queries).filter(col("arn") <= nprobe)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("c_id").as("list_id")))
     val wRank = Window.partitionBy(col("q_id"))
@@ -578,7 +592,7 @@ object Similarity {
   }
 
   /** DuckDB mirror of ivfTopK at the given probe count. */
-  private def ivfOracleSql(nprobe: Int): String =
+  private[graft] def ivfOracleSql(nprobe: Int): String =
     s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
                       FROM embeddings WHERE vec_id % 50 = 0),
         scored AS (SELECT e.vec_id, e.embedding, cent.c_id,

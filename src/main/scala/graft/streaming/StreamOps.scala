@@ -566,6 +566,41 @@ object StreamOps {
   final case class EvWithTime(
       event_id: Long, user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
 
+  /** Streaming ANN serving: query vectors STREAM IN and each
+    * micro-batch is searched against the STATIC IVF index via
+    * foreachBatch — the model-serving split (index built offline,
+    * queries online) on the same `ivfSearchFor` plan the batch
+    * registry entries use, so batch and serving results can never
+    * drift. Stateless: the index is a static side re-read per batch
+    * (at 100 TB it is a published, bucketed index table); no state
+    * store, and results append to a keyed sink. Identical output to
+    * sim_ann_ivf — shared oracle. */
+  def streamAnnProbe(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_ann_probe").toString + "/out"
+    val q = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .filter(col("vec_id") < graft.operators.Similarity.NumQueries)
+      .select("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity
+          .ivfSearchFor(batch.sparkSession, dir, 1, batch)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    s.read.parquet(outDir).orderBy("q_id", "rank")
+  }
+
   /** One LSH band assignment of a streamed document. */
   final case class BandDoc(band_id: Int, band_key: String, doc_id: Long)
   /** A near-dup candidate pair (a_id < b_id). */
@@ -808,6 +843,14 @@ object StreamOps {
       "stream_session_ttl",
       (s, dir) => sessionizeTtl(s, dir),
       Some(graft.operators.Analytics.SessionWindowOracleSql),
+      bench = false),
+
+    // Streaming ANN serving: offline IVF index, online query stream,
+    // foreachBatch search — same plan and oracle as batch sim_ann_ivf.
+    QueryDef(
+      "stream_ann_probe",
+      (s, dir) => streamAnnProbe(s, dir),
+      Some(graft.operators.Similarity.ivfOracleSql(nprobe = 1)),
       bench = false),
 
     QueryDef(
