@@ -327,6 +327,109 @@ object Dedup {
               FROM tk LEFT JOIN kept ON tk.doc_id = kept.doc_id
               ORDER BY tk.doc_id""")),
 
+    // TF-IDF weighted nearest neighbor over 3-token shingles — the
+    // weighted-overlap similarity family (Jaccard treats every shingle
+    // equally; here rare shingles dominate, the signal real template/
+    // boilerplate detection needs). Everything stays EXACT integer
+    // arithmetic so the oracle replays bit-for-bit: idf is the
+    // floor-scaled rational (1000*(2N-2df+1)) div (2df+1) (the BM25
+    // rational-idf trick, no log), weights tf*idf are BIGINTs, dot and
+    // squared norms are BIGINT sums, and the reported cos² =
+    // dot²/(‖a‖²·‖b‖²) divides two exactly-computed DECIMAL(38,0)
+    // integers as one IEEE double division (sqrt never needed —
+    // weights are positive so cos² ranks identically to cos).
+    // Shape: inverted-index self-join on shingle with the stop-shingle
+    // DF cap (shuffle ∝ sum(df²), never |docs|²), one window for the
+    // per-doc argmax. Docs sharing no capped shingle have no neighbor
+    // and drop out — deterministic on both engines.
+    QueryDef(
+      "dedup_tfidf_nn",
+      (s, dir) => {
+        val d = docsParallel(s, dir)
+        val toks = split(col("text"), " ")
+        val sh = d.filter(size(toks) >= 3).select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(toks) - lit(3)), i =>
+            array_join(slice(toks, i + 1, lit(3)), " "))).as("shingle"))
+        val tf = sh.groupBy("doc_id", "shingle").agg(count(lit(1)).as("tf"))
+        val dfr = tf.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxShingleDF)
+        val n = d.agg(count(lit(1)).as("n_docs"))
+        val w = tf.join(dfr, "shingle").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("shingle"),
+            (col("tf") *
+              expr("(1000 * (2*n_docs - 2*df + 1)) div (2*df + 1)")).as("w"))
+        val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+        val dots = w.as("a").join(w.as("b"), Seq("shingle"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(sum(col("a.w") * col("b.w")).as("dot"))
+        val directed = dots
+          .select(col("a_id").as("src"), col("b_id").as("dst"), col("dot"))
+          .unionAll(dots
+            .select(col("b_id").as("src"), col("a_id").as("dst"), col("dot")))
+        val wv = Window.partitionBy("src")
+          .orderBy(col("cos2").desc, col("dst").asc)
+        directed
+          .join(norms.select(col("doc_id").as("src"), col("n2").as("s_n2")),
+            "src")
+          .join(norms.select(col("doc_id").as("dst"), col("n2").as("d_n2")),
+            "dst")
+          .withColumn("cos2",
+            expr("""CAST(CAST(dot AS DECIMAL(19,0)) *
+                         CAST(dot AS DECIMAL(19,0)) AS DOUBLE) /
+                    CAST(CAST(s_n2 AS DECIMAL(19,0)) *
+                         CAST(d_n2 AS DECIMAL(19,0)) AS DOUBLE)"""))
+          .withColumn("rk", row_number().over(wv))
+          .filter(col("rk") === 1)
+          .select(col("src").as("doc_id"), col("dst").as("nn_id"),
+            col("cos2"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+                 SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE len(string_split(text, ' ')) >= 3),
+               sh AS (
+                 SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+                 FROM tk, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) ix),
+               tf AS (
+                 SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
+                 FROM sh GROUP BY 1, 2),
+               dfr AS (
+                 SELECT shingle, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY 1 HAVING count(*) <= $MaxShingleDF),
+               n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+               wt AS (
+                 SELECT doc_id, shingle,
+                   tf * ((1000 * (2*n.n_docs - 2*df + 1)) // (2*df + 1)) AS w
+                 FROM tf JOIN dfr USING (shingle), n),
+               norms AS (
+                 SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                 FROM wt GROUP BY doc_id),
+               dots AS (
+                 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(sum(a.w * b.w) AS BIGINT) AS dot
+                 FROM wt a JOIN wt b ON a.shingle = b.shingle
+                  AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+               directed AS (
+                 SELECT a_id AS src, b_id AS dst, dot FROM dots
+                 UNION ALL
+                 SELECT b_id, a_id, dot FROM dots),
+               scored AS (
+                 SELECT d.src, d.dst,
+                   CAST(CAST(d.dot AS HUGEINT) * d.dot AS DOUBLE) /
+                     CAST(CAST(sa.n2 AS HUGEINT) * sb.n2 AS DOUBLE) AS cos2
+                 FROM directed d
+                 JOIN norms sa ON d.src = sa.doc_id
+                 JOIN norms sb ON d.dst = sb.doc_id),
+               r AS (
+                 SELECT src, dst, cos2,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY cos2 DESC, dst ASC) AS rk
+                 FROM scored)
+               SELECT src AS doc_id, dst AS nn_id, cos2
+               FROM r WHERE rk = 1 ORDER BY doc_id""")),
+
     // N-gram Jaccard near-dup pairs. Spark side: inverted-index join
     // (scale path); oracle: cross-join over distinct shingle lists —
     // identical output for threshold > 0.

@@ -30,6 +30,18 @@ class DedupTextSpec extends AnyFunSuite {
       s"exact dup must collapse to empty, got kept=$k1 text='$t1'")
   }
 
+  test("tfidf nearest neighbor pairs the planted exact duplicates at cos2=1") {
+    val out = Registry.byName("dedup_tfidf_nn").run(spark, plantedDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("nn_id"), r.getAs[Double]("cos2")))
+      .toMap
+    // docs 0 and 1 are byte-identical: identical weight vectors give
+    // cos² exactly 1.0 (same exact integers in numerator/denominator)
+    assert(out(0L)._1 === 1L && out(0L)._2 === 1.0)
+    assert(out(1L)._1 === 0L && out(1L)._2 === 1.0)
+  }
+
   test("all-pairs baselines are hard-gated on input size") {
     // the declared quadratic baselines must refuse a large corpus at
     // the registry level, naming the production-shaped alternative
