@@ -422,6 +422,51 @@ object Warehouse {
                  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                      AND l_quantity BETWEEN 20 AND 30)""")),
 
+    // TPC-H Q22 (global sales opportunity), adapted: the corpus has no
+    // phone country codes and almost every customer has SOME order, so
+    // the cohort becomes "above-average-balance customers with no
+    // order since 2000" (the lapsed-high-value churn query) grouped by
+    // market segment — preserving Q22's whole shape: an
+    // uncorrelated scalar aggregate as the filter threshold, a
+    // NOT EXISTS anti join against the fact, and a small-group
+    // summary. The threshold compare is CROSS-MULTIPLIED
+    // (bal*n > sum, all exact decimals) so no engine's avg() rounding
+    // can flip a boundary customer; the anti join's probe side is the
+    // date-pruned orders key column.
+    QueryDef(
+      "q_tpch_q22",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val stats = c.filter(col("c_acctbal") > 0)
+          .agg(count(lit(1)).as("n_pos"),
+            sum(dec(col("c_acctbal"))).as("sum_pos"))
+        val lapsed = c
+          .crossJoin(broadcast(stats))
+          .filter(dec(col("c_acctbal")) * col("n_pos") > col("sum_pos"))
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+        lapsed.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_lapsed"),
+            sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_pos,
+                  sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_pos
+                FROM customer WHERE c_acctbal > 0)
+              SELECT c_mktsegment, count(*) AS n_lapsed,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                  AS total_bal
+              FROM customer c, stats
+              WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > sum_pos
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+              GROUP BY c_mktsegment
+              ORDER BY c_mktsegment""")),
+
     // SQL:1999 recursive CTE (Spark 4 native WITH RECURSIVE): every part
     // walks the binary-halving ancestor chain key -> key DIV 2 -> ... ->
     // 1, yielding its depth in the implied binary tree. Each recursion

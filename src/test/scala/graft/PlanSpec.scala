@@ -415,6 +415,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
   }
 
+  test("q22 threshold is a broadcast scalar and the churn probe an anti join") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order date range not pushed into the anti-join probe:\n$p")
+  }
+
   test("cms exact companion is partial-agg + top-k, no global sort") {
     val p = plan("q_cms_exact")
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
