@@ -81,6 +81,65 @@ object Dedup {
     if (d.rdd.getNumPartitions >= p) d else d.repartition(p)
   }
 
+  /** (doc_id, p_idx, para): fixed 4-token pseudo-paragraph relation of a
+    * documents frame — shared by the batch window pass
+    * (text_dedup_paragraph) and the streaming first-writer gate
+    * (StreamOps.streamParagraphDedup) so the two chunkings can never
+    * drift. Stateless column work; runs on batch and streaming frames. */
+  private[graft] def paragraphs(d: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nChunks = ((size(toks) + lit(3)) / lit(4)).cast("int")
+    d.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), i =>
+          array_join(slice(toks, i * 4 + 1, lit(4)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("p_idx"),
+        col("col").as("para"))
+  }
+
+  /** Rebuild per-document outputs from the kept paragraph occurrences:
+    * (doc_id, n_paras, n_kept, clean_text), empty-text for documents
+    * whose every paragraph was a repeat. */
+  private[graft] def rebuildFromKept(d: DataFrame, kept: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val agg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p_idx"), col("para")))),
+          x => x.getField("para")), " ").as("clean_text"))
+    d.select(col("doc_id"),
+        ((size(toks) + lit(3)) / lit(4)).cast("long").as("n_paras"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle for the batch and streaming paragraph-dedup forms. */
+  private[graft] val ParagraphDedupOracleSql: String =
+    """WITH tk AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       p AS (
+         SELECT doc_id, i AS p_idx,
+           array_to_string(w[(i*4 + 1):(i*4 + 4)], ' ') AS para
+         FROM tk, LATERAL (SELECT unnest(range(0,
+           CAST((len(w) + 3) // 4 AS INT))) AS i) ix),
+       r AS (
+         SELECT doc_id, p_idx, para,
+           row_number() OVER (PARTITION BY para
+             ORDER BY doc_id, p_idx) AS rk
+         FROM p),
+       kept AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(para, ' ' ORDER BY p_idx) AS clean_text
+         FROM r WHERE rk = 1 GROUP BY doc_id)
+       SELECT tk.doc_id,
+         CAST((len(tk.w) + 3) // 4 AS BIGINT) AS n_paras,
+         COALESCE(kept.n_kept, 0) AS n_kept,
+         COALESCE(kept.clean_text, '') AS clean_text
+       FROM tk LEFT JOIN kept ON tk.doc_id = kept.doc_id
+       ORDER BY tk.doc_id"""
+
   /** The shared MinHash band-key CTE prefix (shingles → signatures →
     * 8 two-row band keys): every LSH-banding oracle — batch pairs,
     * streaming near-dup, and incremental corpus probe — derives from this
@@ -279,53 +338,14 @@ object Dedup {
       "text_dedup_paragraph",
       (s, dir) => {
         val d = docsParallel(s, dir)
-        val toks = split(col("text"), " ")
-        val nChunks = ((size(toks) + lit(3)) / lit(4)).cast("int")
-        val paras = d.select(col("doc_id"),
-            posexplode(transform(sequence(lit(0), nChunks - 1), i =>
-              array_join(slice(toks, i * 4 + 1, lit(4)), " "))))
-          .select(col("doc_id"), col("pos").as("p_idx"),
-            col("col").as("para"))
         val w = Window.partitionBy("para")
           .orderBy(col("doc_id").asc, col("p_idx").asc)
-        val kept = paras
+        val kept = paragraphs(d)
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_kept"),
-            array_join(transform(
-              array_sort(collect_list(struct(col("p_idx"), col("para")))),
-              x => x.getField("para")), " ").as("clean_text"))
-        d.select(col("doc_id"),
-            ((size(toks) + lit(3)) / lit(4)).cast("long").as("n_paras"))
-          .join(kept, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_paras"),
-            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-            coalesce(col("clean_text"), lit("")).as("clean_text"))
-          .orderBy("doc_id")
+        rebuildFromKept(d, kept)
       },
-      Some("""WITH tk AS (
-                SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-              p AS (
-                SELECT doc_id, i AS p_idx,
-                  array_to_string(w[(i*4 + 1):(i*4 + 4)], ' ') AS para
-                FROM tk, LATERAL (SELECT unnest(range(0,
-                  CAST((len(w) + 3) // 4 AS INT))) AS i) ix),
-              r AS (
-                SELECT doc_id, p_idx, para,
-                  row_number() OVER (PARTITION BY para
-                    ORDER BY doc_id, p_idx) AS rk
-                FROM p),
-              kept AS (
-                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-                  string_agg(para, ' ' ORDER BY p_idx) AS clean_text
-                FROM r WHERE rk = 1 GROUP BY doc_id)
-              SELECT tk.doc_id,
-                CAST((len(tk.w) + 3) // 4 AS BIGINT) AS n_paras,
-                COALESCE(kept.n_kept, 0) AS n_kept,
-                COALESCE(kept.clean_text, '') AS clean_text
-              FROM tk LEFT JOIN kept ON tk.doc_id = kept.doc_id
-              ORDER BY tk.doc_id""")),
+      Some(ParagraphDedupOracleSql)),
 
     // TF-IDF weighted nearest neighbor over 3-token shingles — the
     // weighted-overlap similarity family (Jaccard treats every shingle

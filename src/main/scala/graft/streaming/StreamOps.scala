@@ -601,6 +601,60 @@ object StreamOps {
     s.read.parquet(outDir).orderBy("q_id", "rank")
   }
 
+  /** One paragraph occurrence of a streamed document. */
+  final case class ParaOcc(doc_id: Long, p_idx: Long, para: String)
+
+  /** flatMapGroupsWithState handler keyed by paragraph text: the FIRST
+    * corpus occurrence (min (doc_id, p_idx) within the batch, earliest
+    * batch across batches) claims the paragraph and emits; every later
+    * occurrence is suppressed by the occupied state — the streaming
+    * first-writer-wins form of the batch window's rk = 1. State is one
+    * marker per DISTINCT paragraph (the standing dedup index, exactly
+    * what a production ingest gate persists); with the whole corpus in
+    * one batch the winner matches the batch total order, so the two
+    * forms share one oracle. */
+  def paraGateState(para: String, it: Iterator[ParaOcc],
+      state: GroupState[Long]): Iterator[ParaOcc] = {
+    if (state.exists) Iterator.empty
+    else {
+      val w = it.minBy(o => (o.doc_id, o.p_idx))
+      state.update(w.doc_id)
+      Iterator.single(w)
+    }
+  }
+
+  /** Streaming paragraph-level dedup — the streaming half of
+    * Dedup.text_dedup_paragraph, on the SAME chunking and rebuild
+    * helpers and the SAME oracle: documents stream in, each paragraph
+    * passes the per-paragraph state gate exactly once, and the kept
+    * occurrences are reassembled batch-side into cleaned documents. */
+  def streamParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val sink = s"graft_stream_paradedup_${nameCounter.incrementAndGet()}"
+    val q = graft.operators.Dedup.paragraphs(
+        s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir))
+      .as[ParaOcc]
+      .groupByKey(_.para)
+      .flatMapGroupsWithState[Long, ParaOcc](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(paraGateState)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    graft.operators.Dedup.rebuildFromKept(
+      graft.Tables.load(s, dir, "documents"), s.table(sink))
+  }
+
   /** One LSH band assignment of a streamed document. */
   final case class BandDoc(band_id: Int, band_key: String, doc_id: Long)
   /** A near-dup candidate pair (a_id < b_id). */
@@ -843,6 +897,14 @@ object StreamOps {
       "stream_session_ttl",
       (s, dir) => sessionizeTtl(s, dir),
       Some(graft.operators.Analytics.SessionWindowOracleSql),
+      bench = false),
+
+    // Streaming paragraph dedup: per-paragraph first-writer state gate,
+    // shared chunking/rebuild/oracle with batch text_dedup_paragraph.
+    QueryDef(
+      "stream_paragraph_dedup",
+      (s, dir) => streamParagraphDedup(s, dir),
+      Some(graft.operators.Dedup.ParagraphDedupOracleSql),
       bench = false),
 
     // Streaming ANN serving: offline IVF index, online query stream,
