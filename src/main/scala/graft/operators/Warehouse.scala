@@ -422,6 +422,43 @@ object Warehouse {
                  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                      AND l_quantity BETWEEN 20 AND 30)""")),
 
+    // TPC-H Q12 (shipping modes and order priority), adapted: the
+    // corpus has no l_shipmode/commit/receipt dates, so the mode axis
+    // becomes l_returnflag and "late" becomes shipped >60 days after
+    // the order date. The shape is Q12's exactly: fact-fact join on
+    // orderkey with the lateness residual, then CONDITIONAL SUMS
+    // splitting each group by order priority class — one scan each
+    // side, one join shuffle, a 3-row aggregate. Oracle integer sums
+    // are cast back to BIGINT (DuckDB widens to HUGEINT — the round-3
+    // failure class).
+    QueryDef(
+      "q_tpch_q12",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_shipdate")
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val urgent = col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH"
+        l.join(o, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+              GROUP BY l_returnflag
+              ORDER BY l_returnflag""")),
+
     // TPC-H Q22 (global sales opportunity), adapted: the corpus has no
     // phone country codes and almost every customer has SOME order, so
     // the cohort becomes "above-average-balance customers with no
