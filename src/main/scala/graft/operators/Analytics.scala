@@ -205,19 +205,50 @@ object Analytics {
               ORDER BY op, nkey""")),
 
     // Sketch aggregates: HLL distinct counts and t-digest percentiles.
-    // Deterministic (hash-based, order-independent merge) but engine-
-    // specific — rows-only; error bounds are asserted vs the exact
-    // companion query below in AnalyticsSpec.
+    // The sketch ESTIMATES are engine-private (no SQL oracle can replay
+    // HLL register merges), so the driver-facing row folds each
+    // estimate into an oracle-expressible VALIDITY FLAG instead of a
+    // rows-only entry: hll_ok = the HLL count lands within a generous
+    // bound of the exact count computed in the same aggregate
+    // (rsd 0.05 sketch, 20%+32 slack); median_rank_ok = the RANK of the
+    // t-digest median inside its group sits within 5% of 0.5 (Spark's
+    // approx_percentile guarantees rank error <= 1/accuracy = 0.001 —
+    // the check is distribution-free, unlike a value-error bound). The
+    // oracle asserts exact_cust bit-for-bit and both flags TRUE, so a
+    // broken sketch now FAILS CORRECTNESS rather than hiding in a
+    // rows-only row. Tight bounds stay in AnalyticsSpec over
+    // `approxSketchesRaw`. Shape: one grouped aggregate (exact +
+    // sketches in a single pass) + one broadcast of the 3-row result
+    // back over orders for the rank count — scale-safe at any corpus.
     QueryDef(
       "q_approx_sketches",
-      (s, dir) =>
-        t(s, dir, "orders")
-          .groupBy("o_orderstatus")
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val agg = o.groupBy("o_orderstatus")
           .agg(
+            countDistinct(col("o_custkey")).as("exact_cust"),
             approx_count_distinct(col("o_custkey")).as("approx_cust"),
-            expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"))
-          .orderBy("o_orderstatus"),
-      None),
+            expr("approx_percentile(o_totalprice, 0.5, 1000)")
+              .as("approx_median"),
+            count(lit(1)).as("n_rows"))
+        val below = o
+          .join(broadcast(agg.select("o_orderstatus", "approx_median")),
+            Seq("o_orderstatus"))
+          .groupBy("o_orderstatus")
+          .agg(sum(when(col("o_totalprice") <= col("approx_median"), 1L)
+            .otherwise(0L)).as("n_below"))
+        agg.join(below, Seq("o_orderstatus"))
+          .select(col("o_orderstatus"), col("exact_cust"),
+            (abs(col("approx_cust") - col("exact_cust")) <=
+              greatest(col("exact_cust") * lit(0.2), lit(32.0))).as("hll_ok"),
+            (abs(col("n_below") - col("n_rows") * lit(0.5)) <=
+              col("n_rows") * lit(0.05) + lit(1.0)).as("median_rank_ok"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+                count(DISTINCT o_custkey) AS exact_cust,
+                TRUE AS hll_ok, TRUE AS median_rank_ok
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // Exact companions of the sketch aggregates, split into their own
     // oracle-checked query (round-2 advice: exact columns hidden inside
@@ -803,38 +834,33 @@ object Analytics {
     // builds ONE sketch over all 6M+ line items, then probes it for the
     // exact top-20 keys so estimate quality is visible next to ground
     // truth: est >= exact always, est - exact <= 2N/width w.h.p.
-    // (bounds asserted in AnalyticsSpec). No SQL oracle — a sketch is
-    // engine-private state — so this is a declared rows-only entry like
-    // q_approx_sketches; the EXACT columns get their own oracle-gated
-    // companion q_cms_exact below (and q_heavy_hitters covers the
-    // exact-groupBy shape).
+    // (bounds asserted in AnalyticsSpec). The sketch ESTIMATE is
+    // engine-private state no SQL oracle can replay, so — like
+    // q_approx_sketches above — the driver-facing row folds it into an
+    // oracle-expressible VALIDITY FLAG: cms_ok = (est >= exact, the
+    // count-min HARD guarantee) AND (est - exact <= 16N/width, Markov
+    // at 16x the per-row expectation, miss probability 16^-4 per key).
+    // The exact top-20 keys/counts are hashed bit-for-bit; a broken
+    // sketch (undercount, collision blow-up) now fails CORRECTNESS.
+    // The tight 8N/width bound stays in AnalyticsSpec over `cmsFreqRaw`;
+    // q_cms_exact keeps the estimate-free companion shape.
     QueryDef(
       "q_cms_freq",
       (s, dir) => {
-        import graft.functions.CountMinAgg
-        val li = t(s, dir, "lineitem").select(col("l_partkey"))
-        val cms = udaf(new CountMinAgg(CmsDepth, CmsWidth))
-        // the depth hash slots are computed in the codegen projection
-        // feeding the aggregate — the typed reduce is pure increments
-        val sk = li
-          .select(CountMinAgg.slots(col("l_partkey"), CmsDepth, CmsWidth)
-            .as("slots"))
-          .agg(cms(col("slots")).as("sk"))
-        val top = li.groupBy("l_partkey").agg(count(lit(1)).as("n_exact"))
-          .orderBy(col("n_exact").desc, col("l_partkey")).limit(20)
-        // probe: min over the depth rows of the counter each hash selects
-        val est = (0 until CmsDepth).map { i =>
-          element_at(col("sk"),
-            (lit(i * CmsWidth) +
-              CountMinAgg.slot(i, col("l_partkey"), CmsWidth) + 1)
-              .cast("int"))
-        }
-        top.crossJoin(broadcast(sk))
+        val nTot = t(s, dir, "lineitem").agg(count(lit(1)).as("n_total"))
+        cmsFreqRaw(s, dir)
+          .crossJoin(broadcast(nTot))
           .select(col("l_partkey"), col("n_exact"),
-            least(est: _*).as("n_est"))
+            (col("n_est") >= col("n_exact") &&
+              (col("n_est") - col("n_exact")).cast("double") <=
+                col("n_total") * lit(16.0) / lit(CmsWidth)).as("cms_ok"))
           .orderBy(col("n_exact").desc, col("l_partkey"))
       },
-      None),
+      Some("""SELECT l_partkey, n_exact, TRUE AS cms_ok FROM (
+                SELECT l_partkey, count(*) AS n_exact
+                FROM lineitem GROUP BY l_partkey
+                ORDER BY n_exact DESC, l_partkey LIMIT 20)
+              ORDER BY n_exact DESC, l_partkey""")),
 
     // Half-oracle companion to q_cms_freq (same split q_sketch_exact
     // provides for q_approx_sketches): the probe's exact top-20 keys and
@@ -859,6 +885,47 @@ object Analytics {
     * 1 - 2^-4 per key. */
   private val CmsDepth = 4
   private val CmsWidth = 1024
+
+  /** Raw HLL/t-digest estimates behind q_approx_sketches — the
+    * engine-private values the registry row folds into validity flags;
+    * bound-checked against q_sketch_exact in AnalyticsSpec. */
+  private[graft] def approxSketchesRaw(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"))
+      .orderBy("o_orderstatus")
+
+  /** Raw count-min probe behind q_cms_freq: (l_partkey, n_exact,
+    * n_est) for the exact top-20 keys. ONE bounded-memory sketch (32 KB
+    * per partial regardless of key cardinality, map-side combined,
+    * partitioning-independent — counter sums commute) built over all
+    * line items, probed with min-over-depth-rows. */
+  private[graft] def cmsFreqRaw(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMinAgg
+    val li = t(s, dir, "lineitem").select(col("l_partkey"))
+    val cms = udaf(new CountMinAgg(CmsDepth, CmsWidth))
+    // the depth hash slots are computed in the codegen projection
+    // feeding the aggregate — the typed reduce is pure increments
+    val sk = li
+      .select(CountMinAgg.slots(col("l_partkey"), CmsDepth, CmsWidth)
+        .as("slots"))
+      .agg(cms(col("slots")).as("sk"))
+    val top = li.groupBy("l_partkey").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("l_partkey")).limit(20)
+    // probe: min over the depth rows of the counter each hash selects
+    val est = (0 until CmsDepth).map { i =>
+      element_at(col("sk"),
+        (lit(i * CmsWidth) +
+          CountMinAgg.slot(i, col("l_partkey"), CmsWidth) + 1)
+          .cast("int"))
+    }
+    top.crossJoin(broadcast(sk))
+      .select(col("l_partkey"), col("n_exact"),
+        least(est: _*).as("n_est"))
+      .orderBy(col("n_exact").desc, col("l_partkey"))
+  }
 
   /** Gaps-and-islands oracle for the native session-window operators
     * (batch + streaming): session end = last event + 30-minute gap.

@@ -354,7 +354,9 @@ object Dedup {
     // arithmetic so the oracle replays bit-for-bit: idf is the
     // floor-scaled rational (1000*(2N-2df+1)) div (2df+1) (the BM25
     // rational-idf trick, no log), weights tf*idf are BIGINTs, dot and
-    // squared norms are BIGINT sums, and the reported cos² =
+    // squared norms are 128-bit sums (Spark DECIMAL(38,0) / DuckDB
+    // HUGEINT — exact to ~1e38, past which both engines ERROR rather
+    // than silently wrap), and the reported cos² =
     // dot²/(‖a‖²·‖b‖²) divides two exactly-computed DECIMAL(38,0)
     // integers as one IEEE double division (sqrt never needed —
     // weights are positive so cos² ranks identically to cos).
@@ -378,11 +380,21 @@ object Dedup {
           .select(col("doc_id"), col("shingle"),
             (col("tf") *
               expr("(1000 * (2*n_docs - 2*df + 1)) div (2*df + 1)")).as("w"))
-        val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+        // norm/dot sums in DECIMAL(38,0) (oracle: HUGEINT): weights
+        // scale with 1000*2N/df, so at corpus sizes far beyond this
+        // suite a 64-bit sum could exceed Long range — Spark would wrap
+        // silently while DuckDB's HUGEINT errors on the downcast, a
+        // divergence rather than a clean mismatch. 128-bit accumulation
+        // on BOTH engines keeps the arithmetic exact to ~1e38, and past
+        // that Spark's ANSI decimal overflow THROWS — loud, never wrong.
+        val w19 = col("w").cast("decimal(19,0)")
+        val norms = w.groupBy("doc_id")
+          .agg(sum(w19 * w19).as("n2"))
         val dots = w.as("a").join(w.as("b"), Seq("shingle"))
           .filter(col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .agg(sum(col("a.w") * col("b.w")).as("dot"))
+          .agg(sum(col("a.w").cast("decimal(19,0)") *
+            col("b.w").cast("decimal(19,0)")).as("dot"))
         val directed = dots
           .select(col("a_id").as("src"), col("b_id").as("dst"), col("dot"))
           .unionAll(dots
@@ -423,11 +435,11 @@ object Dedup {
                    tf * ((1000 * (2*n.n_docs - 2*df + 1)) // (2*df + 1)) AS w
                  FROM tf JOIN dfr USING (shingle), n),
                norms AS (
-                 SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                 SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
                  FROM wt GROUP BY doc_id),
                dots AS (
                  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                   CAST(sum(a.w * b.w) AS BIGINT) AS dot
+                   sum(CAST(a.w AS HUGEINT) * b.w) AS dot
                  FROM wt a JOIN wt b ON a.shingle = b.shingle
                   AND a.doc_id < b.doc_id
                  GROUP BY 1, 2),

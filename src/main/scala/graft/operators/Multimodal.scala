@@ -219,8 +219,15 @@ object Multimodal {
         val path = s"$ioScratch/files_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
         val pathP = java.nio.file.Paths.get(path)
         if (java.nio.file.Files.isDirectory(pathP)) {
-          val old = java.nio.file.Files.list(pathP)
-          try old.forEach(p => java.nio.file.Files.delete(p))
+          // depth-first walk: a stray subdirectory (e.g. a crashed
+          // writer's _temporary dir) must be cleared recursively — a
+          // flat Files.delete would throw DirectoryNotEmptyException
+          // and fail the query before the export even starts
+          val old = java.nio.file.Files.walk(pathP)
+          try old
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .filter(p => p != pathP)
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
           finally old.close()
         }
         java.nio.file.Files.createDirectories(pathP)

@@ -416,8 +416,18 @@ object StreamOps {
     def addSentinel(eventTypes: String*): Unit = {
       val maxUs = src.withColumn("ts", graft.Tables.normTsCol(schema))
         .agg(max(unix_micros(col("ts")))).head().getLong(0)
-      val sentTs = timestamp_micros(lit(maxUs + 10L * 3600L * 1000000L))
-        .cast(schema("ts").dataType)
+      val sentUs = maxUs + 10L * 3600L * 1000000L
+      // The sentinel must round-trip through the CORPUS's physical ts
+      // type. When the corpus ships ts as int64 NANOS, a
+      // timestamp->long CAST would yield epoch SECONDS (which
+      // normTsCol then divides by 1000 as nanos, landing the sentinel
+      // in ~1970 and freezing every watermark); emit the raw nanos
+      // long directly instead. Timestamp-typed corpora take the plain
+      // cast, a micros identity.
+      val sentTs = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit(sentUs * 1000L)
+        case dt => timestamp_micros(lit(sentUs)).cast(dt)
+      }
       val sent = eventTypes.zipWithIndex.map { case (et, i) =>
         s.range(1).select(
           lit(-1L - i).as("event_id"), sentTs.as("ts"),
@@ -431,6 +441,21 @@ object StreamOps {
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(s"$stage/10_sentinel.parquet"))
     }
+
+    /** Delete the stage (and sentinel scratch) dirs — repeated
+      * correctness sweeps in one JVM must not leak a corpus-sized copy
+      * per invocation. */
+    def cleanup(): Unit =
+      Seq(stage, s"${stage}_sent").foreach { d =>
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try
+            walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      }
   }
 
   def intervalJoinLeftOuter(s: SparkSession, dir: String): DataFrame = {
@@ -465,6 +490,7 @@ object StreamOps {
       q.processAllAvailable()
     } finally {
       q.stop()
+      staged.cleanup()
     }
     // count(c_id) counts matches only — a null-padded purchase scores 0,
     // exactly the batch LEFT JOIN + count(c.event_id) oracle
@@ -552,6 +578,7 @@ object StreamOps {
       q.processAllAvailable() // timeouts fire, trailing sessions emit
     } finally {
       q.stop()
+      staged.cleanup()
     }
     s.table(sink)
       .filter(col("user_id") >= 0) // drop the sentinel's own session

@@ -83,7 +83,8 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("o_orderstatus") ->
         (r.getAs[Long]("exact_cust").toDouble, r.getAs[Double]("exact_median")))
       .toMap
-    val sketches = run("q_approx_sketches").collect()
+    val sketches = graft.operators.Analytics
+      .approxSketchesRaw(spark, TestSpark.sf).collect()
     assert(sketches.length === exact.size)
     sketches.foreach { r =>
       val (exactC, exactM) = exact(r.getAs[String]("o_orderstatus"))
@@ -93,6 +94,12 @@ class AnalyticsSpec extends AnyFunSuite {
       val approxM = r.getAs[Double]("approx_median")
       assert(math.abs(approxM - exactM) / exactM < 0.05,
         s"median sketch error too large: $approxM vs $exactM")
+    }
+    // the driver-facing registry row must report every flag TRUE (its
+    // oracle hard-codes TRUE, so a false here is a CORRECTNESS fail)
+    run("q_approx_sketches").collect().foreach { r =>
+      assert(r.getAs[Boolean]("hll_ok") && r.getAs[Boolean]("median_rank_ok"),
+        s"validity flag false in driver-facing row: $r")
     }
   }
 
@@ -116,7 +123,8 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("count-min estimates never undercount and stay inside the bound") {
-    val out = run("q_cms_freq").collect()
+    val out = graft.operators.Analytics
+      .cmsFreqRaw(spark, TestSpark.sf).collect()
     assert(out.length === 20)
     val n = Tables.load(spark, TestSpark.sf, "lineitem").count()
     out.foreach { r =>
@@ -125,6 +133,11 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(est >= exact, s"CMS may never undercount: $r")
       // deterministic sketch, loose bound (4x the e*N/w guarantee)
       assert(est - exact <= 8 * n / 1024 + 1, s"overestimate too large: $r")
+    }
+    // the driver-facing registry row folds the bound into cms_ok, whose
+    // oracle hard-codes TRUE — assert it holds on the engine side too
+    run("q_cms_freq").collect().foreach { r =>
+      assert(r.getAs[Boolean]("cms_ok"), s"cms_ok false: $r")
     }
     // the estimates must agree with a direct recount for the top key
     val top = out.head

@@ -248,6 +248,43 @@ class StreamCancelSpec extends AnyFunSuite {
     }
   }
 
+  test("ttl sessionizer closes trailing sessions on an int64-NANOS corpus") {
+    // the driver has shipped events.ts both as timestamp[us] and as
+    // int64 nanos; the sentinel row must round-trip through the
+    // CORPUS's physical type. A timestamp->long CAST yields epoch
+    // SECONDS, which the ns-normalizer divides by 1000 — the sentinel
+    // lands in ~1970, the watermark never advances, and every TRAILING
+    // session is silently withheld. This pins the LongType branch.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsevents").toString
+    val t0 = 1704103200000000L // 2024-01-01 10:00:00 UTC, micros
+    def ns(min: Long) = (t0 + min * 60000000L) * 1000L
+    val rows = Seq(
+      (1L, ns(0), 1L, "click", 0.0, ""),
+      (2L, ns(10), 1L, "click", 0.0, ""),
+      (3L, ns(120), 1L, "click", 0.0, ""), // past the 30-min gap
+      (4L, ns(5), 2L, "view", 0.0, ""))
+    val scratch = s"$dir/scratch"
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val out = StreamOps.sessionizeTtl(spark, dir)
+      .withColumn("start_us", unix_micros(col("session_start")))
+      .withColumn("end_us", unix_micros(col("session_end")))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+    val gap = graft.operators.Analytics.SessionGapUs
+    def us(min: Long) = t0 + min * 60000000L
+    assert(out.toSet === Set(
+      (1L, us(0), us(10) + gap, 2L), // closed in-corpus by event 3
+      (1L, us(120), us(120) + gap, 1L), // trailing — needs the sentinel
+      (2L, us(5), us(5) + gap, 1L))) // trailing — needs the sentinel
+  }
+
   test("file-sink stream resumes from checkpoint exactly-once") {
     // stop → new data → restart with the same checkpoint: the restarted
     // query must process ONLY the new files (offset log) and the file
