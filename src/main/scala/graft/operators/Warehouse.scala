@@ -504,6 +504,171 @@ object Warehouse {
               GROUP BY c_mktsegment
               ORDER BY c_mktsegment""")),
 
+    // TPC-H Q17 (small-quantity-order revenue), adapted: the corpus has
+    // no p_container, so the cohort is two brands and the 7-year /7.0
+    // divisor matches this corpus's actual 1995-2001 ship span. The
+    // SHAPE is the point: a correlated scalar subquery ("0.2 * avg
+    // qty of THIS part") decorrelated into a per-part aggregate joined
+    // back to lineitem — the pattern every "vs its own group's average"
+    // warehouse query hits. The threshold compare is CROSS-MULTIPLIED
+    // in exact decimals (5*qty*n < sum_qty ⟺ qty < 0.2*sum/n) so no
+    // avg() rounding can flip a boundary row on either engine; the only
+    // double op is the final CAST + one IEEE division by 7.0. Plan:
+    // per-part agg shuffles on l_partkey (same key the join needs — one
+    // exchange reused), brand-filtered part is a broadcast dim.
+    QueryDef(
+      "q_tpch_q17",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), dec(col("l_quantity")).as("qty"),
+            dec(col("l_extendedprice")).as("price"))
+        val perPart = li.groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_l"), sum(col("qty")).as("sum_qty"))
+        val brands = t(s, dir, "part")
+          .filter(col("p_brand").isin("Brand#12", "Brand#23"))
+          .select(col("p_partkey"), col("p_brand"))
+        li.join(perPart, Seq("l_partkey"))
+          .filter(col("qty") * lit(5) * col("n_l") < col("sum_qty"))
+          .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_small"),
+            (sum(col("price")).cast("double") / lit(7.0)).as("avg_yearly"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH pp AS (
+                SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_l,
+                  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+                FROM lineitem GROUP BY 1)
+              SELECT p_brand, count(*) AS n_small,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                  / 7.0 AS avg_yearly
+              FROM lineitem l
+              JOIN pp ON l.l_partkey = pp.l_partkey
+              JOIN part ON p_partkey = l.l_partkey
+              WHERE p_brand IN ('Brand#12', 'Brand#23')
+                AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * n_l < sum_qty
+              GROUP BY p_brand ORDER BY p_brand""")),
+
+    // TPC-H Q20 (potential part promotion), adapted: the corpus has no
+    // partsupp, so "availqty > half of shipped volume" becomes
+    // "suppliers who concentrated an outsized share of a red part's
+    // all-time shipped volume into 1995" — preserving Q20's defining
+    // NESTED SEMI-JOIN chain: a name-pattern part filter semi-joined
+    // into lineitem, a nested aggregate threshold comparing a
+    // (supplier, part) aggregate against a per-part aggregate
+    // (cross-multiplied, exact decimal: 16*q95 > qtot — i.e. the
+    // supplier moved over a sixteenth of the part's all-time volume in
+    // that one year; chosen so the cohort is non-empty yet selective
+    // at every corpus SF), and the
+    // surviving supplier keys semi-joined into supplier with a
+    // broadcast nation filter. Plan: both aggregates shuffle on
+    // l_partkey-rooted keys over the SEMI-PRUNED lineitem; supplier
+    // side is broadcast-scale; no correlated per-row subquery anywhere.
+    QueryDef(
+      "q_tpch_q20",
+      (s, dir) => {
+        val red = t(s, dir, "part")
+          .filter(col("p_name").startsWith("red"))
+          .select(col("p_partkey"))
+        val li = t(s, dir, "lineitem")
+          .join(broadcast(red), col("l_partkey") === col("p_partkey"), "left_semi")
+          .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+            dec(col("l_quantity")).as("qty"))
+        val q95 = li
+          .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-01-01")))
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(sum(col("qty")).as("q95"))
+        val qtot = li.groupBy("l_partkey").agg(sum(col("qty")).as("qtot"))
+        val hot = q95.join(qtot, Seq("l_partkey"))
+          .filter(col("q95") * lit(16) > col("qtot"))
+          .select(col("l_suppkey")).distinct()
+        t(s, dir, "supplier")
+          .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(t(s, dir, "nation")
+              .filter(col("n_nationkey") < 13)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_suppkey, s_name, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_nationkey < 13
+                AND s_suppkey IN (
+                  SELECT l_suppkey FROM lineitem
+                  WHERE l_partkey IN (SELECT p_partkey FROM part
+                                      WHERE p_name LIKE 'red%')
+                    AND l_shipdate >= TIMESTAMP '1995-01-01'
+                    AND l_shipdate < TIMESTAMP '1996-01-01'
+                  GROUP BY l_suppkey, l_partkey
+                  HAVING 16 * sum(CAST(l_quantity AS DECIMAL(12,2))) > (
+                    SELECT sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey))
+              ORDER BY s_name""")),
+
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted: the
+    // corpus has no l_commitdate/l_receiptdate, so "late" becomes
+    // shipped more than 90 days after the order date. The defining
+    // multi-(NOT-)EXISTS shape is intact: on a FINALIZED ('F')
+    // multi-supplier order, find the supplier who was the ONLY late
+    // shipper — EXISTS(another supplier on the order) decorrelates to a
+    // LEFT SEMI join on orderkey with a suppkey-inequality residual,
+    // NOT EXISTS(another LATE supplier) to a LEFT ANTI on the same key.
+    // Plan: one orderkey-shuffle join l1⋈orders, then semi/anti probes
+    // reusing the orderkey partitioning; supplier and nation close the
+    // name out as broadcast dims; count ranks with a deterministic
+    // (numwait DESC, s_name) total order before the top-100.
+    QueryDef(
+      "q_tpch_q21",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val others = l
+          .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        val lateOthers = late
+          .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+        late
+          .join(others, col("l_orderkey") === col("o2") &&
+            col("l_suppkey") =!= col("s2"), "left_semi")
+          .join(lateOthers, col("l_orderkey") === col("o3") &&
+            col("l_suppkey") =!= col("s3"), "left_anti")
+          .join(broadcast(t(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("s_name", "n_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, n_name, count(*) AS numwait
+              FROM lineitem l1
+              JOIN orders ON o_orderkey = l1.l_orderkey
+              JOIN supplier ON s_suppkey = l1.l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              WHERE o_orderstatus = 'F'
+                AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+                AND EXISTS (
+                  SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (
+                  SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+              GROUP BY s_name, n_name
+              ORDER BY numwait DESC, s_name
+              LIMIT 100""")),
+
     // SQL:1999 recursive CTE (Spark 4 native WITH RECURSIVE): every part
     // walks the binary-halving ancestor chain key -> key DIV 2 -> ... ->
     // 1, yielding its depth in the implied binary tree. Each recursion

@@ -422,6 +422,35 @@ class PlanSpec extends AnyFunSuite {
       s"order date range not pushed into the anti-join probe:\n$p")
   }
 
+  test("q17 correlated avg decorrelates to one agg join, no per-row subquery") {
+    val p = plan("q_tpch_q17")
+    // the per-part threshold must plan as an aggregate joined back to
+    // lineitem (shared l_partkey exchange), never a correlated scalar
+    // subquery re-evaluated per row, and never a cartesian
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no decorrelated per-part aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"brand dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q17:\n$p")
+  }
+
+  test("q20 nested semi-join chain plans as semi joins with pushed filters") {
+    val p = plan("q_tpch_q20")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(p.contains("StringStartsWith(p_name,red"),
+      s"part name pattern not pushed to the part scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q20:\n$p")
+  }
+
+  test("q21 EXISTS/NOT-EXISTS plan as semi + anti joins on the order key") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as an anti join:\n$p")
+    assert(p.contains("EqualTo(o_orderstatus,F)"),
+      s"order status filter not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q21:\n$p")
+  }
+
   test("cms exact companion is partial-agg + top-k, no global sort") {
     val p = plan("q_cms_exact")
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
