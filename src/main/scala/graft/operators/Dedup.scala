@@ -140,6 +140,47 @@ object Dedup {
        FROM tk LEFT JOIN kept ON tk.doc_id = kept.doc_id
        ORDER BY tk.doc_id"""
 
+  /** Doc-id gap bounds for the TTL streaming dedup variants. The
+    * streamed corpus carries a synthetic ingest timestamp (doc_id
+    * minutes apart — see StreamOps.docEventTime), so "state older than
+    * the TTL watermark" is exactly "previous occurrence more than
+    * TtlDocs documents earlier": a repeated paragraph re-emits past
+    * ParaTtlDocs, and a band collision only pairs documents within
+    * NeardupTtlDocs of each other. Both oracles replay the same rule
+    * as doc_id arithmetic. */
+  private[graft] val ParaTtlDocs = 30
+  private[graft] val NeardupTtlDocs = 100
+
+  /** Oracle for the TTL paragraph gate: an occurrence is kept iff the
+    * IMMEDIATELY PRECEDING occurrence of the same paragraph (the gate
+    * refreshes its last-seen state on every occurrence, emitted or
+    * suppressed) is more than ParaTtlDocs documents earlier — the
+    * lag-window form of watermark-evicted first-writer-wins. */
+  private[graft] val ParagraphDedupTtlOracleSql: String =
+    s"""WITH tk AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       p AS (
+         SELECT doc_id, i AS p_idx,
+           array_to_string(w[(i*4 + 1):(i*4 + 4)], ' ') AS para
+         FROM tk, LATERAL (SELECT unnest(range(0,
+           CAST((len(w) + 3) // 4 AS INT))) AS i) ix),
+       r AS (
+         SELECT doc_id, p_idx, para,
+           lag(doc_id) OVER (PARTITION BY para
+             ORDER BY doc_id, p_idx) AS prev_doc
+         FROM p),
+       kept AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(para, ' ' ORDER BY p_idx) AS clean_text
+         FROM r WHERE prev_doc IS NULL OR doc_id - prev_doc > $ParaTtlDocs
+         GROUP BY doc_id)
+       SELECT tk.doc_id,
+         CAST((len(tk.w) + 3) // 4 AS BIGINT) AS n_paras,
+         COALESCE(kept.n_kept, 0) AS n_kept,
+         COALESCE(kept.clean_text, '') AS clean_text
+       FROM tk LEFT JOIN kept ON tk.doc_id = kept.doc_id
+       ORDER BY tk.doc_id"""
+
   /** The shared MinHash band-key CTE prefix (shingles → signatures →
     * 8 two-row band keys): every LSH-banding oracle — batch pairs,
     * streaming near-dup, and incremental corpus probe — derives from this
@@ -170,6 +211,25 @@ object Dedup {
          FROM bands x JOIN bands y
            ON x.b = y.b AND x.band_key = y.band_key
             AND x.doc_id < y.doc_id)
+       SELECT c.a_id, c.b_id,
+         CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+           / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard
+       FROM cand c
+       JOIN d da ON da.doc_id = c.a_id
+       JOIN d db ON db.doc_id = c.b_id
+       ORDER BY a_id, b_id"""
+
+  /** TTL variant of the banding pairs oracle: a collision only counts
+    * while BOTH documents are inside the NeardupTtlDocs ingest window —
+    * the relation the watermark-evicted streaming bucket state emits. */
+  private[graft] val MinhashPairsTtlOracleSql: String =
+    MinhashBandsCte + s""",
+       cand AS (
+         SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.band_key = y.band_key
+            AND x.doc_id < y.doc_id
+         WHERE y.doc_id - x.doc_id <= $NeardupTtlDocs)
        SELECT c.a_id, c.b_id,
          CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
            / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard

@@ -682,6 +682,89 @@ object StreamOps {
       graft.Tables.load(s, dir, "documents"), s.table(sink))
   }
 
+  /** Synthetic ingest event-time of a streamed document: documents
+    * arrive in doc_id order, one minute apart, from a fixed epoch. On a
+    * real deployment this is the ingest timestamp the source already
+    * carries; deriving it from doc_id keeps the TTL semantics
+    * oracle-replayable as plain doc_id arithmetic (Dedup.ParaTtlDocs /
+    * NeardupTtlDocs). */
+  private[graft] val DocBaseUs = 1704067200000000L // 2024-01-01 UTC
+  private[graft] val DocStepUs = 60L * 1000000L
+  private[graft] def docEventTime =
+    timestamp_micros(lit(DocBaseUs) + col("doc_id") * lit(DocStepUs))
+  private[graft] val ParaTtlUs =
+    graft.operators.Dedup.ParaTtlDocs * DocStepUs
+  private[graft] val NeardupTtlUs =
+    graft.operators.Dedup.NeardupTtlDocs * DocStepUs
+
+  /** One paragraph occurrence with its document's ingest time. */
+  final case class ParaOccT(
+      doc_id: Long, p_idx: Long, para: String, ts: java.sql.Timestamp)
+
+  /** TTL paragraph gate — the WATERMARK-EVICTED form of paraGateState:
+    * state is the last-seen ingest time of the paragraph (refreshed on
+    * EVERY occurrence, emitted or suppressed), an occurrence emits iff
+    * the previous one is more than the TTL older, and the state row
+    * carries an event-time timeout at lastSeen + TTL so the store only
+    * ever holds paragraphs seen within the TTL window — the property
+    * that bounds state in a CONTINUOUS deployment, where the NoTimeout
+    * gate grows with every distinct paragraph ever ingested. */
+  def paraGateTtl(para: String, it: Iterator[ParaOccT],
+      state: GroupState[Long]): Iterator[ParaOccT] = {
+    if (!it.hasNext && state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[ParaOccT]
+      var last = state.getOption
+      it.toArray.sortBy(o => (o.doc_id, o.p_idx)).foreach { o =>
+        val t = o.ts.getTime * 1000L
+        if (last.forall(l => t - l > ParaTtlUs)) out += o
+        last = Some(t)
+      }
+      last.foreach { l =>
+        state.update(l)
+        state.setTimeoutTimestamp(l / 1000L + ParaTtlUs / 1000L)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming paragraph dedup with TTL state eviction — the deployable
+    * form of streamParagraphDedup: same chunking/rebuild helpers, but a
+    * repeated paragraph is only suppressed within ParaTtlDocs documents
+    * of its previous occurrence, and the state store evicts expired
+    * paragraphs at the watermark (eviction proven in StreamCancelSpec).
+    * Oracle: the lag-window TTL rule in doc_id arithmetic. */
+  def streamParagraphDedupTtl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val sink = s"graft_stream_paradedup_ttl_${nameCounter.incrementAndGet()}"
+    val q = graft.operators.Dedup.paragraphs(
+        s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir))
+      .withColumn("ts", docEventTime)
+      .withWatermark("ts", "1 minute")
+      .as[ParaOccT]
+      .groupByKey(_.para)
+      .flatMapGroupsWithState[Long, ParaOccT](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(paraGateTtl)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    graft.operators.Dedup.rebuildFromKept(
+      graft.Tables.load(s, dir, "documents"), s.table(sink).drop("ts"))
+  }
+
   /** One LSH band assignment of a streamed document. */
   final case class BandDoc(band_id: Int, band_key: String, doc_id: Long)
   /** A near-dup candidate pair (a_id < b_id). */
@@ -716,8 +799,9 @@ object StreamOps {
     * result is EXACTLY the batch dedup_minhash_pairs relation (shared
     * oracle) — arriving incrementally instead of via a corpus-wide
     * equi-join. At 100 TB rates the state store holds one doc_id list
-    * per occupied bucket; eviction would hang off a document-timestamp
-    * watermark in a continuous deployment. */
+    * per occupied bucket — fine for a finite suite; the CONTINUOUS
+    * deployment uses streamingNearDupTtl below, whose buckets evict at
+    * the ingest-time watermark. */
   def streamingNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.EngineFns.{minhashSig, shingles}
@@ -755,9 +839,19 @@ object StreamOps {
     // batch-side exact-Jaccard verification of the streamed candidates
     // (a pair can surface from several bands and several micro-batches —
     // distinct first)
+    jaccardVerify(s, dir, s.table(sink))
+  }
+
+  /** Batch-side exact-Jaccard verification of streamed candidate pairs:
+    * distinct-dedup the (multi-band, multi-batch) emissions, then attach
+    * the exact shingle Jaccard — shared by the NoTimeout and TTL
+    * near-dup forms so their outputs differ ONLY by the candidate set. */
+  private def jaccardVerify(
+      s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    import graft.functions.EngineFns.shingles
     val sh = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-    s.table(sink).distinct()
+    pairs.distinct()
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
       .select(
@@ -767,6 +861,88 @@ object StreamOps {
             size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"))
           .as("jaccard"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** One LSH band assignment with the document's ingest time. */
+  final case class BandDocT(
+      band_id: Int, band_key: String, doc_id: Long, ts: java.sql.Timestamp)
+
+  /** TTL band-bucket state — the WATERMARK-EVICTED form of
+    * bandBucketState: occupants carry their ingest time, a newly
+    * arriving document pairs only with occupants within the TTL (older
+    * ones are pruned as it scans — they can never pair again because
+    * ingest time is monotone in doc_id), and the whole bucket times out
+    * at newestOccupant + TTL. State per bucket is bounded by the
+    * collisions inside ONE TTL window, not all-time occupancy. */
+  def bandBucketTtl(key: (Int, String), it: Iterator[BandDocT],
+      state: GroupState[Seq[(Long, Long)]]): Iterator[CandPair] = {
+    if (!it.hasNext && state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+      var acc = state.getOption.getOrElse(Seq.empty) // (doc_id, ts_us)
+      it.toArray.distinctBy(_.doc_id).sortBy(_.doc_id).foreach { d =>
+        val tUs = d.ts.getTime * 1000L
+        acc = acc.filter { case (_, t0) => t0 >= tUs - NeardupTtlUs }
+        acc.foreach { case (occ, _) =>
+          if (occ != d.doc_id)
+            out += CandPair(math.min(occ, d.doc_id), math.max(occ, d.doc_id))
+        }
+        if (!acc.exists(_._1 == d.doc_id)) acc = acc :+ (d.doc_id, tUs)
+      }
+      state.update(acc)
+      acc.map(_._2).maxOption.foreach { newest =>
+        state.setTimeoutTimestamp(newest / 1000L + NeardupTtlUs / 1000L)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming MinHash near-dup with TTL state eviction — the
+    * deployable form of streamingNearDup: collisions only pair
+    * documents ingested within NeardupTtlDocs of each other, and
+    * expired buckets leave the state store at the watermark (the answer
+    * to the unbounded band-bucket growth the NoTimeout form accepts for
+    * finite suites). Same map-side signature/banding, same batch-side
+    * exact-Jaccard verification; oracle adds the ingest-gap predicate. */
+  def streamingNearDupTtl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.EngineFns.{minhashSig, shingles}
+    import graft.operators.Dedup.{BandRows, NumPerms}
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val sink = s"graft_stream_neardup_ttl_${nameCounter.incrementAndGet()}"
+    val bands = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"),
+        minhashSig(shingles(col("text"), 3), NumPerms).as("sig"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(NumPerms / BandRows - 1)), b =>
+          struct(
+            b.cast("int").as("band_id"),
+            concat_ws(",", slice(col("sig"), b * BandRows + lit(1), lit(BandRows)))
+              .as("band_key")))).as("band"))
+      .select(col("band.band_id"), col("band.band_key"), col("doc_id"))
+      .withColumn("ts", docEventTime)
+      .withWatermark("ts", "1 minute")
+      .as[BandDocT]
+    val q = bands
+      .groupByKey(b => (b.band_id, b.band_key))
+      .flatMapGroupsWithState[Seq[(Long, Long)], CandPair](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(bandBucketTtl)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    jaccardVerify(s, dir, s.table(sink))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -932,6 +1108,21 @@ object StreamOps {
       "stream_paragraph_dedup",
       (s, dir) => streamParagraphDedup(s, dir),
       Some(graft.operators.Dedup.ParagraphDedupOracleSql),
+      bench = false),
+
+    // TTL forms of the standing-state streaming dedups: same relations
+    // as their NoTimeout siblings restricted to the ingest-time TTL
+    // window, with state-store EVICTION at the watermark — the
+    // deployable shapes (state ∝ one TTL window, not all history).
+    QueryDef(
+      "stream_paragraph_dedup_ttl",
+      (s, dir) => streamParagraphDedupTtl(s, dir),
+      Some(graft.operators.Dedup.ParagraphDedupTtlOracleSql),
+      bench = false),
+    QueryDef(
+      "stream_neardup_ttl",
+      (s, dir) => streamingNearDupTtl(s, dir),
+      Some(graft.operators.Dedup.MinhashPairsTtlOracleSql),
       bench = false),
 
     // Streaming ANN serving: offline IVF index, online query stream,

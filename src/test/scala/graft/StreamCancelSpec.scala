@@ -248,6 +248,94 @@ class StreamCancelSpec extends AnyFunSuite {
     }
   }
 
+  test("ttl paragraph gate evicts expired state and re-admits past the TTL") {
+    // batch 1: paragraph P emits (first writer). batch 2: P again
+    // inside the TTL — suppressed, state refreshed. batch 3: unrelated
+    // data advances the watermark past lastSeen+TTL — P's state row is
+    // EVICTED (store shrinks: numRowsTotal drops). batch 4: P again —
+    // RE-emits, proving the gate forgot it. This is the state-bound
+    // contract that lets the gate run continuously at 100 TB rates.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1704067200000000L
+    def ts(min: Long) = new java.sql.Timestamp((t0 + min * 60000000L) / 1000L)
+    val in = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val sink = "graft_para_ttl_spec"
+    val q = in.toDF().toDF("doc_id", "p_idx", "para", "ts")
+      .withWatermark("ts", "1 minute")
+      .as[StreamOps.ParaOccT]
+      .groupByKey(_.para)
+      .flatMapGroupsWithState[Long, StreamOps.ParaOccT](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        StreamOps.paraGateTtl)
+      .writeStream.outputMode("update").format("memory").queryName(sink)
+      .start()
+    try {
+      def emitted() = spark.table(sink).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("para"))).toSeq
+      in.addData((1L, 0L, "dup para", ts(0)))
+      q.processAllAvailable()
+      assert(emitted() === Seq((1L, "dup para")), "first occurrence must emit")
+      in.addData((10L, 0L, "dup para", ts(10))) // 10 min later — inside TTL
+      q.processAllAvailable()
+      assert(emitted() === Seq((1L, "dup para")), "in-TTL repeat must be suppressed")
+      val before = q.recentProgress.last.stateOperators.head.numRowsTotal
+      // unrelated paragraph far in the future: watermark passes 10min+TTL
+      in.addData((500L, 0L, "other para", ts(500)))
+      q.processAllAvailable()
+      val after = q.recentProgress.last.stateOperators.head.numRowsTotal
+      assert(after <= before,
+        s"expired paragraph state not evicted: $before -> $after")
+      in.addData((510L, 0L, "dup para", ts(510))) // past the TTL
+      q.processAllAvailable()
+      assert(emitted().toSet === Set((1L, "dup para"), (500L, "other para"),
+        (510L, "dup para")), "post-TTL repeat must re-emit")
+    } finally q.stop()
+  }
+
+  test("ttl band bucket pairs only within the TTL window and evicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1704067200000000L
+    def ts(min: Long) = new java.sql.Timestamp((t0 + min * 60000000L) / 1000L)
+    val in = MemoryStream[(Int, String, Long, java.sql.Timestamp)]
+    val sink = "graft_band_ttl_spec"
+    val q = in.toDF().toDF("band_id", "band_key", "doc_id", "ts")
+      .withWatermark("ts", "1 minute")
+      .as[StreamOps.BandDocT]
+      .groupByKey(b => (b.band_id, b.band_key))
+      .flatMapGroupsWithState[Seq[(Long, Long)], StreamOps.CandPair](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        StreamOps.bandBucketTtl)
+      .writeStream.outputMode("update").format("memory").queryName(sink)
+      .start()
+    try {
+      def pairs() = spark.table(sink).collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+      in.addData((0, "k", 1L, ts(1)), (0, "k", 50L, ts(50)))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 50L)), "in-window collision must pair")
+      val before = q.recentProgress.last.stateOperators.head.numRowsTotal
+      // doc 500 collides on the same band key but is 450 min after doc
+      // 50 — far past the 100-min TTL: no pair, and the watermark it
+      // carries evicts the stale bucket occupants
+      in.addData((0, "k", 500L, ts(500)))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 50L)),
+        "out-of-TTL collision must not pair")
+      in.addData((0, "k", 520L, ts(520))) // within TTL of doc 500
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 50L), (500L, 520L)))
+      val after = q.recentProgress.last.stateOperators.head.numRowsTotal
+      assert(after <= before,
+        s"expired bucket state not evicted: $before -> $after")
+    } finally q.stop()
+  }
+
   test("ttl sessionizer closes trailing sessions on an int64-NANOS corpus") {
     // the driver has shipped events.ts both as timestamp[us] and as
     // int64 nanos; the sentinel row must round-trip through the
