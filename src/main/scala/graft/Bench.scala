@@ -21,9 +21,11 @@ import org.apache.spark.sql.SparkSession
   *  - SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
   *  - SPARK_GRAFT_CPUS     local[N] (default 32)
   *  - SPARK_GRAFT_BEST_OF  measured passes; per-query min is reported
-  *                         (default 2 — one-off environment stalls on
+  *                         (default 3 — one-off environment stalls on
   *                         this shared VM otherwise land on whichever
-  *                         query they hit; see SCALE.md)
+  *                         query they hit, and with only 2 passes a
+  *                         single stall still decides half the samples;
+  *                         see SCALE.md)
   */
 object Bench {
 
@@ -77,6 +79,28 @@ object Bench {
       case _ => 0L
     }
 
+  /** Cheap corpus fingerprint: per-table (rows, bytes) folded into one
+    * 8-byte hex string. The driver REGENERATES /root/testdata between
+    * rounds, so a per-query delta against last round's BENCH_LAST may
+    * be measuring a different corpus, not a code change; the regression
+    * report compares fingerprints first and suppresses per-query deltas
+    * when they differ. Row counts come from parquet footers (metadata
+    * count — no data scan), sizes from the filesystem. */
+  private def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
+    val parts = Tables.names.map { n =>
+      val p = java.nio.file.Paths.get(s"$sfDir/$n.parquet")
+      val bytes =
+        if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else -1L
+      val rows =
+        try Tables.load(spark, sfDir, n).count()
+        catch { case _: Throwable => -1L }
+      s"$n:$rows:$bytes"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString(",").getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
   /** Execute one registry query to completion against the noop sink.
     * Returns (wall seconds, ok) — a query that throws reports ok=false
     * and its JSON entry must never masquerade as a fast success
@@ -112,7 +136,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val bestOf = sys.env.getOrElse("SPARK_GRAFT_BEST_OF", "2").toInt.max(1)
+    val bestOf = sys.env.getOrElse("SPARK_GRAFT_BEST_OF", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -231,10 +255,11 @@ object Bench {
     val passesJson = defs.map { d =>
       "\"" + d.name + "\":" + passes(d.name).reverse.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val fp = corpusFingerprint(spark, sfDir)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
         s""""passes":$passesJson,"failures":$failures,"failed":$failedJson,""" +
-        s""""best_of":$bestOf,"sf":"$sfDir"}"""
+        s""""best_of":$bestOf,"sf":"$sfDir","corpus":"$fp"}"""
     // artifacts + regression report only for OFFICIAL full sweeps (the
     // driver's config: full registry at sf0.1) — a partial or small-sf
     // dev run must neither overwrite the committed sf0.1 per-query
@@ -258,7 +283,21 @@ object Bench {
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           }
         } else Map.empty
-      if (prev.nonEmpty) {
+      // fingerprint gate: a regenerated corpus makes per-query deltas
+      // incomparable (round-4 postmortem: x0.4-x2.0 swings on untouched
+      // code tracked corpus regeneration, not code changes)
+      val prevFp =
+        if (java.nio.file.Files.exists(lastPath))
+          "\"corpus\":\"([0-9a-f]+)\"".r
+            .findFirstMatchIn(java.nio.file.Files.readString(lastPath))
+            .map(_.group(1))
+        else None
+      if (prev.nonEmpty && !prevFp.contains(fp)) {
+        System.err.println(
+          s"[bench] corpus fingerprint changed (${prevFp.getOrElse("none")} " +
+            s"-> $fp): per-query deltas measure a DIFFERENT corpus — " +
+            "regression report suppressed")
+      } else if (prev.nonEmpty) {
         val regressions = best
           .collect { case (name, v) if !v.isNaN && prev.contains(name) &&
               v > prev(name) + 0.25 => // ignore sub-noise-floor jitter
@@ -281,7 +320,7 @@ object Bench {
         java.nio.file.Paths.get("/root/repo/BENCH_HISTORY.jsonl"),
         s"""{"total":${fmt(total)},"n_queries":${best.size},""" +
           s""""failures":$failures,"best_of":$bestOf,"sf":"$sfDir",""" +
-          s""""queries":$qs}""" + "\n",
+          s""""corpus":"$fp","queries":$qs}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch {

@@ -32,6 +32,17 @@ object CancelBench {
     DataGen.findOrGenerate(spark, dataDir, numFiles, rowsPerFile)
     DataGen.loadTestTable(spark, dataDir)
 
+    // untimed warm-up: the sweep's FIRST row otherwise pays whole-stage
+    // codegen compilation + HotSpot tiering for the distinct plan and
+    // reports JIT latency as cancellation latency (observed: first-row
+    // max ~285 ms vs ~26 ms steady-state medians across three rounds).
+    // Noop sink, not collect(): the sweep's collects are always
+    // cancelled mid-flight, but a COMPLETED collect of the full
+    // distinct (35M rows at reference scale) exceeds
+    // spark.driver.maxResultSize — the warm-up only needs the
+    // scan/aggregate codegen hot, not the result on the driver.
+    DataGen.distinctQuery(spark).write.format("noop").mode("overwrite").save()
+
     val results = Cancel.sweep(spark, 10L to maxWait,
       s => { DataGen.distinctQuery(s).collect(); () })
     println(Cancel.markdownTable(results))

@@ -19,6 +19,24 @@ import graft.functions.EngineFns.{hash31, shingles}
   */
 object TextAnalysis {
 
+  /** BPE merge-round count. Each round is ONE Spark job collecting ONE
+    * argmax row to the driver, so this constant is the
+    * driver-serialization knob of the whole BPE family: the loop's
+    * wall time is rounds x (pair-count shuffle + rewrite), serialized
+    * through the driver. A production tokenizer trains thousands of
+    * merges OFFLINE on a sampled sub-corpus, not inline in the query
+    * engine — the guard below keeps a future edit from silently
+    * turning this into a thousand-job loop (and the DuckDB oracle CTE,
+    * which grows one chained subquery per round, from exploding). */
+  private[graft] val BpeMergeRounds = 3
+  private val MaxBpeMergeRounds = 8
+  require(BpeMergeRounds >= 1 && BpeMergeRounds <= MaxBpeMergeRounds,
+    s"BpeMergeRounds=$BpeMergeRounds outside [1, $MaxBpeMergeRounds]: " +
+      "each round is a driver-serialized Spark job; train big vocabularies " +
+      "offline, not inline")
+  private[graft] def maxBpeMergeRounds: Int = MaxBpeMergeRounds
+
+
   /** Whitespace tokens of a text column. Spark `split` keeps trailing
     * empty strings (limit = -1), matching DuckDB `string_split`. */
   def tokens(c: Column): Column = split(c, " ")
@@ -1220,7 +1238,7 @@ object TextAnalysis {
               FROM r ORDER BY doc_id"""))
   )
 
-  /** Run the 3 BPE merge-training rounds corpus-parallel; returns the
+  /** Run the BPE merge-training rounds corpus-parallel; returns the
     * final rewritten corpus (doc_id, text with '~'-joined merges) and
     * the learned rules. Each round: one pair-count aggregate (map-side
     * combined, one hash shuffle), ONE argmax row back to the driver
@@ -1239,7 +1257,7 @@ object TextAnalysis {
         .localCheckpoint()
     }
     val learned = Seq.newBuilder[(Long, String, String, Long)]
-    for (iter <- 1 to 3) {
+    for (iter <- 1 to BpeMergeRounds) {
       // adjacent-pair extraction stays inside whole-stage codegen:
       // slice+arrays_zip are codegen'd collection expressions, unlike a
       // transform() lambda (interpreted, and it re-evaluates the split
@@ -1265,12 +1283,12 @@ object TextAnalysis {
     (docs, learned.result())
   }
 
-  /** Shared DuckDB replay of the 3 BPE rounds (same pair counts, same
+  /** Shared DuckDB replay of the BPE rounds (same pair counts, same
     * tie-break, same double-space literal replace). Built
     * programmatically so both engines always run the same round count;
     * the trainer and encoder oracles close over the same CTE chain. */
   private lazy val BpeRoundsCte: String = {
-    val iters = (1 to 3).map { i =>
+    val iters = (1 to BpeMergeRounds).map { i =>
       s"""p$i AS (
             SELECT z[1] AS a, z[2] AS b, count(*) AS cnt
             FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z

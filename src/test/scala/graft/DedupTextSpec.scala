@@ -42,6 +42,18 @@ class DedupTextSpec extends AnyFunSuite {
     assert(out(1L)._1 === 0L && out(1L)._2 === 1.0)
   }
 
+  test("BPE merge-round count stays inside the driver-serialization guard") {
+    // each merge round is one driver-serialized Spark job AND one more
+    // chained subquery in the oracle CTE — the require in TextAnalysis
+    // throws at class-load if a future edit raises the count past the
+    // cap; this pins both the guard and the cap itself
+    assert(graft.operators.TextAnalysis.BpeMergeRounds >= 1)
+    assert(graft.operators.TextAnalysis.BpeMergeRounds <=
+      graft.operators.TextAnalysis.maxBpeMergeRounds)
+    assert(graft.operators.TextAnalysis.maxBpeMergeRounds <= 8,
+      "driver-loop cap must stay single-digit")
+  }
+
   test("all-pairs baselines are hard-gated on input size") {
     // the declared quadratic baselines must refuse a large corpus at
     // the registry level, naming the production-shaped alternative
