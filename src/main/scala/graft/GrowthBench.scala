@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Empirical wall-vs-sf growth slopes for the flagship operators.
+  *
+  * SCALE.md argues scale safety from plan SHAPES (bucketed equi-joins,
+  * map-side partials, no all-pairs); this harness measures it: each
+  * flagship runs at sf0.001 / sf0.01 / sf0.1 in ONE JVM and the
+  * empirical growth exponent e = log10(t_big / t_small) per decade is
+  * reported next to the claimed complexity. A claimed-linear operator
+  * trending quadratic (e -> 2 on the 0.01->0.1 decade) is a scale bug
+  * the plan read missed; e well under 1 means fixed per-query overhead
+  * (scheduling, planning) still dominates — fine at these SFs.
+  *
+  * The 0.01->0.1 decade is the signal (both points big enough that
+  * fixed overhead is minor); 0.001->0.01 is printed for completeness
+  * but dominated by constant costs. Same measurement discipline as
+  * Bench: warm-up pass at sf0.01 first (C2 tiering), best-of-N per
+  * (query, sf), persisted-RDD cleanup between runs, tmpfs shuffle dirs.
+  *
+  * Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BEST_OF (default 2),
+  * SPARK_GRAFT_ONLY (comma-separated subset).
+  */
+object GrowthBench {
+
+  /** Flagship set: name -> claimed growth shape (from SCALE.md). */
+  private val flagships: Seq[(String, String)] = Seq(
+    "q1_agg" -> "linear (scan + 6-group agg)",
+    "dedup_exact" -> "linear (hash agg on digest)",
+    "dedup_minhash" -> "~linear (banded LSH equi-join)",
+    "dedup_simhash" -> "~linear (chunk-pigeonhole equi-join)",
+    "dedup_ngram_jaccard" -> "~linear (inverted index, DF-capped)",
+    "dedup_tfidf_nn" -> "superlinear in collisions (sum df^2)",
+    "dedup_cluster" -> "~linear x log(diameter) (pointer doubling)",
+    "sim_ann_lsh" -> "~linear (bucket join, fixed queries)",
+    "sim_ann_ivf" -> "~linear (probed cells, fixed queries)",
+    "sim_topk_bruteforce" -> "linear (fixed 10-query broadcast)",
+    "graph_pagerank" -> "~linear x iters (equi-join per iter)",
+    "graph_triangles" -> "edges^1.5 worst case (oriented wedges)",
+    "text_bm25" -> "~linear (per-doc terms, DF-capped)",
+    "text_bpe_encode" -> "~linear (map-only encode after train)")
+
+  private val sfDirs = Seq(
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  private def clearPersisted(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val bestOf = sys.env.getOrElse("SPARK_GRAFT_BEST_OF", "2").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-growth")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft_spark")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val defs = flagships
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (n, claim) => (Registry.byName(n), claim) }
+
+    // C2 warm-up (see Bench.scala: sf0.001 never tiers the generated
+    // loops past the interpreter; an un-warmed first sf0.1 pass burns
+    // 30x steady-state CPU and would fake a superlinear slope)
+    defs.foreach { case (d, _) =>
+      try d.run(spark, "/root/testdata/sf0.01")
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[growth] WARMUP FAILED ${d.name}: $e")
+      }
+      clearPersisted(spark)
+    }
+
+    // per (query, sf): best of N walls
+    val wall = collection.mutable.Map[(String, String), Double]()
+    for (pass <- 1 to bestOf; sf <- sfDirs; (d, _) <- defs) {
+      val (sec, ok) = Bench.runOne(spark, d, sf)
+      clearPersisted(spark)
+      System.err.println(
+        f"[growth] p$pass ${sf.split('/').last} ${d.name}: $sec%.2f s ok=$ok")
+      if (ok) {
+        val k = (d.name, sf)
+        if (!wall.contains(k) || sec < wall(k)) wall(k) = sec
+      }
+    }
+
+    def slope(n: String, a: String, b: String): Option[Double] =
+      for (ta <- wall.get((n, a)); tb <- wall.get((n, b)))
+        yield math.log10(tb / ta)
+
+    println("| query | sf0.001 s | sf0.01 s | sf0.1 s | e(0.001->0.01) | e(0.01->0.1) | claimed shape | verdict |")
+    println("|---|---|---|---|---|---|---|---|")
+    defs.foreach { case (d, claim) =>
+      val t = sfDirs.map(sf => wall.get((d.name, sf)))
+      val e01 = slope(d.name, sfDirs(0), sfDirs(1))
+      val e12 = slope(d.name, sfDirs(1), sfDirs(2))
+      def f(o: Option[Double]) = o.map(v => f"$v%.2f").getOrElse("FAIL")
+      // verdict keys off the 0.01->0.1 decade: <=1.3 rides the claimed
+      // near-linear shapes (AQE/scheduling overhead amortizes, slope
+      // can even exceed 1 slightly as spill/shuffle kick in); the only
+      // operators allowed past 1.3 are the ones whose claim says so
+      val verdict = e12 match {
+        case None => "FAILED"
+        case Some(e) if e <= 1.3 => "linear-ish: ok"
+        case Some(e) if claim.contains("superlinear") ||
+          claim.contains("^1.5") => f"$e%.2f, within claimed shape"
+        case Some(e) => f"INVESTIGATE: $e%.2f vs claimed $claim"
+      }
+      println(s"| ${d.name} | ${f(t(0))} | ${f(t(1))} | ${f(t(2))} " +
+        s"| ${f(e01)} | ${f(e12)} | $claim | $verdict |")
+    }
+    spark.stop()
+  }
+}

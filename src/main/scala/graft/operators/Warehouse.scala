@@ -669,6 +669,277 @@ object Warehouse {
               ORDER BY numwait DESC, s_name
               LIMIT 100""")),
 
+    // TPC-H Q2 (minimum-cost supplier), adapted: the corpus has no
+    // partsupp, so the part-supplier catalog is DERIVED from lineitem —
+    // supplycost(part, supplier) = min extended price that supplier ever
+    // charged for that part. The defining SHAPE is intact: a correlated
+    // scalar MIN subquery ("cost = the cheapest EUROPE offer for THIS
+    // part") decorrelated into a per-part min aggregate joined back on
+    // (partkey, cost). Plan: the part filter is broadcast-SEMI-joined
+    // into lineitem BEFORE the pair aggregate (legal because min is
+    // per-part — dropping other parts can't change it), so both the
+    // pair aggregate and the min reuse one l_partkey-rooted exchange
+    // over the pruned fact; supplier⋈nation⋈region is a broadcast dim.
+    // At 100 TB the only large shuffle is the pruned pair aggregate.
+    QueryDef(
+      "q_tpch_q2",
+      (s, dir) => {
+        val wanted = t(s, dir, "part")
+          .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+          .select(col("p_partkey"), col("p_brand"))
+        val eu = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")
+              .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            col("n_name"))
+        val ps = t(s, dir, "lineitem")
+          .join(broadcast(wanted.select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(dec(col("l_extendedprice"))).as("cost"))
+          .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        val cheapest = ps.groupBy(col("l_partkey").as("mk"))
+          .agg(min(col("cost")).as("min_cost"))
+        ps.join(cheapest, col("l_partkey") === col("mk") &&
+            col("cost") === col("min_cost"))
+          .join(broadcast(wanted), col("l_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_brand"),
+            col("cost").cast("double").as("supplycost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                  min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_size <= 15 AND p_type = 'LARGE')
+                GROUP BY 1, 2),
+              eu AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE')
+              SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+                CAST(cost AS DOUBLE) AS supplycost
+              FROM part, ps, eu
+              WHERE p_partkey = ps.l_partkey AND eu.s_suppkey = ps.l_suppkey
+                AND p_size <= 15 AND p_type = 'LARGE'
+                AND cost = (SELECT min(ps2.cost) FROM ps ps2
+                            JOIN eu eu2 ON eu2.s_suppkey = ps2.l_suppkey
+                            WHERE ps2.l_partkey = part.p_partkey)
+              ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+              LIMIT 100""")),
+
+    // TPC-H Q8 (national market share): the two-role nation join with a
+    // conditional-share aggregate — numerator and denominator in ONE
+    // aggregate pass (sum(CASE supplier-nation)/sum(vol)), never two
+    // scans. Plan: part (type filter) broadcast-prunes lineitem at the
+    // scan; orders (date-pushed) joins on orderkey, customer on custkey
+    // — the only two fact shuffles; supplier + both nation roles +
+    // region are broadcast dims. Exact-decimal volumes; the single
+    // IEEE division happens per output year (≤ a few rows).
+    QueryDef(
+      "q_tpch_q8",
+      (s, dir) => {
+        val p = broadcast(t(s, dir, "part")
+          .filter(col("p_type") === "ECONOMY").select(col("p_partkey")))
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val su = broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")))
+        val n1 = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("n1_key"),
+            col("n_name").as("supp_nation")))
+        val n2 = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("n2_key"), col("n_regionkey")))
+        val r = broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "AMERICA").select(col("r_regionkey")))
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val vol = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n2, col("c_nationkey") === col("n2_key"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(n1, col("s_nationkey") === col("n1_key"))
+          .withColumn("vol", vol)
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg((sum(when(col("supp_nation") === "NATION_7", col("vol")))
+            .cast("double") / sum(col("vol")).cast("double"))
+            .as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT year(o_orderdate) AS o_year,
+                CAST(sum(CASE WHEN n1.n_name = 'NATION_7' THEN
+                    CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(12,2)) -
+                     CAST(l_discount AS DECIMAL(12,2))) END) AS DOUBLE) /
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(12,2)) -
+                     CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                  AS mkt_share
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+                   JOIN orders ON o_orderkey = l_orderkey
+                   JOIN customer ON c_custkey = o_custkey
+                   JOIN nation n2 ON n2.n_nationkey = c_nationkey
+                   JOIN region ON r_regionkey = n2.n_regionkey
+                   JOIN supplier ON s_suppkey = l_suppkey
+                   JOIN nation n1 ON n1.n_nationkey = s_nationkey
+              WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1 ORDER BY o_year""")),
+
+    // TPC-H Q9 (product type profit), adapted: no partsupp, so unit
+    // supply cost is the part's retail price (profit = revenue −
+    // retailprice×qty — synthetic but exact-decimal on both engines).
+    // The SHAPE is Q9's: a part NAME-substring filter pruning the fact
+    // via broadcast, profit arithmetic inside the aggregate, grouped by
+    // the supplier-nation role × order year. Plan: lineitem⋈orders is
+    // the one fact-fact shuffle (orderkey); part/supplier/nation all
+    // broadcast; the name filter lands in the part scan as a contains
+    // pushdown and prunes lineitem before the orders join.
+    QueryDef(
+      "q_tpch_q9",
+      (s, dir) => {
+        val p = broadcast(t(s, dir, "part")
+          .filter(col("p_name").contains("bolt"))
+          .select(col("p_partkey"), col("p_retailprice")))
+        val su = broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")))
+        val n = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val amount = dec(col("l_extendedprice")) *
+          (one - dec(col("l_discount"))) -
+          dec(col("p_retailprice")) * dec(col("l_quantity"))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(amount).cast("double").as("sum_profit"))
+          .orderBy(col("n_name"), col("o_year").desc)
+      },
+      Some("""SELECT n_name, year(o_orderdate) AS o_year,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(12,2)) -
+                          CAST(l_discount AS DECIMAL(12,2))) -
+                         CAST(p_retailprice AS DECIMAL(12,2)) *
+                         CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  AS sum_profit
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+                   JOIN supplier ON s_suppkey = l_suppkey
+                   JOIN nation ON n_nationkey = s_nationkey
+                   JOIN orders ON o_orderkey = l_orderkey
+              WHERE p_name LIKE '%bolt%'
+              GROUP BY 1, 2 ORDER BY n_name, o_year DESC""")),
+
+    // TPC-H Q11 (important stock), adapted: part "value" = revenue
+    // shipped by ASIA-region suppliers (no partsupp), and the Q11
+    // HAVING-vs-global-scalar shape is made SCALE-FREE: keep parts
+    // whose value exceeds 2× the average (val·n_parts > 2·total,
+    // cross-multiplied in exact decimals — TPC-H's own fraction/SF
+    // trick without baking a row count into the constant). Plan: the
+    // supplier⋈nation⋈region gate broadcast-semi-prunes lineitem at
+    // the scan; ONE l_partkey aggregate; the global (total, n) scalar
+    // is a 1-row broadcast crossJoin — no second pass over the fact,
+    // no driver round-trip.
+    QueryDef(
+      "q_tpch_q11",
+      (s, dir) => {
+        val asia = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")
+              .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"))
+        val v = t(s, dir, "lineitem")
+          .join(broadcast(asia), col("l_suppkey") === col("s_suppkey"),
+            "left_semi")
+          .groupBy(col("l_partkey"))
+          .agg(sum(dec(col("l_extendedprice"))).as("val"))
+        val tot = v.agg(sum(col("val")).as("total"),
+          count(lit(1)).as("n_parts"))
+        v.crossJoin(broadcast(tot))
+          .filter(col("val") * col("n_parts") > col("total") * lit(2))
+          .select(col("l_partkey"), col("val").cast("double").as("part_value"))
+          .orderBy(col("part_value").desc, col("l_partkey"))
+      },
+      Some("""WITH v AS (
+                SELECT l_partkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+                FROM lineitem
+                WHERE l_suppkey IN (
+                  SELECT s_suppkey FROM supplier
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+                  WHERE r_name = 'ASIA')
+                GROUP BY 1)
+              SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+              FROM v
+              WHERE val * (SELECT count(*) FROM v) >
+                    2 * (SELECT sum(val) FROM v)
+              ORDER BY part_value DESC, l_partkey""")),
+
+    // TPC-H Q16 (parts/supplier relationship), adapted: the
+    // part-supplier catalog is lineitem's observed (part, supplier)
+    // pairs, and "customer complaints" becomes a negative account
+    // balance. The SHAPE is intact: a NOT-IN supplier exclusion
+    // (broadcast ANTI join — the excluded set is tiny), a
+    // brand/type/size part gate, and a COUNT(DISTINCT supplier) per
+    // (brand, type, size). Plan: part gate broadcasts and prunes the
+    // fact scan; the distinct-count plans as Spark's two-phase
+    // partial/final distinct aggregate — shuffle ∝ surviving distinct
+    // (group, supplier) pairs, never raw lineitem.
+    QueryDef(
+      "q_tpch_q16",
+      (s, dir) => {
+        val parts = broadcast(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#45" &&
+            col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size")))
+        val bad = broadcast(t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey")))
+        t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+          .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(parts, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"),
+            col("p_type"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+                AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+                AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_acctbal < 0)
+              GROUP BY 1, 2, 3
+              ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
     // SQL:1999 recursive CTE (Spark 4 native WITH RECURSIVE): every part
     // walks the binary-halving ancestor chain key -> key DIV 2 -> ... ->
     // 1, yielding its depth in the implied binary tree. Each recursion

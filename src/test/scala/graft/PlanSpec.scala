@@ -451,6 +451,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in q21:\n$p")
   }
 
+  test("q2 min-cost correlation decorrelates to aggregates + broadcast dims") {
+    val p = plan("q_tpch_q2")
+    // the correlated per-part MIN must plan as a second aggregate joined
+    // back (sharing the l_partkey exchange), never a per-row subquery
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no decorrelated per-part min aggregate:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"part filter not semi-pruning lineitem before the pair agg:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q2:\n$p")
+  }
+
+  test("q8 share aggregate is one pass with broadcast dimension roles") {
+    val p = plan("q_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"part/supplier/nation-roles/region should all broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order date range not pushed:\n$p")
+    // numerator + denominator must come from ONE aggregate, not two scans
+    assert("Scan parquet".r.findAllIn(p).size <= 8,
+      s"double-scan in the share computation:\n$p")
+  }
+
+  test("q9 name-substring filter pushes to the part scan and broadcasts") {
+    val p = plan("q_tpch_q9")
+    assert(p.contains("StringContains(p_name,bolt)"),
+      s"name substring not pushed to the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q9:\n$p")
+  }
+
+  test("q11 global threshold is a 1-row broadcast, fact scanned once per agg") {
+    val p = plan("q_tpch_q11")
+    assert(p.contains("LeftSemi"),
+      s"supplier region gate not semi-pruning lineitem:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"global (total, n) scalar not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian in q11:\n$p")
+  }
+
+  test("q16 distinct supplier count plans as expand + partial/final agg") {
+    val p = plan("q_tpch_q16")
+    assert(p.contains("LeftAnti"),
+      s"NOT IN complaints exclusion did not plan as an anti join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"distinct count not two-phase:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part gate not broadcast:\n$p")
+  }
+
   test("cms exact companion is partial-agg + top-k, no global sort") {
     val p = plan("q_cms_exact")
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
