@@ -407,6 +407,56 @@ object Dedup {
       },
       Some(ParagraphDedupOracleSql)),
 
+    // Corpus-frequency line removal (the CCNet/RefinedWeb boilerplate
+    // pass): a chunk appearing in >= 3 DISTINCT documents is boilerplate
+    // (nav bars, cookie banners, license headers) and EVERY occurrence
+    // is dropped — the complement of paragraph dedup, which keeps the
+    // first copy. Same shared 4-token chunking (`paragraphs`) so the
+    // two passes can never disagree on what a "line" is. Shape: one
+    // map-side-combined distinct-doc-frequency aggregate on hash(para),
+    // one equi-join of the chunk relation against the surviving-chunk
+    // frequencies on the SAME para key (exchange reuse, no second
+    // chunking pass), one groupBy(doc_id) rebuild — work ∝ corpus
+    // chunks, no self-join, no broadcast of anything corpus-sized. At
+    // 100 TB the frequency table is the distinct-chunk relation —
+    // orders of magnitude smaller than the corpus, and only its
+    // BELOW-threshold rows flow into the join.
+    QueryDef(
+      "text_dedup_lines",
+      (s, dir) => {
+        val d = docsParallel(s, dir)
+        val p = paragraphs(d)
+        val rare = p.groupBy("para")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") < 3)
+          .select("para")
+        val kept = p.join(rare, Seq("para"))
+        rebuildFromKept(d, kept)
+          .select(col("doc_id"), col("n_paras").as("n_lines"),
+            col("n_kept"), col("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              p AS (
+                SELECT doc_id, i AS p_idx,
+                  array_to_string(w[(i*4 + 1):(i*4 + 4)], ' ') AS para
+                FROM tk, LATERAL (SELECT unnest(range(0,
+                  CAST((len(w) + 3) // 4 AS INT))) AS i) ix),
+              rare AS (
+                SELECT para FROM p GROUP BY para
+                HAVING count(DISTINCT doc_id) < 3),
+              kept AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  string_agg(para, ' ' ORDER BY p_idx) AS clean_text
+                FROM p JOIN rare USING (para) GROUP BY doc_id)
+              SELECT tk.doc_id,
+                CAST((len(tk.w) + 3) // 4 AS BIGINT) AS n_lines,
+                COALESCE(kept.n_kept, 0) AS n_kept,
+                COALESCE(kept.clean_text, '') AS clean_text
+              FROM tk LEFT JOIN kept ON tk.doc_id = kept.doc_id
+              ORDER BY tk.doc_id""")),
+
     // TF-IDF weighted nearest neighbor over 3-token shingles — the
     // weighted-overlap similarity family (Jaccard treats every shingle
     // equally; here rare shingles dominate, the signal real template/

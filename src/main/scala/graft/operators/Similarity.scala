@@ -235,6 +235,71 @@ object Similarity {
                SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
                FROM r WHERE rank <= $TopK ORDER BY q_id, rank""")),
 
+    // ANN recall scorecard as a FIRST-CLASS operator (the dedup_eval
+    // pattern applied to similarity search): recall@5 of the LSH path
+    // against the exact brute-force top-k, per query. In production the
+    // index you ship is only as good as its measured recall — so the
+    // measurement itself must be a scale-safe, oracle-checked query,
+    // not a notebook afterthought. Both sub-pipelines are the registry
+    // operators re-invoked (single definition — the scorecard can never
+    // drift from what it scores); the exact side is the gated
+    // fixed-query broadcast join (10 queries — never all-pairs), the
+    // hit probe a LEFT SEMI on (q_id, vec_id), and the only IEEE op is
+    // the closing recall division per query row.
+    QueryDef(
+      "sim_ann_recall",
+      (s, dir) => {
+        val exact = graft.Registry.byName("sim_topk_bruteforce")
+          .run(s, dir).select(col("q_id"), col("vec_id"))
+        val ann = graft.Registry.byName("sim_ann_lsh")
+          .run(s, dir)
+          .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
+        val hits = exact
+          .join(ann, col("q_id") === col("a_qid") &&
+            col("vec_id") === col("a_vid"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+        exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), col("n_exact"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n_exact").cast("double")).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH qv AS (SELECT vec_id AS q_id, embedding AS q_emb
+                           FROM embeddings WHERE vec_id < $NumQueries),
+               ec AS (SELECT q_id, vec_id,
+                        ${cosineSql("q_emb", "embedding")} AS cos
+                      FROM qv, embeddings WHERE vec_id != q_id),
+               er AS (SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos DESC, vec_id) AS rank
+                      FROM ec),
+               exact AS (SELECT q_id, vec_id FROM er WHERE rank <= $TopK),
+               b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+                     FROM embeddings),
+               bq AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket
+                      FROM b WHERE vec_id < $NumQueries),
+               ac AS (SELECT bq.q_id, b.vec_id,
+                        ${cosineSql("bq.q_emb", "b.embedding")} AS cos
+                      FROM b JOIN bq ON b.bucket = bq.bucket
+                        AND b.vec_id != bq.q_id),
+               ar AS (SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos DESC, vec_id) AS rank
+                      FROM ac),
+               ann AS (SELECT q_id, vec_id FROM ar WHERE rank <= $TopK),
+               h AS (SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_hit
+                     FROM exact e JOIN ann a
+                       ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+                     GROUP BY 1)
+               SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+                 COALESCE(any_value(h.n_hit), 0) AS n_hit,
+                 CAST(COALESCE(any_value(h.n_hit), 0) AS DOUBLE) /
+                   CAST(count(*) AS DOUBLE) AS recall
+               FROM exact e LEFT JOIN h ON e.q_id = h.q_id
+               GROUP BY e.q_id ORDER BY e.q_id""")),
+
     // IVF-style ANN (scale path #2): a deterministic centroid sample
     // partitions the space (assign = argmax cosine to centroid, i.e.
     // nprobe=1 inverted list); queries search only their own list. Two
@@ -382,6 +447,61 @@ object Similarity {
                    / sqrt(${dotSql("embedding", "embedding")}) + 0.5) AS BIGINT) AS q
                FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx
                ORDER BY vec_id, dim""")),
+
+    // Embedding-health QA scorecard: per-label vector counts, wrong-width
+    // vectors, non-finite components, zero-norm vectors, and norm
+    // min/mean/max — the validation gate an embedding pipeline runs
+    // before an index build ingests a new batch (a NaN that reaches the
+    // ANN index poisons every distance it touches). Map-only per-vector
+    // checks (one codegen'd fold each: width, non-finite scan, dot) +
+    // ONE map-side-combined aggregate on label — the same shape at
+    // 100 TB. min/max of doubles are partitioning-independent; the mean
+    // routes through DECIMAL(38,25) like emb_centroid so the sum is
+    // exact under any partitioning; non-finite = isnan OR |x| beyond
+    // float range, the identical predicate on both engines.
+    QueryDef(
+      "emb_health",
+      (s, dir) => {
+        val nrm = sqrt(dot(col("embedding"), col("embedding")))
+        val nonfinite = exists(col("embedding"), v =>
+          isnan(v.cast("double")) ||
+            abs(v.cast("double")) > lit(3.4028235e38))
+        embParallel(s, dir)
+          .select(col("label").cast("long").as("label"),
+            size(col("embedding")).as("nd"),
+            nonfinite.as("bad"), nrm.as("nrm"))
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("nd") =!= 64, 1L).otherwise(0L)).as("n_bad_dim"),
+            sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+            sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+            min(col("nrm")).as("min_norm"),
+            (sum(col("nrm").cast("decimal(38,25)")).cast("double") /
+              count(lit(1)).cast("double")).as("mean_norm"),
+            max(col("nrm")).as("max_norm"))
+          .orderBy("label")
+      },
+      Some(s"""WITH v AS (
+                 SELECT CAST(label AS BIGINT) AS label,
+                   len(embedding) AS nd,
+                   len(list_filter(embedding, x ->
+                     isnan(CAST(x AS DOUBLE)) OR
+                     abs(CAST(x AS DOUBLE)) > 3.4028235e38)) > 0 AS bad,
+                   sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                 FROM embeddings)
+               SELECT label, count(*) AS n,
+                 CAST(sum(CASE WHEN nd != 64 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bad_dim,
+                 CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nonfinite,
+                 CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero,
+                 min(nrm) AS min_norm,
+                 CAST(CAST(sum(CAST(CAST(nrm AS VARCHAR) AS DECIMAL(38,25))) AS VARCHAR) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS mean_norm,
+                 max(nrm) AS max_norm
+               FROM v GROUP BY label ORDER BY label""")),
 
     // Random-projection dimensionality reduction 64 → 8: project every
     // embedding onto the 8 md5-derived hyperplanes (the same family the

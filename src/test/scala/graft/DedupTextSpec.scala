@@ -298,4 +298,27 @@ class DedupTextSpec extends AnyFunSuite {
     assert(fp(0L) === fp(1L))
     assert(fp(0L) !== fp(2L))
   }
+
+  test("line dedup drops EVERY occurrence of a df>=3 chunk, keeps rare ones") {
+    // plantedDir: docs 0,1 identical, doc 2 differs by one token (sun ->
+    // moon), doc 3 unrelated. Every base chunk appears in 3 docs (df=3,
+    // boilerplate -> dropped from ALL of them, including the first) except
+    // the 4-token chunk containing the changed word (df=2 / df=1 -> kept);
+    // doc 3's chunks are unique (df=1 -> fully kept).
+    val out = Registry.byName("text_dedup_lines").run(spark, plantedDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text")))
+      .toMap
+    assert(out(0L)._3 === "sun sets slowly behind")
+    assert(out(1L)._3 === "sun sets slowly behind") // NOT first-writer-wins
+    assert(out(2L)._3 === "moon sets slowly behind")
+    assert(out(0L)._2 === 1L && out(1L)._2 === 1L && out(2L)._2 === 1L)
+    // the unrelated doc passes through untouched
+    val other = "completely different words describing an unrelated subject " +
+      "with zero overlap in any shingle of this meaningless placeholder prose"
+    assert(out(3L)._3 === other)
+    assert(out(3L)._1 === out(3L)._2)
+  }
 }

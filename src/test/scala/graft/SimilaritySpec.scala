@@ -108,6 +108,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("CosineTopK"), s"custom exec missing:\n$plan")
   }
 
+  test("sim_ann_recall scorecard equals the recomputed LSH-vs-exact overlap") {
+    def top5(name: String): Map[Long, Set[Long]] =
+      Registry.byName(name).run(spark, TestSpark.sf).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id"))
+        .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val brute = top5("sim_topk_bruteforce")
+    val lsh = top5("sim_ann_lsh")
+    val card = Registry.byName("sim_ann_recall").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"),
+          r.getAs[Double]("recall")))
+      .toMap
+    assert(card.keySet === brute.keySet)
+    card.foreach { case (q, (nExact, nHit, recall)) =>
+      assert(nExact === brute(q).size.toLong, s"q=$q n_exact")
+      val hits = lsh.getOrElse(q, Set.empty).intersect(brute(q)).size
+      assert(nHit === hits.toLong, s"q=$q n_hit")
+      assert(math.abs(recall - hits.toDouble / nExact) < 1e-15, s"q=$q recall")
+    }
+  }
+
+  test("emb_health: planted labels get exact counts, norms, zero flags") {
+    // planted dir: label 0 = vecs {0,1} norm 1; label 1 = {2 (norm 1),
+    // 3 (norm sqrt 2)}; label 2 = {4} norm 1. No NaN/wrong-width/zero.
+    val out = Registry.byName("emb_health").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_bad_dim"),
+          r.getAs[Long]("n_nonfinite"), r.getAs[Long]("n_zero"),
+          r.getAs[Double]("min_norm"), r.getAs[Double]("mean_norm"),
+          r.getAs[Double]("max_norm")))
+      .toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    assert(out(0L)._1 === 2L && out(1L)._1 === 2L && out(2L)._1 === 1L)
+    out.values.foreach { case (_, bad, nf, z, _, _, _) =>
+      assert(bad === 0L && nf === 0L && z === 0L)
+    }
+    assert(math.abs(out(0L)._5 - 1.0) < 1e-12)
+    assert(math.abs(out(0L)._7 - 1.0) < 1e-12)
+    assert(math.abs(out(1L)._5 - 1.0) < 1e-12)
+    assert(math.abs(out(1L)._7 - math.sqrt(2.0)) < 1e-12)
+    assert(math.abs(out(1L)._6 - (1.0 + math.sqrt(2.0)) / 2.0) < 1e-12)
+  }
+
   test("multi-probe LSH and nprobe=2 IVF recall >= their single-probe forms") {
     def top5(name: String): Map[Long, Set[Long]] =
       Registry.byName(name).run(spark, TestSpark.sf).collect()
