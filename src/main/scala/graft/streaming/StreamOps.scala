@@ -1281,6 +1281,110 @@ object StreamOps {
                  FROM documents)
                SELECT doc_id, margin FROM f
                WHERE margin >= 0 ORDER BY doc_id"""),
+      bench = false),
+
+    // The STREAMING capstone — the ingest half of pipeline_corpus_clean
+    // composed end-to-end on one stream: quality gate (stateless map,
+    // the same Column builders as batch) → exact first-writer dedup
+    // (per-text state gate, the paraGateState shape keyed on the whole
+    // document) → stable 90/5/5 split (stateless hash) → per-(split,
+    // lang) corpus statistics. The near-dup stage deliberately stays
+    // batch-side (pipeline_corpus_clean): a streaming near-dup needs
+    // either the standing-index pattern (stream_ingest_dedup) or TTL
+    // banding (stream_neardup_ttl), both shipped separately — composing
+    // them here would hide that design choice. State ∝ distinct kept
+    // texts (a production gate persists fingerprints, not text — see
+    // stream_ingest_dedup for the stateless form); everything after the
+    // gate is stateless, so 100 TB/day rates stress only the dedup
+    // store. With the whole corpus in one batch the min-doc_id winner
+    // matches the batch total order, so the oracle is the batch CTE
+    // chain minus the simhash stage.
+    QueryDef(
+      "stream_pipeline_clean",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.TextAnalysis.{avgWordLen, noiseRatio, stopwordRatio, tokenCount}
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val sink = s"graft_stream_pipeclean_${nameCounter.incrementAndGet()}"
+        val q = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .filter(tokenCount(col("text")) >= 8 &&
+            stopwordRatio(col("text")) <= 0.35 &&
+            noiseRatio(col("text")) <= 0.25 &&
+            avgWordLen(col("text")) >= 3.0)
+          .select(col("doc_id"), col("text"), col("lang"))
+          .as[CleanDoc]
+          .groupByKey(_.text)
+          .flatMapGroupsWithState[Long, CleanDoc](
+            OutputMode.Update, GroupStateTimeout.NoTimeout)(docGateState)
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val bucket = graft.functions.EngineFns.hash31(
+          concat_ws("|", lit("split"), col("doc_id").cast("string"))) % 100L
+        s.table(sink)
+          .withColumn("split",
+            when(bucket < 90, "train").when(bucket < 95, "valid")
+              .otherwise("test"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH q AS (
+                SELECT doc_id, text, lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to','is','in'))) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+                  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+                  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) AS noise_ratio
+                FROM documents),
+              kept AS (
+                SELECT doc_id, text, lang FROM q
+                WHERE n_tokens >= 8 AND stop_ratio <= 0.35
+                  AND noise_ratio <= 0.25 AND avg_word_len >= 3.0),
+              dd AS (
+                SELECT doc_id, text, lang FROM (
+                  SELECT k.*, min(doc_id) OVER (PARTITION BY text) AS rep
+                  FROM kept k)
+                WHERE doc_id = rep),
+              sp AS (
+                SELECT lang, text,
+                  CASE WHEN (CAST(concat('0x', substr(md5(concat('split', '|',
+                          CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                        % 2147483647) % 100 < 90 THEN 'train'
+                    WHEN (CAST(concat('0x', substr(md5(concat('split', '|',
+                          CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                        % 2147483647) % 100 < 95 THEN 'valid'
+                    ELSE 'test' END AS split
+                FROM dd)
+              SELECT split, lang, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+              FROM sp GROUP BY split, lang
+              ORDER BY split, lang"""),
       bench = false)
   )
+
+  /** One quality-gated document flowing through the streaming capstone. */
+  final case class CleanDoc(doc_id: Long, text: String, lang: String)
+
+  /** Per-text first-writer gate (the paraGateState shape on whole
+    * documents): the min-doc_id arrival wins the key, later exact
+    * duplicates are suppressed by the stored marker. */
+  def docGateState(text: String, it: Iterator[CleanDoc],
+      state: GroupState[Long]): Iterator[CleanDoc] = {
+    if (state.exists) Iterator.empty
+    else {
+      val w = it.minBy(_.doc_id)
+      state.update(w.doc_id)
+      Iterator.single(w)
+    }
+  }
 }

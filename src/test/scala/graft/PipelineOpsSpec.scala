@@ -434,4 +434,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(bucketed.toSeq === plain.toSeq)
   }
+
+  test("stream_pipeline_clean equals the batch gate+dedup+split statistics") {
+    import graft.operators.TextAnalysis.{avgWordLen, noiseRatio, stopwordRatio, tokenCount}
+    import org.apache.spark.sql.expressions.Window
+    val streamed = Registry.byName("stream_pipeline_clean")
+      .run(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val kept = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(tokenCount(col("text")) >= 8 &&
+        stopwordRatio(col("text")) <= 0.35 &&
+        noiseRatio(col("text")) <= 0.25 &&
+        avgWordLen(col("text")) >= 3.0)
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy("text")))
+      .filter(col("doc_id") === col("rep"))
+    val bucket = graft.functions.EngineFns.hash31(
+      concat_ws("|", lit("split"), col("doc_id").cast("string"))) % 100L
+    val batch = kept
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "valid")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy("split", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
