@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.{QueryDef, Tables}
 
-/** Source/sink coverage beyond parquet: CSV, JSON-lines and ORC file
-  * round-trips. Each operator writes a lineitem projection to a scratch
+/** Source/sink coverage beyond parquet: CSV, JSON-lines, ORC, Avro and
+  * XML file round-trips. Each operator writes a lineitem projection to a scratch
   * directory in the chosen format, reads it back (explicit schema — no
   * inference pass at scale), and aggregates; the oracle computes the same
   * aggregate from the original parquet, so the round-trip must preserve
@@ -44,14 +44,15 @@ object Formats {
       p.toString
     })
 
-  private def roundTrip(s: SparkSession, dir: String, fmt: String): DataFrame = {
+  private def roundTrip(s: SparkSession, dir: String, fmt: String,
+      opts: Map[String, String] = Map.empty): DataFrame = {
     val sub = Tables.load(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
     val scratch = scratchFor(fmt)
-    sub.write.mode("overwrite").format(fmt).save(scratch)
+    sub.write.mode("overwrite").options(opts).format(fmt).save(scratch)
     val schema = StructType.fromDDL(
       "l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, l_quantity DOUBLE")
-    s.read.format(fmt).schema(schema).load(scratch)
+    s.read.format(fmt).options(opts).schema(schema).load(scratch)
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
@@ -63,6 +64,17 @@ object Formats {
     QueryDef("q_fmt_csv", (s, dir) => roundTrip(s, dir, "csv"), Some(RoundTripAgg)),
     QueryDef("q_fmt_json", (s, dir) => roundTrip(s, dir, "json"), Some(RoundTripAgg)),
     QueryDef("q_fmt_orc", (s, dir) => roundTrip(s, dir, "orc"), Some(RoundTripAgg)),
+    // Avro (row-oriented interchange — the Kafka/stream-bus format) and
+    // XML (rowTag-delimited — the legacy-feed format) ship in Spark 4's
+    // sql module; same write→read→aggregate contract, doubles surviving
+    // via Avro's binary encoding and XML's text encoding. The Avro
+    // FileFormat class is present but not service-registered in this
+    // distribution (no spark-avro jar), so it is addressed by class name.
+    QueryDef("q_fmt_avro", (s, dir) =>
+      roundTrip(s, dir, "org.apache.spark.sql.avro.AvroFileFormat"),
+      Some(RoundTripAgg)),
+    QueryDef("q_fmt_xml", (s, dir) =>
+      roundTrip(s, dir, "xml", Map("rowTag" -> "row")), Some(RoundTripAgg)),
 
     // Line-oriented text round-trip — the raw-log shape. One string
     // column per line out and back; a `lang|text` line plus a limit-2

@@ -55,7 +55,8 @@ class AggFormatsSpec extends AnyFunSuite {
     }
   }
 
-  Seq("q_fmt_csv", "q_fmt_json", "q_fmt_orc").foreach { name =>
+  Seq("q_fmt_csv", "q_fmt_json", "q_fmt_orc", "q_fmt_avro", "q_fmt_xml")
+    .foreach { name =>
     test(s"$name round-trip preserves the aggregate exactly") {
       val direct = Tables.load(spark, TestSpark.sf, "lineitem")
         .groupBy("l_returnflag")
