@@ -501,6 +501,61 @@ object StreamOps {
       .orderBy("purchase_id")
   }
 
+  /** FULL OUTER stream-stream interval join — completing the join
+    * matrix (inner / left / full). Both sides hold state bounded by
+    * their watermark + the interval; an unmatched PURCHASE null-pads
+    * when the click watermark passes its lookback window, an unmatched
+    * CLICK null-pads when the purchase watermark passes the last
+    * purchase that could still claim it — so sentinels must advance
+    * BOTH watermarks before the tail emits. The result folds both
+    * emission classes into one relation: per-purchase click counts
+    * (unmatched purchases scoring 0, as in the left form) plus the
+    * orphaned clicks that belonged to no purchase window. */
+  def intervalJoinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val staged = new SentinelStage(s, dir)
+    val schema = staged.schema
+    val ev = s.readStream
+      .schema(schema)
+      .parquet(staged.stage)
+      .withColumn("ts", graft.Tables.normTsCol(schema))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val sink = s"graft_stream_foj_${nameCounter.incrementAndGet()}"
+    val q = purchases.join(clicks,
+        expr("""p_user = c_user AND
+                c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"""),
+        "fullOuter")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+      staged.addSentinel("click", "purchase")
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      staged.cleanup()
+    }
+    val t = s.table(sink)
+      .filter(coalesce(col("p_user"), col("c_user")) >= 0) // drop sentinels
+    val perPurchase = t.filter(col("p_id").isNotNull)
+      .groupBy(col("p_id").as("event_id"))
+      .agg(count(col("c_id")).as("n_matched"))
+      .select(lit("purchase").as("side"), col("event_id"), col("n_matched"))
+    val orphanClicks = t.filter(col("p_id").isNull)
+      .select(lit("click").as("side"), col("c_id").as("event_id"),
+        lit(0L).as("n_matched"))
+    perPurchase.unionAll(orphanClicks).orderBy("side", "event_id")
+  }
+
   /** The currently-open session held in the state store. */
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
   /** A session emitted once it can no longer grow. */
@@ -977,6 +1032,33 @@ object StreamOps {
                AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
               WHERE p.event_type = 'purchase'
               GROUP BY purchase_id ORDER BY purchase_id"""),
+      bench = false),
+    QueryDef(
+      "stream_interval_join_full",
+      (s, dir) => intervalJoinFullOuter(s, dir),
+      // batch FULL OUTER oracle: the purchase side replays the LEFT
+      // form's per-purchase click count; the click side surfaces every
+      // click no purchase window claimed (the rows only a FULL join
+      // emits). Sentinel rows never reach the sink aggregate.
+      Some("""WITH p AS (SELECT user_id, ts, event_id FROM events
+                         WHERE event_type = 'purchase'),
+                   c AS (SELECT user_id, ts, event_id FROM events
+                         WHERE event_type = 'click'),
+                   j AS (SELECT p.event_id AS p_id, c.event_id AS c_id
+                         FROM p FULL OUTER JOIN c
+                           ON c.user_id = p.user_id
+                          AND CAST(c.ts AS TIMESTAMP) >=
+                              CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+                          AND CAST(c.ts AS TIMESTAMP) <=
+                              CAST(p.ts AS TIMESTAMP))
+              SELECT side, event_id, n_matched FROM (
+                SELECT 'purchase' AS side, p_id AS event_id,
+                  count(c_id) AS n_matched
+                FROM j WHERE p_id IS NOT NULL GROUP BY p_id
+                UNION ALL
+                SELECT 'click', c_id, CAST(0 AS BIGINT)
+                FROM j WHERE p_id IS NULL)
+              ORDER BY side, event_id"""),
       bench = false),
     QueryDef(
       "stream_sessionize",

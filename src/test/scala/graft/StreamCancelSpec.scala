@@ -406,4 +406,26 @@ class StreamCancelSpec extends AnyFunSuite {
     assert(outDf.select("event_id").distinct().count() === total,
       "restart duplicated event ids")
   }
+
+  test("full-outer interval join = left form's purchase side + real orphan clicks") {
+    val full = Registry.byName("stream_interval_join_full")
+      .run(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val purchaseSide = full.filter(_._1 == "purchase")
+      .map { case (_, id, n) => (id, n) }.sortBy(_._1)
+    val left = Registry.byName("stream_interval_join_left")
+      .run(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // the purchase half of the FULL join is exactly the LEFT join
+    assert(purchaseSide.toSeq === left.toSeq)
+    // and the extra half is non-empty: clicks no purchase window claimed,
+    // each a real click event id, scored 0
+    val orphans = full.filter(_._1 == "click")
+    assert(orphans.nonEmpty, "full outer emitted no orphan clicks")
+    assert(orphans.forall(_._3 == 0L))
+    val clickIds = graft.Tables.loadEvents(spark, TestSpark.sf)
+      .filter(col("event_type") === "click")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(orphans.forall(o => clickIds.contains(o._2)))
+  }
 }
