@@ -581,7 +581,9 @@ object Relational {
             col("o_orderkey"), col("o_orderstatus"),
             nth_value(col("o_orderkey"), 2).over(w).as("nv2"),
             last(col("o_orderkey")).over(wFull).as("lastv"),
-            lead(col("o_orderkey"), 1, -1L).over(w).as("nxt"))
+            lead(col("o_orderkey"), 1, -1L).over(w).as("nxt"),
+            // (rank-1)/(n-1): both engines divide the same two integers
+            percent_rank().over(w).as("pr"))
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_orderstatus,
@@ -591,7 +593,8 @@ object Relational {
                    ORDER BY o_totalprice DESC, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                   AS lastv,
-                lead(o_orderkey, 1, -1) OVER w AS nxt
+                lead(o_orderkey, 1, -1) OVER w AS nxt,
+                CAST(percent_rank() OVER w AS DOUBLE) AS pr
               FROM orders
               WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
               ORDER BY o_orderkey""")),
