@@ -877,7 +877,53 @@ object Analytics {
           .orderBy(col("n_exact").desc, col("l_partkey")).limit(20),
       Some("""SELECT l_partkey, count(*) AS n_exact
               FROM lineitem GROUP BY l_partkey
-              ORDER BY n_exact DESC, l_partkey LIMIT 20"""))
+              ORDER BY n_exact DESC, l_partkey LIMIT 20""")),
+
+    // Typed cogroup (KeyValueGroupedDataset.cogroup): the two event
+    // streams of a user merged by ARBITRARY per-key Scala logic — the
+    // escape hatch when a per-key reconciliation has no SQL form (here
+    // it does, which is exactly what makes it oracle-checkable). Shape:
+    // each side shuffles once on user_id and the runtime co-partitions
+    // them; the merge function sees both iterators together, state ∝
+    // one key's rows. At 100 TB this is the same cost as a full-outer
+    // join + aggregate — which is why the comment, like the plan,
+    // says: use cogroup only when the merge logic genuinely cannot be
+    // declared.
+    QueryDef(
+      "q_cogroup",
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.loadEvents(s, dir)
+        def side(tpe: String) = ev.filter(col("event_type") === tpe)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .as[(Long, Long)]
+        side("click").groupByKey(_._1)
+          .cogroup(side("purchase").groupByKey(_._1)) { (uid, cs, ps) =>
+            val c = cs.map(_._2).toArray
+            val p = ps.map(_._2).toArray
+            Iterator.single((uid, c.length.toLong, p.length.toLong,
+              if (c.isEmpty) -1L else c.min,
+              if (p.isEmpty) -1L else p.max))
+          }
+          .toDF("user_id", "n_clicks", "n_purchases",
+            "first_click_us", "last_purchase_us")
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (
+                SELECT user_id, count(*) AS n_clicks,
+                  min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_click_us
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+              p AS (
+                SELECT user_id, count(*) AS n_purchases,
+                  max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_purchase_us
+                FROM events WHERE event_type = 'purchase' GROUP BY 1)
+              SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                COALESCE(n_clicks, 0) AS n_clicks,
+                COALESCE(n_purchases, 0) AS n_purchases,
+                COALESCE(first_click_us, -1) AS first_click_us,
+                COALESCE(last_purchase_us, -1) AS last_purchase_us
+              FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+              ORDER BY user_id"""))
   )
 
   /** Count-min sketch geometry: 4 rows x 1024 counters = 32 KB. With
