@@ -879,6 +879,91 @@ object Analytics {
               FROM lineitem GROUP BY l_partkey
               ORDER BY n_exact DESC, l_partkey LIMIT 20""")),
 
+    // Pipeline observability (Dataset.observe / CollectMetrics): named
+    // counters ride the SAME scan as the transformation they audit —
+    // accumulator-backed per-task metrics, zero extra pass, the
+    // production alternative to a second validation scan over 100 TB.
+    // The observed totals (rows seen, exact-decimal revenue, rows
+    // matching the downstream filter) are emitted NEXT TO the actual
+    // filter outcome, so the oracle proves the counters agree with the
+    // data they audited (n_large == n_kept).
+    QueryDef(
+      "q_observe",
+      (s, dir) => {
+        import s.implicits._
+        val obs = org.apache.spark.sql.Observation()
+        val audited = t(s, dir, "lineitem")
+          .observe(obs,
+            count(lit(1)).as("rows_seen"),
+            sum(col("l_extendedprice").cast("decimal(12,2)"))
+              .cast("double").as("sum_price"),
+            sum(when(col("l_quantity") > 45, 1L).otherwise(0L))
+              .as("n_large"))
+          .filter(col("l_quantity") > 45)
+        val kept = audited.count() // one action: filter + counters together
+        val m = obs.get
+        Seq((m("rows_seen").asInstanceOf[Long],
+          m("sum_price").asInstanceOf[Double],
+          m("n_large").asInstanceOf[Long], kept))
+          .toDF("rows_seen", "sum_price", "n_large", "n_kept")
+      },
+      Some("""SELECT count(*) AS rows_seen,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                  AS sum_price,
+                CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_large,
+                (SELECT count(*) FROM lineitem WHERE l_quantity > 45)
+                  AS n_kept
+              FROM lineitem""")),
+
+    // HLL sketch UNION (Datasketches hll_sketch_agg / hll_union_agg,
+    // Spark 3.5+): the production sketch workflow is not one global
+    // estimate but MERGE — per-partition/per-day sketches stored as
+    // bytes, unioned later without touching the raw data again. Here
+    // per-status customer sketches union to the corpus-wide distinct;
+    // per-status and merged estimates fold into validity flags against
+    // exact counts computed in the same aggregates (the
+    // q_approx_sketches pattern), so the driver row is fully
+    // oracle-checkable. lgK=14 gives ~0.8% standard error; the flag
+    // allows 5%+32 — a broken merge (double-count, dropped sketch)
+    // fails CORRECTNESS. Shape: two hash aggregates + a 1-row
+    // broadcast; sketch bytes (~16 KB each) never exceed kilobytes per
+    // group at ANY corpus size.
+    QueryDef(
+      "q_hll_union",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val perStatus = o.groupBy("o_orderstatus")
+          .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"),
+            countDistinct(col("o_custkey")).as("exact_cust"))
+        val merged = perStatus
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .as("est_total"))
+        val exactTotal = o.agg(countDistinct(col("o_custkey"))
+          .as("exact_total"))
+        val statusRows = perStatus.select(
+          concat(lit("status:"), col("o_orderstatus")).as("scope"),
+          col("exact_cust"),
+          (abs(expr("hll_sketch_estimate(sk)") - col("exact_cust")) <=
+            greatest(col("exact_cust") * lit(0.05), lit(32.0)))
+            .as("hll_ok"))
+        val totalRow = exactTotal.crossJoin(broadcast(merged)).select(
+          lit("total").as("scope"),
+          col("exact_total").as("exact_cust"),
+          (abs(col("est_total") - col("exact_total")) <=
+            greatest(col("exact_total") * lit(0.05), lit(32.0)))
+            .as("hll_ok"))
+        statusRows.unionAll(totalRow).orderBy("scope")
+      },
+      Some("""SELECT * FROM (
+                SELECT concat('status:', o_orderstatus) AS scope,
+                  count(DISTINCT o_custkey) AS exact_cust, TRUE AS hll_ok
+                FROM orders GROUP BY o_orderstatus
+                UNION ALL
+                SELECT 'total', count(DISTINCT o_custkey), TRUE
+                FROM orders)
+              ORDER BY scope""")),
+
     // Typed cogroup (KeyValueGroupedDataset.cogroup): the two event
     // streams of a user merged by ARBITRARY per-key Scala logic — the
     // escape hatch when a per-key reconciliation has no SQL form (here
