@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -123,8 +124,85 @@ object Graph {
                FROM pairs e1 JOIN pairs e2 ON e1.b_id = e2.a_id
                     JOIN pairs e3 ON e3.a_id = e1.a_id
                                  AND e3.b_id = e2.b_id
-               ORDER BY a, b, c"""))
+               ORDER BY a, b, c""")),
+
+    // Label-propagation communities over the near-dup graph — the
+    // template-family detector that needs no edge weights and no target
+    // community count. SYNCHRONOUS LPA, 3 rounds: every node starts as
+    // its own label; each round it adopts the MODE of its neighbors'
+    // previous-round labels, ties broken by the SMALLEST label — fully
+    // deterministic, so the DuckDB oracle replays the rounds
+    // CTE-for-CTE (classic async LPA is order-dependent and would never
+    // hash-match). Isolated documents keep their own label via the left
+    // join. Scale shape: per round ONE equi-join (edges x labels on u)
+    // + one (v, label) count aggregate + one per-v argmax window —
+    // shuffle ∝ edges, window partitions ∝ per-node distinct neighbor
+    // labels; the edge list is localCheckpointed once like pagerank's.
+    QueryDef(
+      "graph_labelprop",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select("a_id", "b_id")
+        val edges = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("u", "v").localCheckpoint()
+        val docs = Tables.load(s, dir, "documents").select("doc_id")
+        var lbl = docs.select(col("doc_id"), col("doc_id").as("label"))
+        for (_ <- 0 until Iters) {
+          val neigh = edges
+            .join(lbl.select(col("doc_id").as("u"), col("label")), "u")
+            .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+          val w = Window.partitionBy("v")
+            .orderBy(col("c").desc, col("label"))
+          val winner = neigh.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("v").as("doc_id"), col("label").as("new_label"))
+          lbl = docs.join(lbl, "doc_id")
+            .join(winner, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("new_label"), col("label")).as("label"))
+        }
+        val sizes = lbl.groupBy("label")
+          .agg(count(lit(1)).as("community_size"))
+        lbl.join(sizes, "label")
+          .select(col("doc_id"), col("label").as("community"),
+            col("community_size"))
+          .orderBy("doc_id")
+      },
+      Some(LabelPropOracleSql))
   )
+
+  /** DuckDB replay of the synchronous LPA rounds — generated like
+    * PagerankOracleSql so round count and tie-break can never drift. */
+  private lazy val LabelPropOracleSql: String = {
+    val rounds = (1 to Iters).map { i =>
+      s"""l$i AS (
+            SELECT d.doc_id, COALESCE(w.new_label, p.label) AS label
+            FROM documents d
+            JOIN l${i - 1} p ON p.doc_id = d.doc_id
+            LEFT JOIN (
+              SELECT v, label AS new_label FROM (
+                SELECT e.v, l.label, count(*) AS c,
+                  row_number() OVER (PARTITION BY e.v
+                    ORDER BY count(*) DESC, l.label) AS rn
+                FROM e JOIN l${i - 1} l ON l.doc_id = e.u
+                GROUP BY e.v, l.label) t
+              WHERE rn = 1) w ON w.v = d.doc_id)"""
+    }.mkString(",\n")
+    s"""WITH ${Dedup.JaccardPairsCte},
+          e AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+          l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+          $rounds
+        SELECT f.doc_id, f.label AS community,
+          sz.community_size
+        FROM l$Iters f JOIN (
+          SELECT label, CAST(count(*) AS BIGINT) AS community_size
+          FROM l$Iters GROUP BY label) sz ON sz.label = f.label
+        ORDER BY f.doc_id"""
+  }
 
   /** DuckDB replay of the quantized iterations — generated so iteration
     * count and arithmetic can never drift from the Spark loop. `//` and

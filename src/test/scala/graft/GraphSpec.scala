@@ -88,4 +88,22 @@ class GraphSpec extends AnyFunSuite {
     assert(got === brute)
     assert(got.nonEmpty, "smoke corpus should contain triangles")
   }
+
+  test("label propagation: clique collapses to one community, sync pair oscillates") {
+    val out = Registry.byName("graph_labelprop").run(spark, triDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("community"), r.getAs[Long]("community_size")))
+      .toMap
+    assert(out.size === 5)
+    // the 3-clique {0,1,2} converges to min-label community 0 by round 2
+    assert(out(0L) === ((0L, 3L)))
+    assert(out(1L) === ((0L, 3L)))
+    assert(out(2L) === ((0L, 3L)))
+    // the isolated edge {3,4} shows the textbook SYNCHRONOUS-LPA
+    // bipartite oscillation: after an odd round count each node holds
+    // the other's label (communities of size 1) — deterministic, and
+    // exactly what the oracle replays
+    assert(out(3L) === ((4L, 1L)))
+    assert(out(4L) === ((3L, 1L)))
+  }
 }
