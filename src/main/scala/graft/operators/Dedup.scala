@@ -830,6 +830,60 @@ object Dedup {
                 AND bit_count(xor(a.simhash, b.simhash)) <= 3
               ORDER BY a_id, b_id""")),
 
+    // The DECLARATIVE Hamming join: the same wide-SimHash pair relation
+    // as dedup_simhash_wide_pairs, but written the way a user naturally
+    // would — `join(..., bit_count(ha ^ hb) <= 3)` — which Spark alone
+    // can only plan as a cartesian/BNLJ. The session-installed
+    // HammingJoinRewrite optimizer rule (plans/HammingJoinRewrite.scala)
+    // turns it into the union of 4 first-equal-chunk equi-joins
+    // automatically; PlanSpec asserts the final plan has NO cartesian
+    // and DedupTextSpec asserts bit-identical output to the
+    // hand-blocked operator. This is the rule-makes-naive-code-scale
+    // demonstration: the 100 TB shape no longer depends on the user
+    // knowing the pigeonhole trick.
+    QueryDef(
+      "q_hamming_join_rule",
+      (s, dir) => {
+        if (!s.experimental.extraOptimizations
+            .contains(graft.plans.HammingJoinRewrite))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.HammingJoinRewrite
+        val sig = simhashedWide(s, dir).localCheckpoint()
+        val x = sig.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
+        val y = sig.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
+        x.join(y, expr("bit_count(ha ^ hb) <= 3") && col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents),
+              h AS (
+                SELECT doc_id,
+                  CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+                  CAST(concat('0x', substr(md5(concat('x', t)), 1, 15)) AS BIGINT) % 2147483647 AS h2
+                FROM tok),
+              v AS (
+                SELECT doc_id, j,
+                  sum(CASE WHEN ((CASE WHEN j < 30 THEN h1 >> CAST(j AS INTEGER)
+                                       ELSE h2 >> CAST(j - 30 AS INTEGER) END) & 1) = 1
+                           THEN 1 ELSE -1 END) AS vote
+                FROM h, (SELECT unnest(range(0, 60)) AS j) js
+                GROUP BY doc_id, j),
+              sg AS (
+                SELECT doc_id,
+                  CAST(sum(CASE WHEN vote > 0
+                                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS simhash
+                FROM v GROUP BY doc_id)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              FROM sg a, sg b
+              WHERE a.doc_id < b.doc_id
+                AND bit_count(xor(a.simhash, b.simhash)) <= 3
+              ORDER BY a_id, b_id""")),
+
     // Cluster collapse: near-dup candidate pairs -> connected components
     // -> one representative (min doc_id) per component -> the (doc_id,
     // rep_id) map over the WHOLE corpus (rep_id = self for docs with no

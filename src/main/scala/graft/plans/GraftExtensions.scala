@@ -40,5 +40,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => CosineSelfSimplify)
+    ext.injectOptimizerRule(_ => HammingJoinRewrite)
   }
 }

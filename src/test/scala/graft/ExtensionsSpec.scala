@@ -43,4 +43,59 @@ class ExtensionsSpec extends AnyFunSuite {
     new graft.plans.GraftExtensions().apply(ext)
     succeed
   }
+
+  test("HammingJoinRewrite: exact pairs on planted distances, no duplicates") {
+    import graft.plans.HammingJoinRewrite
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ HammingJoinRewrite
+    try {
+      // planted 64-bit signatures with known pairwise distances:
+      // 10<->11 distance 1 (low chunk), 10<->12 distance 3 spread over
+      // three chunks, 10<->13 distance 4 (over the bound), 14 equal to 10
+      // in every chunk but id-gated
+      val sigs = Seq(
+        (10L, 0x0000000000000000L),
+        (11L, 0x0000000000000001L), // d(10,11)=1
+        (12L, 0x0001000100010000L), // d(10,12)=3
+        (13L, 0x000000000000000FL), // d(10,13)=4 — excluded
+        (14L, 0x0000000000000000L)) // d(10,14)=0
+        .toDF("id", "sig")
+      val x = sigs.select(col("id").as("a_id"), col("sig").as("ha"))
+      val y = sigs.select(col("id").as("b_id"), col("sig").as("hb"))
+      val joined = x.join(y,
+        expr("bit_count(ha ^ hb) <= 3") && col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+      val rows = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // no duplicate pairs: the first-equal-chunk branches partition
+      assert(rows.size === rows.distinct.size, s"duplicated pairs: $rows")
+      // expected = brute force over the planted values
+      val m = Map(10L -> 0x0L, 11L -> 0x1L, 12L -> 0x0001000100010000L,
+        13L -> 0xFL, 14L -> 0x0L)
+      val expected = (for {
+        a <- m.keys; b <- m.keys
+        if a < b && java.lang.Long.bitCount(m(a) ^ m(b)) <= 3
+      } yield (a, b)).toSeq.sorted
+      assert(rows.sorted === expected)
+      assert(!rows.contains((10L, 13L)),
+        "distance-4 pair leaked through the bound")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.HammingJoinRewrite)
+    }
+  }
+
+  test("hamming-join rule output is bit-identical to the hand-blocked operator") {
+    val viaRule = Registry.byName("q_hamming_join_rule")
+      .run(spark, TestSpark.sf).collect().map(_.toString).toSeq
+    val hand = Registry.byName("dedup_simhash_wide_pairs")
+      .run(spark, TestSpark.sf).collect().map(_.toString).toSeq
+    assert(viaRule === hand)
+    // and the rewritten plan must contain no quadratic join
+    val p = Registry.byName("q_hamming_join_rule")
+      .run(spark, TestSpark.sf).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"rule did not remove the quadratic join:\n$p")
+  }
 }

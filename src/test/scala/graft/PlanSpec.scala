@@ -501,6 +501,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"part gate not broadcast:\n$p")
   }
 
+  test("hamming-join rule rewrites the naive join into chunk equi-joins") {
+    val p = plan("q_hamming_join_rule")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"naive hamming join survived as a quadratic join:\n$p")
+    assert(p.contains("Union"), s"no union of chunk branches:\n$p")
+    assert("Join".r.findAllIn(p).size >= 4,
+      s"expected k+1=4 chunk-equality join branches:\n$p")
+  }
+
   test("cms exact companion is partial-agg + top-k, no global sort") {
     val p = plan("q_cms_exact")
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
