@@ -766,6 +766,58 @@ object Analytics {
                 count(*) AS n_orders
               FROM o GROUP BY o_custkey ORDER BY o_custkey""")),
 
+    // Time-bucket resampling with OHLC semantics — the downsample step
+    // every metrics/telemetry pipeline runs: per (event_type, 6-hour
+    // bucket), the first and last value BY EVENT TIME (open/close via
+    // min_by/max_by on a packed tie-free (relative-us, event_id) key —
+    // relative to the bucket start so the product stays far inside
+    // int64), the min/max values (order-independent doubles), and
+    // exact-decimal volume. ONE partial/final hash aggregate on the
+    // (type, bucket) key — no window pass, no sort; the 100 TB shape is
+    // the shuffle ∝ distinct buckets, not events.
+    QueryDef(
+      "q_ohlc",
+      (s, dir) => {
+        val BucketUs = 21600000000L // 6 hours
+        val us = unix_micros(col("ts"))
+        val bucket = expr(s"unix_micros(ts) div $BucketUs") * BucketUs
+        val ok = ((us - bucket) * lit(1000000L) + col("event_id")).as("ok")
+        Tables.loadEvents(s, dir)
+          .select(col("event_type"), bucket.as("bucket_us"),
+            col("value"), ok)
+          .groupBy("event_type", "bucket_us")
+          .agg(
+            expr("min_by(value, ok)").as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            expr("max_by(value, ok)").as("close"),
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(12,2)")).cast("double")
+              .as("total_value"))
+          .orderBy("event_type", "bucket_us")
+      },
+      Some("""WITH e AS (
+                SELECT event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us, value, event_id
+                FROM events),
+              b AS (
+                SELECT event_type,
+                  (us // 21600000000) * 21600000000 AS bucket_us,
+                  (us - (us // 21600000000) * 21600000000) * 1000000
+                    + event_id AS ok,
+                  value
+                FROM e)
+              SELECT event_type, bucket_us,
+                arg_min(value, ok) AS open,
+                max(value) AS high,
+                min(value) AS low,
+                arg_max(value, ok) AS close,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                  AS total_value
+              FROM b GROUP BY event_type, bucket_us
+              ORDER BY event_type, bucket_us""")),
+
     // Table profiling — the ANALYZE/stats-collection pass every catalog
     // and optimizer depends on: per column, null count, exact distinct
     // count, and min/max, computed in ONE partial/final aggregation over
