@@ -25,6 +25,7 @@ object Registry {
     operators.Relational.defs ++
       operators.Warehouse.defs ++
       operators.Analytics.defs ++
+      operators.Numerics.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++

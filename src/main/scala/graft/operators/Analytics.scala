@@ -796,27 +796,7 @@ object Analytics {
               .as("total_value"))
           .orderBy("event_type", "bucket_us")
       },
-      Some("""WITH e AS (
-                SELECT event_type,
-                  epoch_us(CAST(ts AS TIMESTAMP)) AS us, value, event_id
-                FROM events),
-              b AS (
-                SELECT event_type,
-                  (us // 21600000000) * 21600000000 AS bucket_us,
-                  (us - (us // 21600000000) * 21600000000) * 1000000
-                    + event_id AS ok,
-                  value
-                FROM e)
-              SELECT event_type, bucket_us,
-                arg_min(value, ok) AS open,
-                max(value) AS high,
-                min(value) AS low,
-                arg_max(value, ok) AS close,
-                count(*) AS n_events,
-                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
-                  AS total_value
-              FROM b GROUP BY event_type, bucket_us
-              ORDER BY event_type, bucket_us""")),
+      Some(OhlcOracleSql)),
 
     // Table profiling — the ANALYZE/stats-collection pass every catalog
     // and optimizer depends on: per column, null count, exact distinct
@@ -1131,4 +1111,30 @@ object Analytics {
           count(*) AS n_events
         FROM sx GROUP BY user_id, sid
         ORDER BY user_id, session_start"""
+
+  /** q_ohlc's oracle — shared verbatim by the streaming form
+    * (stream_ohlc), so batch and incremental resampling can never
+    * drift. (lazy for the same object-init reason as above.) */
+  lazy val OhlcOracleSql: String =
+    """WITH e AS (
+         SELECT event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, value, event_id
+         FROM events),
+       b AS (
+         SELECT event_type,
+           (us // 21600000000) * 21600000000 AS bucket_us,
+           (us - (us // 21600000000) * 21600000000) * 1000000
+             + event_id AS ok,
+           value
+         FROM e)
+       SELECT event_type, bucket_us,
+         arg_min(value, ok) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         arg_max(value, ok) AS close,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+           AS total_value
+       FROM b GROUP BY event_type, bucket_us
+       ORDER BY event_type, bucket_us"""
 }

@@ -35,6 +35,8 @@ object Graph {
 
   private val Q = 1000000000000L // 10^12 rank quantization
   private val Iters = 3
+  private val WalkSteps = 3
+  private val KcoreRounds = 3
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -170,7 +172,144 @@ object Graph {
             col("community_size"))
           .orderBy("doc_id")
       },
-      Some(LabelPropOracleSql))
+      Some(LabelPropOracleSql)),
+
+    // Neighborhood-similarity link prediction over the near-dup graph:
+    // for every node pair sharing >= 1 common neighbor, the common-
+    // neighbor count, neighborhood Jaccard, and the resource-allocation
+    // index (sum over common neighbors z of 1/deg(z) — Adamic-Adar's
+    // log-free sibling), kept exact as the integer 10^9 div deg(z) so
+    // the oracle replays bit-for-bit. Shape: one self-join of the
+    // directed edge list on the MIDDLE node (shuffle ∝ Σ deg(z)² — the
+    // wedge count, bounded by the pair generator's DF cap exactly like
+    // graph_triangles), one map-side-combined aggregate per pair, two
+    // broadcast-sized degree joins. Never all-pairs: pairs with no
+    // common neighbor never materialize.
+    QueryDef(
+      "graph_neighbor_sim",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select("a_id", "b_id")
+        val edges = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("u", "v").localCheckpoint()
+        val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        val wedges = edges.toDF("z", "a")
+          .join(deg.select(col("u").as("z"), col("deg").as("deg_z")), "z")
+          .join(edges.toDF("z", "b"), "z")
+          .filter(col("a") < col("b"))
+        val scored = wedges.groupBy("a", "b").agg(
+          count(lit(1)).as("common_neighbors"),
+          sum(expr("1000000000 div deg_z")).as("ra_index_q"))
+        scored
+          .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), "a")
+          .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), "b")
+          .select(col("a").as("a_id"), col("b").as("b_id"),
+            col("common_neighbors"), col("ra_index_q"),
+            (col("common_neighbors").cast("double") /
+              (col("deg_a") + col("deg_b") - col("common_neighbors"))
+                .cast("double")).as("nbr_jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH ${Dedup.JaccardPairsCte},
+                 e AS (
+                   SELECT a_id AS u, b_id AS v FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+                 deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+                 w AS (
+                   SELECT e1.v AS a, e2.v AS b, d.deg AS deg_z
+                   FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                        JOIN deg d ON d.u = e1.u),
+                 sc AS (
+                   SELECT a, b, count(*) AS common_neighbors,
+                     CAST(sum(1000000000 // deg_z) AS BIGINT) AS ra_index_q
+                   FROM w GROUP BY a, b)
+               SELECT sc.a AS a_id, sc.b AS b_id,
+                 sc.common_neighbors, sc.ra_index_q,
+                 CAST(sc.common_neighbors AS DOUBLE)
+                   / CAST(da.deg + db.deg - sc.common_neighbors AS DOUBLE)
+                   AS nbr_jaccard
+               FROM sc JOIN deg da ON da.u = sc.a
+                       JOIN deg db ON db.u = sc.b
+               ORDER BY a_id, b_id""")),
+
+    // Deterministic random walks over the near-dup graph — the
+    // node2vec/DeepWalk sampling primitive, made oracle-replayable by
+    // drawing each step with the engine-portable md5 hash instead of an
+    // RNG: from node c at step k, the walk moves to the neighbor v
+    // minimizing hash31('k:c:v') (ties, impossible in practice, break
+    // toward the smaller v). Every step is ONE equi-join of the frontier
+    // against the edge list on the current node plus one per-node argmin
+    // window — the textbook distributed walk step, shuffle ∝ frontier
+    // edges, never materializing more than (starts × 1) rows between
+    // steps. At 100 TB frontiers stay hash-partitioned on the current
+    // node so each step co-locates with the edge list's partitioning.
+    QueryDef(
+      "graph_random_walk",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select("a_id", "b_id")
+        val edges = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("u", "v").localCheckpoint()
+        val starts = edges.select(col("u").as("doc_id")).distinct()
+        var walk = starts.select(col("doc_id"), col("doc_id").as("cur"))
+        for (k <- 1 to WalkSteps) {
+          val h = graft.functions.EngineFns.hash31(
+            concat_ws(":", lit(k), col("cur"), col("v")))
+          val w = Window.partitionBy("doc_id")
+            .orderBy(col("h").asc, col("v").asc)
+          val prev = (1 until k).map(j => col(s"step$j"))
+          walk = walk
+            .join(edges.toDF("cur", "v"), "cur")
+            .withColumn("h", h)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select((col("doc_id") +: prev) ++
+              Seq(col("v").as(s"step$k"), col("v").as("cur")): _*)
+        }
+        walk.select(col("doc_id") +:
+            (1 to WalkSteps).map(j => col(s"step$j")): _*)
+          .orderBy("doc_id")
+      },
+      Some(RandomWalkOracleSql)),
+
+    // k-core peeling (k=2, 3 synchronous rounds) over the near-dup
+    // graph — the density filter that separates tight template families
+    // (cores) from incidental pairwise matches (trees/pendants, which
+    // peel away). Each round is ONE map-side-combined degree count +
+    // one semi-join of the edge list against the surviving nodes —
+    // shuffle ∝ remaining edges, monotonically shrinking. Peeling is
+    // CONFLUENT (the k-core is unique and synchronous rounds are
+    // order-free), so a fixed round count is deterministic and the
+    // oracle replays the rounds CTE-for-CTE; 3 rounds suffice for this
+    // graph's pendant depth, and a production run would iterate to
+    // fixpoint with the same per-round plan under localCheckpoint.
+    QueryDef(
+      "graph_kcore",
+      (s, dir) => {
+        val K = 2
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select("a_id", "b_id")
+        var edges = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("u", "v").localCheckpoint()
+        for (_ <- 1 to KcoreRounds) {
+          val keep = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= K).select("u")
+          edges = edges
+            .join(keep, Seq("u"), "left_semi")
+            .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+            .select("u", "v")
+        }
+        edges.groupBy("u").agg(count(lit(1)).as("core_degree"))
+          .select(col("u").as("doc_id"), col("core_degree"))
+          .orderBy("doc_id")
+      },
+      Some(KcoreOracleSql))
   )
 
   /** DuckDB replay of the synchronous LPA rounds — generated like
@@ -233,5 +372,51 @@ object Graph {
         SELECT doc_id, CAST(r AS BIGINT) AS pagerank_q,
           CAST(r AS DOUBLE) / ${Q.toDouble} AS pagerank
         FROM r$Iters ORDER BY doc_id"""
+  }
+
+  /** DuckDB replay of the hash-driven walk — generated per step like the
+    * pagerank/LPA oracles so step count and the md5 step-draw can never
+    * drift from the Spark loop. */
+  private lazy val RandomWalkOracleSql: String = {
+    def h31(x: String): String =
+      s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) % 2147483647"
+    val steps = (1 to WalkSteps).map { k =>
+      val prev = (1 until k).map(j => s"step$j, ").mkString
+      s"""w$k AS (
+            SELECT doc_id, ${prev}v AS step$k, v AS cur FROM (
+              SELECT s.doc_id, ${(1 until k).map(j => s"s.step$j, ").mkString}e.v,
+                row_number() OVER (PARTITION BY s.doc_id ORDER BY
+                  ${h31(s"concat('$k:', CAST(s.cur AS VARCHAR), ':', CAST(e.v AS VARCHAR))")},
+                  e.v) AS rn
+              FROM w${k - 1} s JOIN e ON e.u = s.cur) t
+            WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH ${Dedup.JaccardPairsCte},
+          e AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+          w0 AS (SELECT DISTINCT u AS doc_id, u AS cur FROM e),
+          $steps
+        SELECT doc_id, ${(1 to WalkSteps).map(j => s"step$j").mkString(", ")}
+        FROM w$WalkSteps ORDER BY doc_id"""
+  }
+
+  /** DuckDB replay of the synchronous peel rounds (k=2) — generated like
+    * the other iterative oracles so round count cannot drift. */
+  private lazy val KcoreOracleSql: String = {
+    val rounds = (1 to KcoreRounds).map { i =>
+      s"""k$i AS (SELECT u FROM e${i - 1} GROUP BY u HAVING count(*) >= 2),
+          e$i AS (
+            SELECT e.u, e.v FROM e${i - 1} e
+            WHERE e.u IN (SELECT u FROM k$i)
+              AND e.v IN (SELECT u FROM k$i))"""
+    }.mkString(",\n")
+    s"""WITH ${Dedup.JaccardPairsCte},
+          e0 AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+          $rounds
+        SELECT u AS doc_id, count(*) AS core_degree
+        FROM e$KcoreRounds GROUP BY u ORDER BY doc_id"""
   }
 }

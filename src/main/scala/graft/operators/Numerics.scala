@@ -1,0 +1,351 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** The numeric-aggregate surface a warehouse user expects beyond plain
+  * sum/avg — regression aggregates, bitwise/boolean reductions, ordered
+  * string aggregation, deterministic mode — plus the order-sensitive
+  * time-series kernels (EWMA, TWAP) an event-stream consumer runs daily.
+  * The reference's engine family exposes these as built-in SQL aggregate
+  * functions (the regr_/bit_and/bool_and/string_agg families of its
+  * DataFusion lineage — implicit surface, reference main.rs:122 routes
+  * arbitrary SQL); here
+  * each is expressed as Catalyst aggregates/windows so Tungsten codegen
+  * and partial aggregation apply unchanged.
+  *
+  * Oracle determinism follows the house rules (SCALE.md "Numeric
+  * determinism"): moment sums are exact integers (BIGINT / DECIMAL(38,0)
+  * vs DuckDB HUGEINT), doubles enter only in a final expression whose
+  * operation order is written identically on both engines, and every
+  * order-sensitive window carries a total tie-break (event_id).
+  *
+  * Scale shapes: the aggregates are one partial/final hash aggregation
+  * each (map-side combined, shuffle ∝ groups); the window kernels are one
+  * hash shuffle on the partition key with per-row constant work (lag/lead
+  * over a bounded frame — no unbounded running state, no self-join).
+  * `q_listagg`'s collect_list is bounded by group cardinality (nations
+  * per region — catalog-sized); an unbounded-group string_agg at 100 TB
+  * would instead shard via the text_shard_pack pattern.
+  */
+object Numerics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** l_extendedprice in exact integer cents. */
+  private def cents(c: Column): Column = (dec(c) * 100).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Simple linear regression y~x per group from exact integer moment
+    // sums (the regr_slope/regr_intercept/regr_r2 family) — one scan,
+    // one partial/final aggregation, doubles only in the final centered
+    // formulas, operation order mirrored in the oracle text. sy2/sxy go
+    // through DECIMAL(38,0): y is price-cents (~1e7), y^2 ~ 1e14, and a
+    // 1e9-row 100 TB group would overflow BIGINT where decimal128 keeps
+    // the sum exact (DuckDB's HUGEINT does the same on the oracle side).
+    QueryDef(
+      "q_regr_fns",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          cents(col("l_extendedprice")).as("y"))
+        val m = li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("sy2"))
+        val dn = col("n").cast("double")
+        val dsx = col("sx").cast("double")
+        val dsy = col("sy").cast("double")
+        val dsxy = col("sxy").cast("double")
+        val dsx2 = col("sx2").cast("double")
+        val dsy2 = col("sy2").cast("double")
+        // centered second moments, each rounded ONCE before reuse so the
+        // oracle's CTE replays the identical double sequence
+        val sxyC = dn * dsxy - dsx * dsy
+        val sxxC = dn * dsx2 - dsx * dsx
+        val syyC = dn * dsy2 - dsy * dsy
+        val slope = sxyC / sxxC
+        m.select(
+            col("l_returnflag"), col("n"),
+            (dsx / dn).as("avg_x"),
+            (dsy / dn).as("avg_y"),
+            slope.as("slope"),
+            ((dsy - slope * dsx) / dn).as("intercept"),
+            ((sxyC * sxyC) / (sxxC * syyC)).as("r2"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+                SELECT l_returnflag,
+                  count(*) AS n,
+                  sum(CAST(l_quantity AS BIGINT)) AS sx,
+                  sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT)) AS sy,
+                  sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+                      * CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT)) AS sxy,
+                  sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sx2,
+                  sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT) AS HUGEINT)
+                      * CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT)) AS sy2
+                FROM lineitem GROUP BY l_returnflag),
+              d AS (
+                SELECT l_returnflag, n,
+                  CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+                  CAST(sy AS DOUBLE) AS dsy, CAST(sxy AS DOUBLE) AS dsxy,
+                  CAST(sx2 AS DOUBLE) AS dsx2, CAST(sy2 AS DOUBLE) AS dsy2
+                FROM m),
+              c AS (
+                SELECT l_returnflag, n, dn, dsx, dsy,
+                  dn*dsxy - dsx*dsy AS sxy_c,
+                  dn*dsx2 - dsx*dsx AS sxx_c,
+                  dn*dsy2 - dsy*dsy AS syy_c
+                FROM d)
+              SELECT l_returnflag, n,
+                dsx/dn AS avg_x,
+                dsy/dn AS avg_y,
+                sxy_c/sxx_c AS slope,
+                (dsy - (sxy_c/sxx_c)*dsx)/dn AS intercept,
+                (sxy_c*sxy_c)/(sxx_c*syy_c) AS r2
+              FROM c ORDER BY l_returnflag""")),
+
+    // Bitwise and boolean aggregate reductions — AND/OR/XOR folds over
+    // the key domain and predicate columns. Exact integer/boolean
+    // semantics, so the oracle matches bit-for-bit; one map-side-combined
+    // hash aggregation (bitwise folds are associative+commutative, so
+    // partial aggregation applies — shuffle ∝ groups at any scale).
+    QueryDef(
+      "q_bitbool_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("bit_and(l_partkey)").as("pk_and"),
+            expr("bit_or(l_partkey)").as("pk_or"),
+            expr("bit_xor(l_partkey)").as("pk_xor"),
+            expr("bool_and(l_quantity > 0)").as("all_positive"),
+            expr("bool_or(l_discount > 0.09)").as("any_deep_discount"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                bit_and(l_partkey) AS pk_and,
+                bit_or(l_partkey) AS pk_or,
+                bit_xor(l_partkey) AS pk_xor,
+                bool_and(l_quantity > 0) AS all_positive,
+                bool_or(l_discount > 0.09) AS any_deep_discount,
+                count(*) AS n
+              FROM lineitem GROUP BY l_returnflag
+              ORDER BY l_returnflag""")),
+
+    // Ordered string aggregation (LISTAGG / string_agg): nations rolled
+    // up per region as a sorted delimited string. collect_list is
+    // unordered under parallelism, so the sort happens INSIDE the
+    // aggregate value (array_sort) — the engine-portable way to get
+    // deterministic listagg without a single-partition window. Group
+    // cardinality bounds the array (catalog-sized here); corpus-scale
+    // concatenation goes through text_shard_pack instead.
+    QueryDef(
+      "q_listagg",
+      (s, dir) =>
+        t(s, dir, "nation")
+          .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(
+            count(lit(1)).as("n_nations"),
+            array_join(array_sort(collect_list(col("n_name"))), "|")
+              .as("nations"))
+          .orderBy("r_name"),
+      Some("""SELECT r_name,
+                count(*) AS n_nations,
+                string_agg(n_name, '|' ORDER BY n_name) AS nations
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name ORDER BY r_name""")),
+
+    // Deterministic MODE per group: the most frequent l_linenumber, ties
+    // broken toward the smallest value. Built-in mode() breaks ties
+    // arbitrarily in both engines, so the portable form is count + one
+    // window argmax with a total order — two hash shuffles, both
+    // group-key-partitioned, no global sort.
+    QueryDef(
+      "q_mode",
+      (s, dir) => {
+        val c = t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linenumber")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("cnt").desc, col("l_linenumber").asc)
+        c.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"),
+            col("l_linenumber").cast("long").as("mode_linenumber"),
+            col("cnt").as("mode_count"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (
+                SELECT l_returnflag, l_linenumber, count(*) AS cnt
+                FROM lineitem GROUP BY l_returnflag, l_linenumber),
+              r AS (
+                SELECT l_returnflag, l_linenumber, cnt,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY cnt DESC, l_linenumber) AS rn
+                FROM c)
+              SELECT l_returnflag,
+                CAST(l_linenumber AS BIGINT) AS mode_linenumber,
+                cnt AS mode_count
+              FROM r WHERE rn = 1 ORDER BY l_returnflag""")),
+
+    // Exponentially weighted moving average over each user's event-value
+    // series — finite 8-term kernel with power-of-two weights (128..1),
+    // so every weight multiplication is an exact exponent shift and the
+    // left-associated term sum is the identical IEEE sequence on both
+    // engines. One hash shuffle on user_id; the frame is bounded (8
+    // lags), so state per row is constant — this is the scale-safe EWMA
+    // (an infinite-memory recurrence would need a sequential scan).
+    QueryDef(
+      "q_ewma",
+      (s, dir) => {
+        val e = Tables.loadEvents(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us").asc, col("event_id").asc)
+        val lags = (0 until 8).map(k => lag(col("value"), k).over(w))
+        val weights = (0 until 8).map(k => (128 >> k).toDouble)
+        val num = lags.zip(weights).map { case (x, m) =>
+            when(x.isNull, lit(0.0)).otherwise(x * lit(m))
+          }.reduceLeft(_ + _)
+        val den = lags.zip(weights).map { case (x, m) =>
+            when(x.isNull, lit(0L)).otherwise(lit(m.toLong))
+          }.reduceLeft(_ + _)
+        e.select(col("event_id"), col("user_id"), col("us"),
+            (num / den.cast("double")).as("ewma"))
+          .orderBy("event_id")
+      },
+      Some {
+        val lagSql = (0 until 8).map { k =>
+          val m = 128 >> k
+          (s"CASE WHEN lag(value, $k) OVER w IS NULL THEN 0.0 " +
+            s"ELSE lag(value, $k) OVER w * $m.0 END",
+            s"CASE WHEN lag(value, $k) OVER w IS NULL THEN 0 ELSE $m END")
+        }
+        val num = lagSql.map(_._1).mkString(" + ")
+        val den = lagSql.map(_._2).mkString(" + ")
+        s"""WITH e AS (
+              SELECT event_id, user_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+              FROM events),
+            k AS (
+              SELECT event_id, user_id, us,
+                ($num) / CAST(($den) AS DOUBLE) AS ewma
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+            SELECT event_id, user_id, us, ewma FROM k ORDER BY event_id"""
+      }),
+
+    // Time-weighted average (TWAP): each event's value weighted by the
+    // microseconds until the user's next event, summed exactly (cents ×
+    // µs in DECIMAL(38,0) / HUGEINT), one double division at the end.
+    // The lead() frame is one row, the shuffle is one hash exchange on
+    // user_id, and the final per-user aggregate is map-side combined —
+    // the standard irregular-series TWAP without resampling.
+    QueryDef(
+      "q_twap",
+      (s, dir) => {
+        val e = Tables.loadEvents(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), cents(col("value")).as("vc"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us").asc, col("event_id").asc)
+        e.withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+          .filter(col("dt").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_intervals"),
+            sum(col("dt")).as("span_us"),
+            sum(col("vc").cast("decimal(38,0)") * col("dt")).as("svw"))
+          .select(col("user_id"), col("n_intervals"), col("span_us"),
+            (col("svw").cast("double") / col("span_us").cast("double") / 100.0)
+              .as("twap"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+                SELECT event_id, user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT) AS vc
+                FROM events),
+              d AS (
+                SELECT user_id, us, vc,
+                  lead(us, 1) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) - us AS dt
+                FROM e),
+              g AS (
+                SELECT user_id, count(*) AS n_intervals,
+                  CAST(sum(dt) AS BIGINT) AS span_us,
+                  sum(CAST(vc AS HUGEINT) * dt) AS svw
+                FROM d WHERE dt IS NOT NULL GROUP BY user_id)
+              SELECT user_id, n_intervals, span_us,
+                CAST(svw AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0 AS twap
+              FROM g ORDER BY user_id""")),
+
+    // Growth-dashboard counters: per (event_type, day) the event count,
+    // distinct active users, FIRST-TIME users, and the cumulative
+    // distinct-user total. The cumulative distinct is the classic trap —
+    // a running count_distinct window holds every user in window state;
+    // the scale-safe identity used here is cum_distinct(day) =
+    // running_sum(first-occurrences per day), where first occurrence is
+    // one min(day) aggregate per (type, user). The running sum then
+    // operates on the DAY-GRAIN relation (∝ days × types, catalog-sized),
+    // so the only per-event work is two hash aggregations.
+    QueryDef(
+      "q_daily_active",
+      (s, dir) => {
+        val e = Tables.loadEvents(s, dir)
+          .select(col("event_type"), col("user_id"),
+            date_trunc("day", col("ts")).as("day"))
+        val daily = e.groupBy("event_type", "day").agg(
+          count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_active"))
+        val news = e.groupBy("event_type", "user_id")
+          .agg(min(col("day")).as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n_new"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(news, Seq("event_type", "day"), "left")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .withColumn("cum_users", sum(col("n_new")).over(w))
+          .select("event_type", "day", "n_events", "n_active", "n_new",
+            "cum_users")
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH e AS (
+                SELECT event_type, user_id,
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                    AS day
+                FROM events),
+              daily AS (
+                SELECT event_type, day, count(*) AS n_events,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+                FROM e GROUP BY 1, 2),
+              fo AS (
+                SELECT event_type, user_id, min(day) AS day
+                FROM e GROUP BY 1, 2),
+              news AS (
+                SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_new
+                FROM fo GROUP BY 1, 2)
+              SELECT d.event_type, d.day, d.n_events, d.n_active,
+                COALESCE(n.n_new, 0) AS n_new,
+                CAST(sum(COALESCE(n.n_new, 0)) OVER (
+                  PARTITION BY d.event_type ORDER BY d.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_users
+              FROM daily d LEFT JOIN news n
+                ON d.event_type = n.event_type AND d.day = n.day
+              ORDER BY d.event_type, d.day"""))
+  )
+}

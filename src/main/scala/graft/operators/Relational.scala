@@ -220,6 +220,32 @@ object Relational {
                                 WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
               ORDER BY c_custkey""")),
 
+    // NOT IN with a NULLABLE probe key — SQL's three-valued anti join:
+    // a NULL probe (negative-balance customers here) is never NOT IN a
+    // non-empty set, so those rows drop silently, a semantics plain
+    // left_anti gets WRONG. Catalyst plans this as the null-aware anti
+    // join (BroadcastHashJoin ... NAAJ) rather than a nested loop over
+    // the whole subquery — broadcast of the build side plus one
+    // null-flag, so 100 TB probe sides stream map-only. PlanSpec pins
+    // the NAAJ shape.
+    QueryDef(
+      "q_null_aware_anti",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, c_name FROM customer
+                 WHERE (CASE WHEN c_acctbal < 0 THEN NULL
+                             ELSE c_custkey END) NOT IN
+                   (SELECT o_custkey FROM orders
+                    WHERE o_totalprice > 400000.0)
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE (CASE WHEN c_acctbal < 0 THEN NULL
+                          ELSE c_custkey END) NOT IN
+                (SELECT o_custkey FROM orders
+                 WHERE o_totalprice > 400000.0)
+              ORDER BY c_custkey""")),
+
     // Left outer join + null-skipping count aggregate.
     QueryDef(
       "q_outer_join_agg",

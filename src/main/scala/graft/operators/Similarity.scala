@@ -24,6 +24,7 @@ object Similarity {
 
   private val TopK = 5
   private[graft] val NumQueries = 10
+  private val MrlDims = 16 // Matryoshka prefix length for emb_mrl_eval
   private val NearDupThreshold = 0.4
   private val NumHyperplanes = 8 // 256 buckets
   private val KnnGraphK = 3 // neighbors per vector in the k-NN graph
@@ -299,6 +300,152 @@ object Similarity {
                    CAST(count(*) AS DOUBLE) AS recall
                FROM exact e LEFT JOIN h ON e.q_id = h.q_id
                GROUP BY e.q_id ORDER BY e.q_id""")),
+
+    // Matryoshka-truncation evaluation: recall@k of PREFIX-dimension
+    // cosine (first 16 of 64 dims) against full-dimension cosine, per
+    // query — the measurement behind shipping truncated (MRL-style)
+    // embeddings to cut index cost 4×. Same scorecard discipline as
+    // sim_ann_recall: both rankings come from the one gated broadcast
+    // join (10 fixed queries — never all-pairs), the prefix ranking
+    // just slices the arrays before the same codegen'd cosine fold, and
+    // the only IEEE ops are the per-pair cosines (deterministic row-
+    // local folds) and the closing recall division.
+    QueryDef(
+      "emb_mrl_eval",
+      (s, dir) => {
+        val e = embParallel(s, dir)
+        val q = broadcast(
+          e.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+        val joined = e.join(q, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            CosineSimilarity(s, col("q_emb"), col("embedding"))
+              .as("cos_full"),
+            CosineSimilarity(s, slice(col("q_emb"), 1, MrlDims),
+              slice(col("embedding"), 1, MrlDims)).as("cos_pre"))
+        val wf = Window.partitionBy("q_id")
+          .orderBy(col("cos_full").desc, col("vec_id"))
+        val wp = Window.partitionBy("q_id")
+          .orderBy(col("cos_pre").desc, col("vec_id"))
+        val full = joined.withColumn("rk", row_number().over(wf))
+          .filter(col("rk") <= TopK).select("q_id", "vec_id")
+        val pre = joined.withColumn("rk", row_number().over(wp))
+          .filter(col("rk") <= TopK)
+          .select(col("q_id").as("p_qid"), col("vec_id").as("p_vid"))
+        val hits = full
+          .join(pre, col("q_id") === col("p_qid") &&
+            col("vec_id") === col("p_vid"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+        full.groupBy("q_id").agg(count(lit(1)).as("n_full"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), col("n_full"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n_full").cast("double")).as("recall_at_k"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH qv AS (SELECT vec_id AS q_id, embedding AS q_emb
+                           FROM embeddings WHERE vec_id < $NumQueries),
+               c AS (SELECT q_id, vec_id,
+                       ${cosineSql("q_emb", "embedding")} AS cos_full,
+                       ${cosineSql(s"q_emb[1:$MrlDims]", s"embedding[1:$MrlDims]")} AS cos_pre
+                     FROM qv, embeddings WHERE vec_id != q_id),
+               fr AS (SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos_full DESC, vec_id) AS rk
+                      FROM c),
+               pr AS (SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos_pre DESC, vec_id) AS rk
+                      FROM c),
+               fullk AS (SELECT q_id, vec_id FROM fr WHERE rk <= $TopK),
+               prek AS (SELECT q_id, vec_id FROM pr WHERE rk <= $TopK),
+               h AS (SELECT f.q_id, CAST(count(*) AS BIGINT) AS n_hit
+                     FROM fullk f JOIN prek p
+                       ON f.q_id = p.q_id AND f.vec_id = p.vec_id
+                     GROUP BY 1)
+               SELECT f.q_id, CAST(count(*) AS BIGINT) AS n_full,
+                 COALESCE(any_value(h.n_hit), 0) AS n_hit,
+                 CAST(COALESCE(any_value(h.n_hit), 0) AS DOUBLE) /
+                   CAST(count(*) AS DOUBLE) AS recall_at_k
+               FROM fullk f LEFT JOIN h ON f.q_id = h.q_id
+               GROUP BY f.q_id ORDER BY f.q_id""")),
+
+    // Binary-quantized search with exact rerank — the modern 1-bit
+    // embedding pipeline (32× memory cut): every vector packs its 64
+    // sign bits into two BIGINT words via an exact base-2 fold (acc*2 +
+    // bit, left fold — identical in DuckDB's list_reduce because
+    // 0*2+b1 = b1), candidates rank by Hamming distance
+    // (bit_count(xor) over the words), and the top-20 per query are
+    // re-ranked by TRUE cosine to a final top-5. The gated 10-query
+    // broadcast keeps this suite-exact; the production scale path for
+    // the Hamming stage is the chunk-pigeonhole equi-join the
+    // HammingJoinRewrite rule derives automatically (q_hamming_join_rule)
+    // or an IVF route — packing and rerank stay identical there.
+    QueryDef(
+      "sim_binary_rerank",
+      (s, dir) => {
+        def word(lo: Int): org.apache.spark.sql.Column = expr(
+          s"""aggregate(transform(slice(embedding, $lo, 32),
+                x -> IF(x > CAST(0 AS FLOAT), 1L, 0L)),
+              0L, (acc, b) -> acc * 2 + b)""")
+        val packed = embParallel(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            word(1).as("w1"), word(33).as("w2"))
+        val q = broadcast(
+          packed.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("w1").as("qw1"), col("w2").as("qw2")))
+        val wh = Window.partitionBy("q_id")
+          .orderBy(col("hamming").asc, col("vec_id").asc)
+        val cand = packed.join(q, col("vec_id") =!= col("q_id"))
+          .withColumn("hamming",
+            bit_count(col("w1").bitwiseXOR(col("qw1"))).cast("long") +
+              bit_count(col("w2").bitwiseXOR(col("qw2"))).cast("long"))
+          .withColumn("hrk", row_number().over(wh))
+          .filter(col("hrk") <= 20)
+        val wc = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        cand
+          .withColumn("cos",
+            CosineSimilarity(s, col("q_emb"), col("embedding")))
+          .withColumn("rank", row_number().over(wc).cast("long"))
+          .filter(col("rank") <= TopK)
+          .select(col("q_id"), col("rank"), col("vec_id"), col("cos"),
+            col("hamming"))
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        def wordSql(e: String, lo: Int, hi: Int): String =
+          s"""list_reduce(list_transform($e[$lo:$hi],
+                x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE 0 END),
+              (acc, b) -> acc * 2 + b)"""
+        s"""WITH p AS (
+              SELECT vec_id, embedding,
+                ${wordSql("embedding", 1, 32)} AS w1,
+                ${wordSql("embedding", 33, 64)} AS w2
+              FROM embeddings),
+            q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                    w1 AS qw1, w2 AS qw2
+                  FROM p WHERE vec_id < $NumQueries),
+            c AS (SELECT q.q_id, p.vec_id, p.embedding, q.q_emb,
+                    CAST(bit_count(xor(p.w1, q.qw1))
+                       + bit_count(xor(p.w2, q.qw2)) AS BIGINT) AS hamming
+                  FROM p, q WHERE p.vec_id != q.q_id),
+            h AS (SELECT q_id, vec_id, embedding, q_emb, hamming,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY hamming, vec_id) AS hrk
+                  FROM c),
+            r AS (SELECT q_id, vec_id, hamming,
+                    ${cosineSql("q_emb", "embedding")} AS cos
+                  FROM h WHERE hrk <= 20),
+            f AS (SELECT q_id, vec_id, hamming, cos,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, vec_id) AS rank
+                  FROM r)
+            SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos, hamming
+            FROM f WHERE rank <= $TopK ORDER BY q_id, rank"""
+      }),
 
     // IVF-style ANN (scale path #2): a deterministic centroid sample
     // partitions the space (assign = argmax cosine to centroid, i.e.

@@ -1236,6 +1236,115 @@ object TextAnalysis {
               SELECT doc_id, n_tok,
                 CAST((rk - 1 + goff) % 8 AS BIGINT) AS shard
               FROM r ORDER BY doc_id"""))
+  ) ++ Seq(
+
+    // Per-document keyword extraction: top-3 tokens by TF-IDF, the
+    // KeyBERT/YAKE-shaped primitive a retrieval pipeline runs to tag
+    // every document. idf is the same floor-scaled rational as
+    // dedup_tfidf_nn ((1000*(2N-2df+1)) div (2df+1) — log-free, exact),
+    // weights are BIGINTs, and the top-3 is a per-doc window argmax with
+    // a total tie-break (weight desc, token asc) — never a global sort.
+    // Shape: one token explode, two map-side-combined aggregations (tf,
+    // df), one broadcast of the 1-row corpus count, one window shuffle
+    // on doc_id — work ∝ corpus tokens at any scale.
+    QueryDef(
+      "text_keywords",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("w").desc, col("tok").asc)
+        tf.join(dfr, "tok").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("tok"),
+            (col("tf") *
+              expr("(1000 * (2*n_docs - 2*df + 1)) div (2*df + 1)")).as("w"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank").cast("long").as("rank"),
+            col("tok").as("keyword"), col("w").as("tfidf_q"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH tf AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              tfc AS (
+                SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM tf GROUP BY 1, 2),
+              dfr AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS df
+                FROM tfc GROUP BY 1),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+              wt AS (
+                SELECT doc_id, tok,
+                  tf * ((1000 * (2*n.n_docs - 2*df + 1)) // (2*df + 1)) AS w
+                FROM tfc JOIN dfr USING (tok), n),
+              r AS (
+                SELECT doc_id, tok, w,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY w DESC, tok) AS rank
+                FROM wt)
+              SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+                tok AS keyword, w AS tfidf_q
+              FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // Collocation mining: top-20 adjacent-token bigrams by pointwise
+    // mutual information — the phrase detector (word2vec's phrase pass,
+    // NLTK collocations) run before tokenizer training. PMI is kept
+    // EXACT as the scaled rational (10^6 * c_xy * T) div (c_x * c_y)
+    // (= 10^6 · p_xy/(p_x·p_y) up to the corpus-constant bigram/token
+    // ratio, which shifts every score equally and cannot reorder), with
+    // 128-bit products so a web-scale corpus cannot overflow. A min
+    // pair count of 5 drops the noise tail. Shape: one bigram explode +
+    // one unigram explode, three map-side-combined counts, two
+    // equi-joins of the bigram relation against the unigram counts, one
+    // top-k sort-limit (TakeOrdered, never a global sort).
+    QueryDef(
+      "text_pmi",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val toks = tokens(col("text"))
+        val ug = d.select(explode(toks).as("tok"))
+        val cx = ug.groupBy("tok").agg(count(lit(1)).as("c"))
+        val tot = ug.agg(count(lit(1)).as("t_total"))
+        val bi = d.filter(size(toks) >= 2)
+          .select(explode(transform(sequence(lit(0), size(toks) - 2), i =>
+            struct(element_at(toks, (i + 1).cast("int")).as("a"),
+              element_at(toks, (i + 2).cast("int")).as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+        val cxy = bi.groupBy("a", "b").agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+        cxy
+          .join(cx.select(col("tok").as("a"), col("c").as("c_a")), "a")
+          .join(cx.select(col("tok").as("b"), col("c").as("c_b")), "b")
+          .crossJoin(broadcast(tot))
+          .select(col("a"), col("b"), col("c_xy"),
+            expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * c_xy * t_total)
+                        div (CAST(c_a AS DECIMAL(38,0)) * c_b)
+                      AS BIGINT)""").as("pmi_q"))
+          .orderBy(col("pmi_q").desc, col("a").asc, col("b").asc)
+          .limit(20)
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              ug AS (SELECT unnest(w) AS tok FROM tk),
+              cx AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                     FROM ug GROUP BY tok),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS t_total FROM ug),
+              bi AS (
+                SELECT w[i] AS a, w[i+1] AS b
+                FROM tk, LATERAL (SELECT unnest(range(1, len(w))) AS i) ix),
+              cxy AS (
+                SELECT a, b, CAST(count(*) AS BIGINT) AS c_xy
+                FROM bi GROUP BY a, b HAVING count(*) >= 5)
+              SELECT cxy.a, cxy.b, cxy.c_xy,
+                CAST((1000000 * CAST(cxy.c_xy AS HUGEINT) * tot.t_total)
+                     // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS pmi_q
+              FROM cxy JOIN cx ca ON ca.tok = cxy.a
+                       JOIN cx cb ON cb.tok = cxy.b, tot
+              ORDER BY pmi_q DESC, cxy.a, cxy.b LIMIT 20"""))
   )
 
   /** Run the BPE merge-training rounds corpus-parallel; returns the

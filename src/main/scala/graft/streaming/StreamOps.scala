@@ -57,6 +57,46 @@ object StreamOps {
     s.table(sink).orderBy("hour", "event_type")
   }
 
+  /** Streaming 6-hour OHLC: q_ohlc's one-pass min_by/max_by aggregate as
+    * an incremental streaming aggregation (see the stream_ohlc def). */
+  def ohlcStreaming(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val sink = s"graft_stream_ohlc_${nameCounter.incrementAndGet()}"
+    val BucketUs = 21600000000L // 6 hours — same constant as q_ohlc
+    val q = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", graft.Tables.normTsCol(schema))
+      .withColumn("bucket_us",
+        expr(s"unix_micros(ts) div $BucketUs") * BucketUs)
+      .withColumn("ok",
+        (unix_micros(col("ts")) - col("bucket_us")) * lit(1000000L)
+          + col("event_id"))
+      .groupBy("event_type", "bucket_us")
+      .agg(
+        expr("min_by(value, ok)").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        expr("max_by(value, ok)").as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("total_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    s.table(sink).orderBy("event_type", "bucket_us")
+  }
+
   /** Streaming hopping (sliding) windows: the same 1h/30min overlapping
     * windows as the batch q_hopping_window, run incrementally — each
     * event expands into its 2 windows map-side, state is one counter per
@@ -1092,6 +1132,18 @@ object StreamOps {
               SELECT win_start, event_type, count(*) AS n
               FROM h GROUP BY win_start, event_type
               ORDER BY win_start, event_type"""),
+      bench = false),
+    // Streaming OHLC resampling — the batch q_ohlc aggregate run
+    // incrementally: open/close stay min_by/max_by on the same packed
+    // bucket-relative time key (associative argmin/argmax, so partial
+    // streaming aggregation applies unchanged), state is one OHLC row
+    // per (type, 6h-bucket) — ∝ distinct buckets, never ∝ events — and
+    // the oracle is SHARED VERBATIM with the batch operator, so the
+    // incremental and batch resamplers can never drift.
+    QueryDef(
+      "stream_ohlc",
+      (s, dir) => ohlcStreaming(s, dir),
+      Some(graft.operators.Analytics.OhlcOracleSql),
       bench = false),
     QueryDef(
       "stream_hourly",

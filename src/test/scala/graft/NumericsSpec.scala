@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the numeric-aggregate / time-series / link-
+  * prediction batch — properties the oracle hash can't state directly. */
+class NumericsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private def run(name: String) =
+    Registry.byName(name).run(spark, TestSpark.sf)
+
+  test("ewma of a user's first event is the event value itself") {
+    val firsts = Tables.loadEvents(spark, TestSpark.sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("us").asc, col("event_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("value"))
+    val joined = run("q_ewma")
+      .join(firsts, "event_id")
+      .filter(col("ewma") =!= col("value"))
+    assert(joined.count() === 0,
+      "a single-term EWMA (128*x / 128) must equal x exactly")
+  }
+
+  test("twap of one user replays from raw events") {
+    val raw = Tables.loadEvents(spark, TestSpark.sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .filter(col("user_id") === 0L)
+      .orderBy("us", "event_id")
+      .collect()
+    assume(raw.length >= 2)
+    var svw = BigInt(0); var span = 0L
+    for (i <- 0 until raw.length - 1) {
+      val dt = raw(i + 1).getLong(1) - raw(i).getLong(1)
+      val cents = BigDecimal(raw(i).getDouble(3))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
+      svw += cents.toBigInt * dt
+      span += dt
+    }
+    val expected = svw.toDouble / span.toDouble / 100.0
+    val got = run("q_twap").filter(col("user_id") === 0L)
+      .select("twap").head().getDouble(0)
+    assert(got === expected)
+  }
+
+  test("NOT IN nullable probe: negative-balance customers always drop") {
+    val out = run("q_null_aware_anti")
+    val neg = Tables.load(spark, TestSpark.sf, "customer")
+      .filter(col("c_acctbal") < 0).select("c_custkey")
+    assert(out.join(neg, "c_custkey").count() === 0,
+      "NULL probe keys must never satisfy NOT IN against a non-empty set")
+    assert(out.count() > 0)
+  }
+
+  test("mode is the max-count value with smallest-value tie-break") {
+    val counts = Tables.load(spark, TestSpark.sf, "lineitem")
+      .groupBy("l_returnflag", "l_linenumber").count()
+      .collect()
+      .groupBy(_.getString(0))
+    run("q_mode").collect().foreach { r =>
+      val grp = counts(r.getString(0)).map(x => (x.getInt(1), x.getLong(2)))
+      val best = grp.filter(_._2 == grp.map(_._2).max).map(_._1).min
+      assert(r.getLong(1) === best.toLong)
+      assert(r.getLong(2) === grp.map(_._2).max)
+    }
+  }
+
+  test("MRL recall is a fraction of the full top-k and prefix dims really truncate") {
+    val rows = run("emb_mrl_eval").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nFull, nHit, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nHit <= nFull && nHit >= 0)
+      assert(rec === nHit.toDouble / nFull.toDouble)
+    }
+  }
+
+  test("random-walk steps traverse real near-dup edges") {
+    val pairs = operators.Dedup
+      .jaccardPairs(operators.Dedup.shingled(spark, TestSpark.sf))
+      .filter(col("jaccard") >= operators.Dedup.JaccardThreshold)
+      .select("a_id", "b_id")
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("u", "v")
+    val walk = run("graph_random_walk")
+    val bad = walk
+      .join(edges, walk("doc_id") === edges("u") &&
+        walk("step1") === edges("v"), "left_anti")
+    assert(bad.count() === 0, "step1 must be a neighbor of the start node")
+  }
+
+  test("keywords: exactly ranks 1..3 with non-increasing tfidf per doc") {
+    import spark.implicits._
+    val perDoc = run("text_keywords")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("rank"), col("tfidf_q"))).as("ks"))
+      .as[(Long, Seq[(Long, Long)])].collect()
+    perDoc.foreach { case (_, ks) =>
+      val sorted = ks.sortBy(_._1)
+      assert(sorted.map(_._1) === (1L to sorted.length))
+      assert(sorted.length <= 3)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 >= b._2)
+        case _ =>
+      }
+    }
+  }
+}

@@ -573,4 +573,72 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"shard round-robin must not collapse to one partition:\n$p")
   }
+
+  test("NOT IN with nullable probe plans as null-aware anti join, not a nested loop") {
+    val p = plan("q_null_aware_anti")
+    // isNullAwareAntiJoin prints as the trailing `true` flag on the
+    // broadcast LeftAnti join in Spark 4's plan string
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"expected null-aware BroadcastHashJoin (LeftAnti, BuildRight, true):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in NOT IN plan:\n$p")
+  }
+
+  test("PMI top-20 is TakeOrdered, never a global sort of all bigrams") {
+    val p = plan("text_pmi")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k should plan as TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("regression aggregates are one partial/final pass over one scan") {
+    val p = plan("q_regr_fns")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"moments must come from ONE lineitem scan:\n$p")
+  }
+
+  test("EWMA kernel shuffles once on user_id, no single-partition window") {
+    val p = plan("q_ewma")
+    assert(p.contains("Exchange hashpartitioning(user_id"),
+      s"window must hash-partition on user_id:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"EWMA must not funnel to one partition:\n$p")
+  }
+
+  test("neighbor similarity is wedge equi-joins, never cartesian") {
+    val p = plan("graph_neighbor_sim")
+    assert(!p.contains("CartesianProduct"), s"cartesian wedge join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equi-join in:\n$p")
+  }
+
+  test("k-core peel rounds are semi-joins on node ids, never cartesian") {
+    val p = plan("graph_kcore")
+    assert(p.contains("LeftSemi"), s"peel should plan as semi joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("daily-active cumulative window runs on the day grain, no funnel") {
+    val p = plan("q_daily_active")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"cumulative users must not collapse to one partition:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected map-side-combined daily + first-occurrence aggs:\n$p")
+  }
+
+  test("binary rerank broadcasts the packed query side") {
+    val p = plan("sim_binary_rerank")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"10-query packed side should broadcast:\n$p")
+  }
+
+  test("MRL eval broadcasts the fixed query side; rankings share one join") {
+    val p = plan("emb_mrl_eval")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"10-query side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
