@@ -346,6 +346,112 @@ object Numerics {
                   AS BIGINT) AS cum_users
               FROM daily d LEFT JOIN news n
                 ON d.event_type = n.event_type AND d.day = n.day
-              ORDER BY d.event_type, d.day"""))
+              ORDER BY d.event_type, d.day""")),
+
+    // Peak concurrent sessions per day — the capacity-planning sweep
+    // line, done as a DISTRIBUTED PREFIX SUM: session intervals (native
+    // session_window, 30-min gap) become ±1 deltas; each UTC day
+    // computes its internal running sum independently (one hash
+    // shuffle on day, window ordered by the unique (us, delta, user)
+    // key with ends-before-starts half-open semantics); and the
+    // cross-day carry is a running total over the DAY-GRAIN relation
+    // (∝ days — the one place a single-partition window is correct,
+    // because its input is already aggregated to calendar size). This
+    // is the textbook two-pass parallel scan: no global sort of the
+    // event-scale delta relation ever happens, yet sessions spanning
+    // midnight count correctly via the carry.
+    QueryDef(
+      "q_peak_concurrency",
+      (s, dir) => {
+        val DayUs = 86400000000L
+        val sess = Tables.loadEvents(s, dir)
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), unix_micros(col("sw.start")).as("s_us"),
+            unix_micros(col("sw.end")).as("e_us"))
+        val deltas = sess
+          .select(col("user_id"), col("s_us").as("us"), lit(1L).as("delta"))
+          .unionAll(sess.select(col("user_id"), col("e_us").as("us"),
+            lit(-1L).as("delta")))
+          .withColumn("day_us", expr(s"(us div $DayUs) * $DayUs"))
+        val dayTot = deltas.groupBy("day_us")
+          .agg(sum(col("delta")).as("day_total"))
+        val wCarry = Window.orderBy("day_us")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = dayTot.withColumn("carry",
+            coalesce(sum(col("day_total")).over(wCarry), lit(0L)))
+          .select("day_us", "carry")
+        val wRun = Window.partitionBy("day_us")
+          .orderBy(col("us").asc, col("delta").asc, col("user_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = deltas.join(carry, "day_us")
+          .withColumn("conc", col("carry") + sum(col("delta")).over(wRun))
+        val peaks = run.groupBy("day_us").agg(
+          max(col("conc")).as("peak_concurrency"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+        run.join(peaks, "day_us")
+          .filter(col("conc") === col("peak_concurrency"))
+          .groupBy("day_us", "peak_concurrency", "n_starts")
+          .agg(min(col("us")).as("peak_at_us"))
+          .select("day_us", "peak_concurrency", "n_starts", "peak_at_us")
+          .orderBy("day_us")
+      },
+      Some("""WITH x AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+              g AS (
+                SELECT user_id, t,
+                  lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt
+                FROM x),
+              sx AS (
+                SELECT user_id, t,
+                  sum(CASE WHEN pt IS NOT NULL
+                            AND epoch_us(t) - epoch_us(pt) > 1800000000
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
+                FROM g),
+              sess AS (
+                SELECT user_id, epoch_us(min(t)) AS s_us,
+                  epoch_us(max(t)) + 1800000000 AS e_us
+                FROM sx GROUP BY user_id, sid),
+              d AS (
+                SELECT user_id, s_us AS us, CAST(1 AS BIGINT) AS delta
+                FROM sess
+                UNION ALL
+                SELECT user_id, e_us, CAST(-1 AS BIGINT) FROM sess),
+              dd AS (
+                SELECT user_id, us, delta,
+                  (us // 86400000000) * 86400000000 AS day_us
+                FROM d),
+              tot AS (
+                SELECT day_us, CAST(sum(delta) AS BIGINT) AS day_total
+                FROM dd GROUP BY day_us),
+              cr AS (
+                SELECT day_us,
+                  COALESCE(CAST(sum(day_total) OVER (ORDER BY day_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS carry
+                FROM tot),
+              run AS (
+                SELECT dd.day_us, dd.us, dd.delta, dd.user_id,
+                  cr.carry + CAST(sum(dd.delta) OVER (
+                    PARTITION BY dd.day_us
+                    ORDER BY dd.us, dd.delta, dd.user_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS conc
+                FROM dd JOIN cr USING (day_us)),
+              pk AS (
+                SELECT day_us, max(conc) AS peak_concurrency,
+                  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_starts
+                FROM run GROUP BY day_us)
+              SELECT r.day_us, p.peak_concurrency, p.n_starts,
+                min(r.us) AS peak_at_us
+              FROM run r JOIN pk p ON r.day_us = p.day_us
+                AND r.conc = p.peak_concurrency
+              GROUP BY r.day_us, p.peak_concurrency, p.n_starts
+              ORDER BY r.day_us"""))
   )
 }

@@ -96,6 +96,39 @@ class NumericsSpec extends AnyFunSuite {
     assert(bad.count() === 0, "step1 must be a neighbor of the start node")
   }
 
+  test("peak concurrency: day-partitioned prefix sum equals a global sweep") {
+    // brute-force sweep: one globally sorted pass over all session
+    // deltas — the semantics the distributed two-pass form must match,
+    // including sessions that span midnight (carry correctness)
+    val sess = Tables.loadEvents(spark, TestSpark.sf)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("s"),
+        unix_micros(col("sw.end")).as("e"))
+      .collect()
+    val deltas = sess.flatMap(r => Seq(
+        (r.getLong(1), 1L, r.getLong(0)), (r.getLong(2), -1L, r.getLong(0))))
+      .sortBy(d => (d._1, d._2, d._3))
+    val DayUs = 86400000000L
+    var conc = 0L
+    val peak = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for ((us, d, _) <- deltas) {
+      conc += d
+      val day = (us / DayUs) * DayUs
+      val (p, at) = peak.getOrElse(day, (Long.MinValue, 0L))
+      if (conc > p) peak(day) = (conc, us)
+    }
+    val got = run("q_peak_concurrency").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (p, at) = peak(r.getLong(0))
+      assert(r.getLong(1) === p, s"peak mismatch on day ${r.getLong(0)}")
+      assert(r.getLong(3) === at, s"peak time mismatch on day ${r.getLong(0)}")
+    }
+    assert(got.length === peak.size)
+  }
+
   test("keywords: exactly ranks 1..3 with non-increasing tfidf per doc") {
     import spark.implicits._
     val perDoc = run("text_keywords")

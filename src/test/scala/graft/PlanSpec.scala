@@ -634,6 +634,20 @@ class PlanSpec extends AnyFunSuite {
       s"10-query packed side should broadcast:\n$p")
   }
 
+  test("peak concurrency: running sum hash-partitions on day; carry is the only funnel") {
+    val p = plan("q_peak_concurrency")
+    assert(p.contains("Exchange hashpartitioning(day_us"),
+      s"per-day prefix sum must shuffle on day_us:\n$p")
+    // the cross-day carry runs on the day-grain aggregate — a
+    // single-partition window there is expected, and the pre-execution
+    // plan duplicates the carry subtree under the peaks self-join (AQE
+    // reuses the exchange at runtime: the executed plan has zero).
+    // The event-scale delta relation must never funnel, which would
+    // show as MORE SinglePartition exchanges than the two carry copies.
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2,
+      s"a non-carry subtree funnels to one partition:\n$p")
+  }
+
   test("MRL eval broadcasts the fixed query side; rankings share one join") {
     val p = plan("emb_mrl_eval")
     assert(p.contains("BroadcastHashJoin") ||
