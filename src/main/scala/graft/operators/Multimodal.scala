@@ -64,6 +64,54 @@ object Multimodal {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Per-payload 16-bit block-mean perceptual hash (doc_id, format,
+    * phash) — the signature shared by mm_phash (exact-dup grouping) and
+    * mm_phash_neardup (Hamming-blocked near-dup pairs). All-integer
+    * comparisons (segSum/segLen > total/L cross-multiplied), so the
+    * signature is bit-identical in any engine. */
+  private def phashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), payloadCol.as("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.map { in =>
+        val b = in.payload
+        val L = b.length - 16
+        val total = (16 until b.length).map(i => (b(i) & 0xff).toLong).sum
+        var h = 0L
+        for (i <- 0 until 16) {
+          val lo = 16 + (L.toLong * i / 16).toInt
+          val hi = 16 + (L.toLong * (i + 1) / 16).toInt
+          val segSum = (lo until hi).map(j => (b(j) & 0xff).toLong).sum
+          // segSum/segLen > total/L without division:
+          if (segSum * L > total * (hi - lo)) h |= (1L << i)
+        }
+        (in.doc_id, if (in.doc_id % 2 == 0) "png" else "wav", h)
+      })
+      .toDF("doc_id", "format", "phash")
+  }
+
+  /** DuckDB replay of phashSigs (body = the ASCII text bytes behind the
+    * 16-byte header): CTEs `b` and `sig`, shared by both phash oracles
+    * so the signature arithmetic can never drift. */
+  private val PhashSigCte: String =
+    """b AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+           list_transform(range(1, length(text) + 1),
+             i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS cs,
+           CAST(length(text) AS BIGINT) AS L
+         FROM documents),
+       sig AS (
+         SELECT doc_id, format,
+           CAST(list_sum(list_transform(range(0, 16), i ->
+             CASE WHEN list_sum(cs[CAST(L * i // 16 AS INTEGER) + 1 :
+                                   CAST(L * (i + 1) // 16 AS INTEGER)]) * L
+                       > list_sum(cs) * (L * (i + 1) // 16 - L * i // 16)
+                  THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END))
+             AS BIGINT) AS phash
+         FROM b)"""
+
   /** Synthesized media payload: a real PNG or RIFF/WAVE header (planted
     * dimensions / sample rate) in front of the text bytes, built with
     * codegen'd byte/hex expressions. Shared by mm_decode (in-plan) and
@@ -267,25 +315,7 @@ object Multimodal {
     QueryDef(
       "mm_phash",
       (s, dir) => {
-        import s.implicits._
-        val sigs = docs(s, dir)
-          .select(col("doc_id"), payloadCol.as("payload"))
-          .as[MediaIn]
-          .mapPartitions(_.map { in =>
-            val b = in.payload
-            val L = b.length - 16
-            val total = (16 until b.length).map(i => (b(i) & 0xff).toLong).sum
-            var h = 0L
-            for (i <- 0 until 16) {
-              val lo = 16 + (L.toLong * i / 16).toInt
-              val hi = 16 + (L.toLong * (i + 1) / 16).toInt
-              val segSum = (lo until hi).map(j => (b(j) & 0xff).toLong).sum
-              // segSum/segLen > total/L without division:
-              if (segSum * L > total * (hi - lo)) h |= (1L << i)
-            }
-            (in.doc_id, if (in.doc_id % 2 == 0) "png" else "wav", h)
-          })
-          .toDF("doc_id", "format", "phash")
+        val sigs = phashSigs(s, dir)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("format", "phash")
         sigs.withColumn("rep_id", min(col("doc_id")).over(w))
@@ -293,28 +323,58 @@ object Multimodal {
           .select("doc_id", "format", "phash", "rep_id", "n_same")
           .orderBy("doc_id")
       },
-      Some("""WITH b AS (
-                SELECT doc_id,
-                  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
-                  list_transform(range(1, length(text) + 1),
-                    i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS cs,
-                  CAST(length(text) AS BIGINT) AS L
-                FROM documents),
-              sig AS (
-                SELECT doc_id, format,
-                  CAST(list_sum(list_transform(range(0, 16), i ->
-                    CASE WHEN list_sum(cs[CAST(L * i // 16 AS INTEGER) + 1 :
-                                          CAST(L * (i + 1) // 16 AS INTEGER)]) * L
-                              > list_sum(cs) * (L * (i + 1) // 16 - L * i // 16)
-                         THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END))
-                    AS BIGINT) AS phash
-                FROM b)
+      Some(s"""WITH $PhashSigCte
               SELECT doc_id, format, phash,
                 min(doc_id) OVER w AS rep_id,
                 count(*) OVER w AS n_same
               FROM sig
               WINDOW w AS (PARTITION BY format, phash)
               ORDER BY doc_id"""))
+  ,
+    // Perceptual NEAR-duplicate pairs — the image-dedup step a media
+    // pipeline runs after pHash: same-format payload pairs within
+    // Hamming distance 3 of each other's 16-bit signature (distance 0,
+    // exact-signature duplicates, already collapse under mm_phash's
+    // representative). The Spark side never goes all-pairs: the 16-bit
+    // hash splits into four 4-bit chunks, radius <= 3 pigeonholes at
+    // least one chunk equal, so candidates come from a (format, chunk
+    // index, chunk value) equi-join — the same blocking discipline as
+    // dedup_simhash_pairs / the HammingJoinRewrite rule, shuffle ∝
+    // bucket collisions. Each qualifying pair is emitted exactly once
+    // at its FIRST equal chunk. The oracle checks the naive quadratic
+    // definition, proving the blocked plan loses nothing.
+    QueryDef(
+      "mm_phash_neardup",
+      (s, dir) => {
+        val sig = phashSigs(s, dir)
+        val chunks = sig
+          .select(col("doc_id"), col("format"), col("phash"),
+            explode(expr("sequence(0, 3)")).as("k"))
+          .withColumn("ck", expr("shiftright(phash, 4*k) & 15"))
+        val a = chunks.select(col("format"), col("k"), col("ck"),
+          col("doc_id").as("a_id"), col("phash").as("pa"))
+        val b = chunks.select(col("format"), col("k"), col("ck"),
+          col("doc_id").as("b_id"), col("phash").as("pb"))
+        a.join(b, Seq("format", "k", "ck"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("hamming",
+            expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+          .filter(col("hamming").between(1, 3))
+          // first-equal-chunk rule: emit only where k is the smallest
+          // index at which the two signatures agree
+          .filter(expr("""k = array_min(filter(sequence(0, 3),
+                    i -> (shiftright(pa, 4*i) & 15)
+                       = (shiftright(pb, 4*i) & 15)))"""))
+          .select(col("format"), col("a_id"), col("b_id"), col("hamming"))
+          .orderBy("format", "a_id", "b_id")
+      },
+      Some(s"""WITH $PhashSigCte
+              SELECT a.format, a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+              FROM sig a JOIN sig b
+                ON a.format = b.format AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.phash, b.phash)) BETWEEN 1 AND 3
+              ORDER BY a.format, a_id, b_id"""))
   ,
     // Resize/downsample — the thumbnailing step of a media pipeline, on
     // the same mapPartitions plumbing: nearest-neighbor sample 16 evenly

@@ -648,6 +648,13 @@ class PlanSpec extends AnyFunSuite {
       s"a non-carry subtree funnels to one partition:\n$p")
   }
 
+  test("phash near-dup is a chunk equi-join, never an all-pairs cartesian") {
+    val p = plan("mm_phash_neardup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs phash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"phash candidates must come from the chunk equi-join:\n$p")
+  }
+
   test("MRL eval broadcasts the fixed query side; rankings share one join") {
     val p = plan("emb_mrl_eval")
     assert(p.contains("BroadcastHashJoin") ||
