@@ -452,6 +452,152 @@ object Numerics {
               FROM run r JOIN pk p ON r.day_us = p.day_us
                 AND r.conc = p.peak_concurrency
               GROUP BY r.day_us, p.peak_concurrency, p.n_starts
-              ORDER BY r.day_us"""))
+              ORDER BY r.day_us""")),
+
+    // Robust outlier profile per group: median, MAD (median absolute
+    // deviation), and the count of robust-z outliers (|x - med| >
+    // 3·1.4826·MAD) — the heavy-tail-safe companion to q_outliers'
+    // moment-based z-scores, which a single billionaire row can wash
+    // out. MAD is inherently two-pass (the deviation needs the median
+    // first); each pass is one partial/final percentile aggregate plus
+    // a BROADCAST join of the 3-row per-group medians back onto the
+    // fact — the fact never re-shuffles on the group key. A production
+    // run caches the projected scan across the three passes.
+    QueryDef(
+      "q_mad_outliers",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity").as("x"))
+        val med = li.groupBy("l_returnflag")
+          .agg(expr("percentile(x, 0.5)").as("med"))
+        val dev = li.join(broadcast(med), "l_returnflag")
+        val mad = dev.groupBy("l_returnflag", "med")
+          .agg(expr("percentile(abs(x - med), 0.5)").as("mad"))
+        dev.join(broadcast(mad), Seq("l_returnflag", "med"))
+          .groupBy("l_returnflag", "med", "mad")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(abs(col("x") - col("med")) >
+              lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .select("l_returnflag", "n", "med", "mad", "n_outliers")
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH li AS (
+                SELECT l_returnflag, l_quantity AS x FROM lineitem),
+              med AS (
+                SELECT l_returnflag, quantile_cont(x, 0.5) AS med
+                FROM li GROUP BY 1),
+              dev AS (
+                SELECT li.l_returnflag, li.x, med.med
+                FROM li JOIN med USING (l_returnflag)),
+              mad AS (
+                SELECT l_returnflag, med,
+                  quantile_cont(abs(x - med), 0.5) AS mad
+                FROM dev GROUP BY 1, 2)
+              SELECT d.l_returnflag, count(*) AS n, m.med, m.mad,
+                CAST(sum(CASE WHEN abs(d.x - d.med) > 3.0 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+              FROM dev d JOIN mad m
+                ON d.l_returnflag = m.l_returnflag AND d.med = m.med
+              GROUP BY d.l_returnflag, m.med, m.mad
+              ORDER BY d.l_returnflag""")),
+
+    // Benford first-digit audit — the fraud/data-quality screen over a
+    // monetary column: observed share of each leading digit of the
+    // exact price-in-cents integer against the Benford expectation
+    // log10(1 + 1/d). The leading digit comes from the DECIMAL STRING
+    // of an exact integer (no float log10 on the data path), and the
+    // expectation constants are Scala-computed literals injected into
+    // BOTH plans via shortest-roundtrip formatting — so no libm
+    // difference between engines can ever flip a bit. One map-side-
+    // combined 9-group aggregate + a broadcast total.
+    QueryDef(
+      "q_benford",
+      (s, dir) => {
+        val d = t(s, dir, "lineitem")
+          .select(cents(col("l_extendedprice")).as("c"))
+          .filter(col("c") > 0)
+          .select(substring(col("c").cast("string"), 1, 1)
+            .cast("long").as("digit"))
+        val byDigit = d.groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = d.agg(count(lit(1)).as("total"))
+        val expected = (1 to 9).map(i =>
+          (i.toLong, math.log10(1.0 + 1.0 / i)))
+        val expCol = expected.tail.foldLeft(
+            when(col("digit") === expected.head._1, lit(expected.head._2))) {
+          case (acc, (dg, e)) => acc.when(col("digit") === dg, lit(e))
+        }
+        byDigit.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            (col("n").cast("double") / col("total").cast("double"))
+              .as("share"),
+            expCol.as("benford_expected"))
+          .orderBy("digit")
+      },
+      Some {
+        // CAST('<shortest-repr>' AS DOUBLE): a bare decimal literal
+        // would parse as DECIMAL in DuckDB and round differently in the
+        // last ulp; the string cast is IEEE strtod on both engines
+        val cases = (1 to 9).map(i =>
+            s"WHEN $i THEN CAST('${math.log10(1.0 + 1.0 / i)}' AS DOUBLE)")
+          .mkString(" ")
+        s"""WITH c AS (
+              SELECT CAST(substr(CAST(
+                  CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT)
+                  AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              FROM lineitem
+              WHERE CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT) > 0),
+            g AS (SELECT digit, count(*) AS n FROM c GROUP BY digit),
+            t AS (SELECT count(*) AS total FROM c)
+            SELECT digit, n,
+              CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+              CASE digit $cases END AS benford_expected
+            FROM g, t ORDER BY digit"""
+      }),
+
+    // Time-of-week activity profile — the seasonality matrix behind
+    // every traffic dashboard: events and distinct users per (day-of-
+    // week, hour-of-day) cell, with each cell's share of total. Both
+    // calendar coordinates are INTEGER arithmetic on epoch micros
+    // ((epoch_day + 4) mod 7 pins Sunday=0 identically on both engines
+    // — no locale/ISO dayofweek() drift), so the profile is exact. Two
+    // map-side-combined aggregates + one broadcast 1-row total; cells
+    // are bounded at 168 forever.
+    QueryDef(
+      "q_time_profile",
+      (s, dir) => {
+        val DayUs = 86400000000L
+        val HourUs = 3600000000L
+        val e = Tables.loadEvents(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .select(col("user_id"),
+            expr(s"((us div $DayUs) + 4) % 7").as("dow"),
+            expr(s"(us % $DayUs) div $HourUs").as("hour"))
+        val cells = e.groupBy("dow", "hour").agg(
+          count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"))
+        val tot = e.agg(count(lit(1)).as("total"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("dow"), col("hour"), col("n"), col("n_users"),
+            (col("n").cast("double") / col("total").cast("double"))
+              .as("share"))
+          .orderBy("dow", "hour")
+      },
+      Some("""WITH e AS (
+                SELECT user_id,
+                  ((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) + 4) % 7
+                    AS dow,
+                  (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000)
+                    // 3600000000 AS hour
+                FROM events),
+              g AS (
+                SELECT dow, hour, count(*) AS n,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+                FROM e GROUP BY dow, hour),
+              t AS (SELECT count(*) AS total FROM e)
+              SELECT dow, hour, n, n_users,
+                CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+              FROM g, t ORDER BY dow, hour"""))
   )
 }
