@@ -39,7 +39,11 @@ object GrowthBench {
     "graph_pagerank" -> "~linear x iters (equi-join per iter)",
     "graph_triangles" -> "edges^1.5 worst case (oriented wedges)",
     "text_bm25" -> "~linear (per-doc terms, DF-capped)",
-    "text_bpe_encode" -> "~linear (map-only encode after train)")
+    "text_bpe_encode" -> "~linear (map-only encode after train)",
+    "graph_neighbor_sim" -> "sum deg^2 (wedge join, DF-capped)",
+    "mm_phash_neardup" -> "~linear x collisions (4-bit chunk buckets)",
+    "q_peak_concurrency" -> "linear (day-partitioned prefix sum)",
+    "text_pmi" -> "~linear (bigram counts + top-k)")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

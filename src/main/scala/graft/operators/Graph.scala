@@ -37,6 +37,7 @@ object Graph {
   private val Iters = 3
   private val WalkSteps = 3
   private val KcoreRounds = 3
+  private val BfsHops = 2
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -309,7 +310,55 @@ object Graph {
           .select(col("u").as("doc_id"), col("core_degree"))
           .orderBy("doc_id")
       },
-      Some(KcoreOracleSql))
+      Some(KcoreOracleSql)),
+
+    // Multi-source BFS via SQL:1999 WITH RECURSIVE — every node's 2-hop
+    // neighborhood with exact hop distances, the friend-of-friend
+    // relation candidate generators expand on. The recursion is
+    // declared, not hand-scheduled: Catalyst's recursive-CTE execution
+    // runs one frontier×edges equi-join per level (the same physical
+    // step the hand-rolled pagerank/walk loops issue), the hop guard
+    // bounds depth, and the closing min/GROUP BY collapses the UNION
+    // ALL path multiset to shortest distances. Work ∝ bounded-depth
+    // path count (wedge-mass at depth 2, the same DF-capped quantity as
+    // graph_neighbor_sim/triangles) — never all-pairs. The oracle runs
+    // the IDENTICAL recursive SQL.
+    QueryDef(
+      "graph_bfs_2hop",
+      (s, dir) => {
+        Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select("a_id", "b_id")
+          .createOrReplaceTempView("graft_neardup_pairs")
+        s.sql(s"""
+          WITH RECURSIVE e AS (
+            SELECT a_id AS u, b_id AS v FROM graft_neardup_pairs
+            UNION ALL
+            SELECT b_id, a_id FROM graft_neardup_pairs),
+          reach(src, node, hop) AS (
+            SELECT u, u, 0 FROM (SELECT DISTINCT u FROM e)
+            UNION ALL
+            SELECT r.src, e2.v, r.hop + 1
+            FROM reach r JOIN e e2 ON e2.u = r.node
+            WHERE r.hop < $BfsHops)
+          SELECT src, node, CAST(min(hop) AS BIGINT) AS dist
+          FROM reach GROUP BY src, node
+          ORDER BY src, node""")
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.JaccardPairsCte},
+            e AS (
+              SELECT a_id AS u, b_id AS v FROM pairs
+              UNION ALL
+              SELECT b_id, a_id FROM pairs),
+            reach(src, node, hop) AS (
+              SELECT u, u, 0 FROM (SELECT DISTINCT u FROM e)
+              UNION ALL
+              SELECT r.src, e2.v, r.hop + 1
+              FROM reach r JOIN e e2 ON e2.u = r.node
+              WHERE r.hop < $BfsHops)
+          SELECT src, node, CAST(min(hop) AS BIGINT) AS dist
+          FROM reach GROUP BY src, node
+          ORDER BY src, node"""))
   )
 
   /** DuckDB replay of the synchronous LPA rounds — generated like
