@@ -1462,7 +1462,53 @@ object Dedup {
                  CAST(1 AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS weight
                FROM lab
                WINDOW w AS (PARTITION BY rep_id)
-               ORDER BY doc_id"""))
+               ORDER BY doc_id""")),
+
+    // Duplication profile — the curation-report view of the cluster map:
+    // how many near-dup families exist at each size, and how many
+    // documents they absorb. size 1 = unique documents; a heavy tail
+    // here (one family of 10⁶ copies) is the signal that triggers
+    // template-capping. Shape: the same connected-components loop as
+    // dedup_cluster, then TWO map-side-combined count aggregations
+    // (rep_id → family size → size histogram); the histogram relation is
+    // at most distinct-sizes rows, so the final sort is over a tiny
+    // relation at any corpus scale.
+    QueryDef(
+      "dedup_cluster_sizes",
+      (s, dir) => {
+        val pairs = jaccardPairs(shingled(s, dir))
+          .filter(col("jaccard") >= JaccardThreshold)
+          .select("a_id", "b_id")
+        val docs = Tables.load(s, dir, "documents").select("doc_id")
+        connectedComponents(docs, pairs)
+          .groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("cluster_size")).as("n_docs"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE $JaccardPairsCte,
+               edges AS (
+                 SELECT a_id AS u, b_id AS v FROM pairs
+                 UNION ALL SELECT b_id, a_id FROM pairs),
+               reach(u, v) AS (
+                 SELECT u, v FROM edges
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+               rep AS (
+                 SELECT u AS doc_id, least(u, min(v)) AS rep_id
+                 FROM reach GROUP BY u),
+               lab AS (
+                 SELECT doc.doc_id, COALESCE(rep.rep_id, doc.doc_id) AS rep_id
+                 FROM documents doc LEFT JOIN rep ON doc.doc_id = rep.doc_id),
+               fam AS (
+                 SELECT rep_id, count(*) AS cluster_size
+                 FROM lab GROUP BY rep_id)
+               SELECT cluster_size,
+                 CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(sum(cluster_size) AS BIGINT) AS n_docs
+               FROM fam GROUP BY cluster_size
+               ORDER BY cluster_size"""))
   )
 
   /** Oracle for dedup_eval: exact-Jaccard truth + both generators'

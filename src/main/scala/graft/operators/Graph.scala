@@ -38,6 +38,7 @@ object Graph {
   private val WalkSteps = 3
   private val KcoreRounds = 3
   private val BfsHops = 2
+  private val PprSeedMod = 20L // seeds = doc_id % 20 == 0 (~5% of corpus)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -358,7 +359,56 @@ object Graph {
               WHERE r.hop < $BfsHops)
           SELECT src, node, CAST(min(hop) AS BIGINT) AS dist
           FROM reach GROUP BY src, node
-          ORDER BY src, node"""))
+          ORDER BY src, node""")),
+
+    // Personalized PageRank — rank relative to a SEED SET rather than the
+    // uniform prior: restart mass goes only to seeds (doc_id % 20 == 0,
+    // the "trusted/curated subset" handle), so the score measures
+    // proximity to the seeds through the near-dup graph. This is the
+    // TrustRank / seeded-expansion primitive a curation pipeline uses to
+    // grow a vetted corpus: high-PPR non-seeds are the documents most
+    // entangled with the trusted set. Arithmetic is the SAME quantized-
+    // integer scheme as graph_pagerank (Q = 10^12, damping 85/100,
+    // 64-bit `div` only — no float in any aggregate) so the DuckDB
+    // oracle replays the three iterations CTE-for-CTE; the only deltas
+    // are the seed-indicator base term and the seed-count normalizer
+    // (one bounded driver scalar, like pagerank's N). Scale shape is
+    // unchanged: one equi-join + one map-side-combined aggregation per
+    // iteration, shuffle ∝ edges, never quadratic.
+    QueryDef(
+      "graph_ppr",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select("a_id", "b_id")
+        val edges = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("u", "v")
+        val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        val eD = edges.join(deg, "u").localCheckpoint()
+        val docs = Tables.load(s, dir, "documents").select("doc_id")
+        val isSeed = col("doc_id") % PprSeedMod === 0
+        val nSeeds = docs.filter(isSeed).count() // bounded driver scalar
+        require(nSeeds > 0, s"graph_ppr: no seeds (doc_id % $PprSeedMod)")
+        var r = docs.select(col("doc_id"),
+          when(isSeed, lit(Q / nSeeds)).otherwise(lit(0L)).as("r"))
+        for (_ <- 0 until Iters) {
+          val contrib = eD
+            .join(r.select(col("doc_id").as("u"), col("r")), "u")
+            .select(col("v"), expr("(85 * r) div (100 * deg)").as("c"))
+            .groupBy("v").agg(sum(col("c")).as("cs"))
+          r = docs
+            .join(contrib.select(col("v").as("doc_id"), col("cs")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (when(isSeed, lit(15L * Q / (100L * nSeeds))).otherwise(lit(0L))
+                + coalesce(col("cs"), lit(0L))).as("r"))
+        }
+        r.select(col("doc_id"), col("r").as("ppr_q"),
+            (col("r").cast("double") / lit(Q.toDouble)).as("ppr"))
+          .orderBy("doc_id")
+      },
+      Some(PprOracleSql))
   )
 
   /** DuckDB replay of the synchronous LPA rounds — generated like
@@ -420,6 +470,40 @@ object Graph {
           $iters
         SELECT doc_id, CAST(r AS BIGINT) AS pagerank_q,
           CAST(r AS DOUBLE) / ${Q.toDouble} AS pagerank
+        FROM r$Iters ORDER BY doc_id"""
+  }
+
+  /** DuckDB replay of the seeded iterations — generated like
+    * PagerankOracleSql so iteration count, seed rule, and integer
+    * arithmetic can never drift from the Spark loop. */
+  private lazy val PprOracleSql: String = {
+    val seedCount =
+      s"(SELECT count(*) FROM documents WHERE doc_id % $PprSeedMod = 0)"
+    val iters = (1 to Iters).map { i =>
+      s"""r$i AS (
+            SELECT doc.doc_id,
+              (CASE WHEN doc.doc_id % $PprSeedMod = 0
+                 THEN 15 * $Q // (100 * $seedCount) ELSE 0 END)
+                + COALESCE(c.cs, 0) AS r
+            FROM documents doc LEFT JOIN (
+              SELECT e.v, CAST(sum((85 * r.r) // (100 * dg.deg)) AS BIGINT) AS cs
+              FROM e JOIN deg dg ON e.u = dg.u
+                     JOIN r${i - 1} r ON r.doc_id = e.u
+              GROUP BY e.v) c ON c.v = doc.doc_id)"""
+    }.mkString(",\n")
+    s"""WITH ${Dedup.JaccardPairsCte},
+          e AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+          deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+          r0 AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % $PprSeedMod = 0
+                THEN $Q // $seedCount ELSE 0 END AS r
+            FROM documents),
+          $iters
+        SELECT doc_id, CAST(r AS BIGINT) AS ppr_q,
+          CAST(r AS DOUBLE) / ${Q.toDouble} AS ppr
         FROM r$Iters ORDER BY doc_id"""
   }
 

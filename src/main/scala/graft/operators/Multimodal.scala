@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.functions.EngineFns.hash31
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, decode / feature-extraction via `mapPartitions`
@@ -22,6 +24,24 @@ import graft.{QueryDef, Tables}
   * plumbing (schema, batching, partitioning) is unchanged.
   */
 object Multimodal {
+
+  /** Adjacent-frame energy jump (out of 1000) that counts as a scene
+    * cut — |delta| > 600 fires on ~16% of uniform frame pairs. */
+  private val SceneCutThreshold = 600L
+
+  /** The sampled frame stream with its deterministic per-frame energy —
+    * shared by mm_scene_cut and mm_keyframe so segmentation and keyframe
+    * selection can never disagree about the frames. The md5 energy is
+    * the documented decode stand-in (see mm_scene_cut). */
+  private def frameEnergies(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), pmod(col("n_chars"), lit(10L))))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long"),
+        (hash31(concat(lit("scene|"), col("doc_id").cast("string"),
+          lit(":"), col("frame_idx").cast("string"))) % 1000L)
+          .as("energy"))
 
   /** Typed record for the decode stage. */
   final case class MediaIn(doc_id: Long, payload: Array[Byte])
@@ -502,6 +522,125 @@ object Multimodal {
                  CAST(e.label AS BIGINT) AS label,
                  sqrt(${graft.functions.EngineFns.dotSql("e.embedding", "e.embedding")}) AS emb_norm
                FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-               ORDER BY sample_id"""))
+               ORDER BY sample_id""")),
+
+    // Video scene-cut detection over the sampled frame stream: the
+    // shot-boundary primitive a video-curation pipeline runs before
+    // per-scene captioning / frame selection. Frames come from the same
+    // sequence+explode sampler as mm_frame_sample; each frame carries a
+    // deterministic synthetic energy (md5-derived, SQL-expressible — the
+    // container has no video codec, so the decode is the documented fake;
+    // a production deployment swaps ONLY the energy column for a real
+    // per-frame luma/embedding stat, the detection plumbing is real). A
+    // cut is an adjacent-frame energy jump |e - lag(e)| > threshold,
+    // found with a per-media-item window (partitionBy doc_id — thousands
+    // of independent small windows, never a global sort; at 100 TB the
+    // shuffle is one hash partition pass over the frame stream, work ∝
+    // frames per item within each partition).
+    QueryDef(
+      "mm_scene_cut",
+      (s, dir) => {
+        val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+        frameEnergies(s, dir)
+          .withColumn("prev_e", lag(col("energy"), 1).over(w))
+          .filter(col("prev_e").isNotNull &&
+            abs(col("energy") - col("prev_e")) > SceneCutThreshold)
+          .select(col("doc_id"), col("frame_idx"),
+            (col("energy") - col("prev_e")).as("delta_e"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some(s"""WITH fr AS (
+                 SELECT doc_id,
+                   CAST(unnest(range(0, n_chars % 10 + 1)) AS BIGINT)
+                     AS frame_idx
+                 FROM documents),
+               en AS (
+                 SELECT doc_id, frame_idx,
+                   (CAST(concat('0x', substr(md5(concat('scene|',
+                       CAST(doc_id AS VARCHAR), ':',
+                       CAST(frame_idx AS VARCHAR))), 1, 15)) AS BIGINT)
+                     % 2147483647) % 1000 AS energy
+                 FROM fr),
+               lg AS (
+                 SELECT doc_id, frame_idx, energy,
+                   lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                     AS prev_e
+                 FROM en)
+               SELECT doc_id, frame_idx, energy - prev_e AS delta_e
+               FROM lg
+               WHERE prev_e IS NOT NULL
+                 AND abs(energy - prev_e) > $SceneCutThreshold
+               ORDER BY doc_id, frame_idx""")),
+
+    // Scene segmentation + keyframe selection — the step after cut
+    // detection: every frame gets a scene id (running count of cuts at
+    // or before it), and each scene elects ONE representative frame (max
+    // energy, lowest-index tie-break) — the frame a captioning/embedding
+    // stage would actually process, cutting downstream work from
+    // frames-per-video to scenes-per-video. Shape: the running cut
+    // count and the per-scene argmax are both windows clustered by
+    // doc_id — HashPartitioning(doc_id) satisfies the (doc_id, scene_id)
+    // distribution, so Catalyst reuses ONE hash exchange of the frame
+    // stream for both; no global sort anywhere.
+    QueryDef(
+      "mm_keyframe",
+      (s, dir) => {
+        val wSeq = Window.partitionBy("doc_id").orderBy("frame_idx")
+        val scenes = frameEnergies(s, dir)
+          .withColumn("prev_e", lag(col("energy"), 1).over(wSeq))
+          .withColumn("is_cut",
+            when(col("prev_e").isNotNull &&
+              abs(col("energy") - col("prev_e")) > SceneCutThreshold, 1L)
+              .otherwise(0L))
+          .withColumn("scene_id",
+            sum(col("is_cut")).over(
+              wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val wScene = Window.partitionBy("doc_id", "scene_id")
+        val wPick = wScene.orderBy(col("energy").desc, col("frame_idx").asc)
+        scenes
+          .withColumn("rk", row_number().over(wPick))
+          .withColumn("n_frames", count(lit(1)).over(wScene))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("scene_id"),
+            col("frame_idx").as("keyframe_idx"), col("energy"),
+            col("n_frames"))
+          .orderBy("doc_id", "scene_id")
+      },
+      Some(s"""WITH fr AS (
+                 SELECT doc_id,
+                   CAST(unnest(range(0, n_chars % 10 + 1)) AS BIGINT)
+                     AS frame_idx
+                 FROM documents),
+               en AS (
+                 SELECT doc_id, frame_idx,
+                   (CAST(concat('0x', substr(md5(concat('scene|',
+                       CAST(doc_id AS VARCHAR), ':',
+                       CAST(frame_idx AS VARCHAR))), 1, 15)) AS BIGINT)
+                     % 2147483647) % 1000 AS energy
+                 FROM fr),
+               lg AS (
+                 SELECT doc_id, frame_idx, energy,
+                   lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                     AS prev_e
+                 FROM en),
+               sc AS (
+                 SELECT doc_id, frame_idx, energy,
+                   CAST(sum(CASE WHEN prev_e IS NOT NULL
+                       AND abs(energy - prev_e) > $SceneCutThreshold
+                       THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY frame_idx
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+                 FROM lg),
+               pick AS (
+                 SELECT doc_id, scene_id, frame_idx, energy,
+                   row_number() OVER (PARTITION BY doc_id, scene_id
+                     ORDER BY energy DESC, frame_idx ASC) AS rk,
+                   CAST(count(*) OVER (PARTITION BY doc_id, scene_id)
+                     AS BIGINT) AS n_frames
+                 FROM sc)
+               SELECT doc_id, scene_id, frame_idx AS keyframe_idx,
+                 energy, n_frames
+               FROM pick WHERE rk = 1
+               ORDER BY doc_id, scene_id"""))
   )
 }

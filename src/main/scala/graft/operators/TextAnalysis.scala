@@ -50,6 +50,15 @@ object TextAnalysis {
   private val TempM = 1048576L
   private val TempC = 2L // rate = 2/sqrt(n_source): 0.4 at 25 docs/source
 
+  // DSIR importance resampling (sample_dsir): hashed word-bigram
+  // features in DsirB buckets, per-bucket target/raw ratio scaled to
+  // integers by DsirScale, keep-draw quantized to DsirM cells with an
+  // expected budget of 1/4 of the scored corpus.
+  private val DsirB = 64L
+  private val DsirScale = 1000L
+  private val DsirM = 1048576L
+  private val DsirBudget = DsirM / 4L
+
   /** Fraction of tokens that are stopwords — a classic quality signal. */
   def stopwordRatio(c: Column): Column = {
     val toks = tokens(c)
@@ -1344,7 +1353,105 @@ object TextAnalysis {
                      // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS pmi_q
               FROM cxy JOIN cx ca ON ca.tok = cxy.a
                        JOIN cx cb ON cb.tok = cxy.b, tot
-              ORDER BY pmi_q DESC, cxy.a, cxy.b LIMIT 20"""))
+              ORDER BY pmi_q DESC, cxy.a, cxy.b LIMIT 20""")),
+
+    // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): select raw-corpus
+    // documents that LOOK LIKE a target distribution, scored in a cheap
+    // hashed n-gram feature space rather than with a model. Features are
+    // word bigrams hashed into DsirB=64 buckets; the target distribution
+    // is the English subset (the stand-in for "trusted domain"), the raw
+    // distribution is the whole corpus. Per-bucket importance ratio
+    // lambda_b = (DsirScale * (t_b+1)) div (r_b+1) — add-one smoothed,
+    // integer-scaled, and since target ⊆ raw it is bounded by DsirScale,
+    // so per-doc scores (sum of lambda over the doc's bigram
+    // occurrences) stay far below 2^63. Selection replaces DSIR's
+    // Gumbel-top-k (a global sort) with the scale-safe equivalent: a
+    // deterministic md5 uniform u and the Bernoulli gate
+    // u * s_sum < score * n_docs * DsirBudget — expected keep rate
+    // budget/M weighted by score, evaluated EXACTLY with both products
+    // in DECIMAL(38,0) (oracle: HUGEINT), so no float enters the gate.
+    // Shape: one bigram explode feeding two 64-row aggregates (broadcast
+    // back), one doc-keyed map-side-combined score aggregate, one 1-row
+    // stats broadcast, then a map-only gate — no corpus-scale shuffle
+    // beyond the single score aggregation at any corpus size.
+    QueryDef(
+      "sample_dsir",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val ts = tokens(col("text"))
+        // slice+arrays_zip, not a transform() lambda (the interpreted-
+        // lambda hazard documented at text_lm_score)
+        val bg = d.select(col("doc_id"), col("lang"),
+            explode(when(size(ts) >= 2,
+              arrays_zip(
+                slice(ts, lit(1), size(ts) - 1).as("w1"),
+                slice(ts, lit(2), size(ts) - 1).as("w2")))
+              .otherwise(expr(
+                "cast(array() as array<struct<w1:string,w2:string>>)")))
+              .as("b"))
+          .select(col("doc_id"), col("lang"),
+            (hash31(concat(lit("dsir|"), col("b.w1"), lit(" "), col("b.w2")))
+              % DsirB).as("bucket"))
+          .localCheckpoint() // feeds raw counts, target counts, scoring
+        val raw = bg.groupBy("bucket").agg(count(lit(1)).as("r_b"))
+        val tgt = bg.filter(col("lang") === "en")
+          .groupBy("bucket").agg(count(lit(1)).as("t_b"))
+        val lam = raw.join(tgt, Seq("bucket"), "left")
+          .select(col("bucket"),
+            expr(s"($DsirScale * (coalesce(t_b, 0) + 1)) div (r_b + 1)")
+              .as("lam"))
+        val score = bg.join(broadcast(lam), "bucket")
+          .groupBy("doc_id").agg(sum(col("lam")).as("score_q"))
+        val stats = score
+          .agg(count(lit(1)).as("n_docs"), sum(col("score_q")).as("s_sum"))
+          .select(col("s_sum"), (col("n_docs") * lit(DsirBudget)).as("nb"))
+        val u = hash31(concat(lit("dsir|"), col("doc_id").cast("string"))) %
+          DsirM
+        d.select(col("doc_id"), col("lang"))
+          .join(score, "doc_id") // bigram-less docs carry no evidence: drop
+          .crossJoin(broadcast(stats))
+          .withColumn("u", u)
+          .filter(col("u").cast("decimal(19,0)") *
+              col("s_sum").cast("decimal(19,0)") <
+            col("score_q").cast("decimal(19,0)") *
+              col("nb").cast("decimal(19,0)"))
+          .select(col("doc_id"), col("lang"), col("score_q"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+                 SELECT doc_id, lang, string_split(text, ' ') AS w
+                 FROM documents),
+               bg AS (
+                 SELECT doc_id, lang,
+                   ((CAST(concat('0x', substr(md5(concat('dsir|', w[i],
+                       ' ', w[i+1])), 1, 15)) AS BIGINT)
+                     % 2147483647) % $DsirB) AS bucket
+                 FROM tk, LATERAL
+                   (SELECT unnest(range(1, len(w))) AS i) ix),
+               rawc AS (SELECT bucket, count(*) AS r_b FROM bg
+                        GROUP BY bucket),
+               tgtc AS (SELECT bucket, count(*) AS t_b FROM bg
+                        WHERE lang = 'en' GROUP BY bucket),
+               lam AS (
+                 SELECT rawc.bucket,
+                   ($DsirScale * (COALESCE(t_b, 0) + 1)) // (r_b + 1) AS lam
+                 FROM rawc LEFT JOIN tgtc USING (bucket)),
+               sc AS (
+                 SELECT doc_id, CAST(sum(lam) AS BIGINT) AS score_q
+                 FROM bg JOIN lam USING (bucket) GROUP BY doc_id),
+               st AS (
+                 SELECT CAST(sum(score_q) AS BIGINT) AS s_sum,
+                        count(*) * $DsirBudget AS nb
+                 FROM sc)
+               SELECT d.doc_id, d.lang, sc.score_q
+               FROM documents d JOIN sc USING (doc_id), st
+               WHERE CAST((CAST(concat('0x', substr(md5(concat('dsir|',
+                       CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                     % 2147483647) % $DsirM AS HUGEINT)
+                   * CAST(st.s_sum AS HUGEINT)
+                 < CAST(sc.score_q AS HUGEINT) * CAST(st.nb AS HUGEINT)
+               ORDER BY d.doc_id"""))
   )
 
   /** Run the BPE merge-training rounds corpus-parallel; returns the

@@ -41,6 +41,32 @@ class GraphSpec extends AnyFunSuite {
     assert(out.values.sum <= 1000000000000L)
   }
 
+  test("ppr: seed hub dominates, leaves get seed mass, isolated get zero") {
+    // on this fixture the only doc_id % 20 == 0 node is the hub (0), so
+    // personalized pagerank == proximity to the hub
+    val out = Registry.byName("graph_ppr").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ppr_q")).toMap
+    assert(out.size === 8)
+    val leafRanks = (1L to 5L).map(out)
+    assert(leafRanks.distinct.size === 1, "symmetric leaves must tie")
+    assert(out(0L) > leafRanks.head, "seed keeps the restart mass")
+    assert(leafRanks.head > 0L, "leaves receive propagated seed mass")
+    // unlike uniform pagerank, nodes unreachable from the seed set hold
+    // exactly ZERO mass — no base term for non-seeds
+    assert(out(6L) === 0L)
+    assert(out(7L) === 0L)
+    assert(out.values.sum <= 1000000000000L)
+  }
+
+  test("cluster-size histogram: one 6-doc star family plus two singletons") {
+    val out = Registry.byName("dedup_cluster_sizes").run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs"))).toSeq
+    assert(out === Seq((1L, 2L, 2L), (6L, 1L, 6L)))
+    // the histogram is a lossless partition of the corpus
+    assert(out.map(_._3).sum === 8L)
+  }
+
   /** Planted triangle: docs 0/1/2 all share one trigram (3-clique);
     * docs 3/4 share another (single edge, no triangle). */
   private lazy val triDir: String = {

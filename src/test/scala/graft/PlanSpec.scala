@@ -662,4 +662,31 @@ class PlanSpec extends AnyFunSuite {
       s"10-query side should broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("DSIR gate: 64-row lambda table and 1-row stats broadcast, no cartesian") {
+    val p = plan("sample_dsir")
+    // the bucket-ratio join and the stats crossJoin must both broadcast
+    // (the corpus side is never shuffled for either)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, s"lambda join not broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"1-row stats frame not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+  }
+
+  test("scene cut windows per media item — no global-sort funnel") {
+    val p = plan("mm_scene_cut")
+    assert(p.contains("Window"), s"no window in:\n$p")
+    // the lag window partitions by doc_id; only the final presentation
+    // ORDER BY may funnel
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      s"lag window runs on a single partition:\n$p")
+  }
+
+  test("personalized pagerank iterations are equi-joins, never cartesian") {
+    val p = plan("graph_ppr")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ppr:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in ppr:\n$p")
+  }
 }
