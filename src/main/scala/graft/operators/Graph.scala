@@ -152,21 +152,7 @@ object Graph {
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
           .toDF("u", "v").localCheckpoint()
         val docs = Tables.load(s, dir, "documents").select("doc_id")
-        var lbl = docs.select(col("doc_id"), col("doc_id").as("label"))
-        for (_ <- 0 until Iters) {
-          val neigh = edges
-            .join(lbl.select(col("doc_id").as("u"), col("label")), "u")
-            .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
-          val w = Window.partitionBy("v")
-            .orderBy(col("c").desc, col("label"))
-          val winner = neigh.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("v").as("doc_id"), col("label").as("new_label"))
-          lbl = docs.join(lbl, "doc_id")
-            .join(winner, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("new_label"), col("label")).as("label"))
-        }
+        val lbl = lpaLabels(docs, edges)
         val sizes = lbl.groupBy("label")
           .agg(count(lit(1)).as("community_size"))
         lbl.join(sizes, "label")
@@ -408,39 +394,105 @@ object Graph {
             (col("r").cast("double") / lit(Q.toDouble)).as("ppr"))
           .orderBy("doc_id")
       },
-      Some(PprOracleSql))
+      Some(PprOracleSql)),
+
+    // Newman modularity of the label-propagation communities — the
+    // standard "did the clustering find real structure?" scorecard
+    // (Q = intra/m − Σ_c D_c²/(4m²); Q near 0 means the partition is no
+    // better than random, Q > ~0.3 means strong community structure).
+    // Runs the SAME lpaLabels rounds as graph_labelprop (shared helper,
+    // shared oracle CTE) so the score can never drift from the reported
+    // communities. All counts are exact integers (degree-square products
+    // through 128-bit arithmetic); the closing Q is two IEEE divisions +
+    // one subtraction in a pinned operand order, replayed identically by
+    // the oracle. Shape: beyond the LPA rounds, one pairs×labels×labels
+    // equi-join for intra counts, one degree aggregate, one per-community
+    // sum — every relation after the edge list is community- or
+    // 1-row-sized, and the three 1-row stats frames combine by broadcast.
+    QueryDef(
+      "graph_modularity",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select("a_id", "b_id").localCheckpoint()
+        val edges = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("u", "v")
+        val docs = Tables.load(s, dir, "documents").select("doc_id")
+        val lbl = lpaLabels(docs, edges).localCheckpoint()
+        val mDf = pairs.agg(count(lit(1)).as("m"))
+        val intraDf = pairs
+          .join(lbl.select(col("doc_id").as("a_id"), col("label").as("la")),
+            "a_id")
+          .join(lbl.select(col("doc_id").as("b_id"), col("label").as("lb")),
+            "b_id")
+          .filter(col("la") === col("lb"))
+          .agg(count(lit(1)).as("intra_edges"))
+        val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        val s2 = deg
+          .join(lbl.select(col("doc_id").as("u"), col("label")), "u")
+          .groupBy("label").agg(sum(col("deg")).as("d_c"))
+          .agg(sum(expr(
+            "CAST(d_c AS DECIMAL(19,0)) * CAST(d_c AS DECIMAL(19,0))"))
+            .cast("long").as("sum_deg_sq"))
+        mDf.crossJoin(broadcast(intraDf)).crossJoin(broadcast(s2))
+          .select(col("m"), col("intra_edges"), col("sum_deg_sq"),
+            expr("""CAST(intra_edges AS DOUBLE) / CAST(m AS DOUBLE)
+                    - CAST(sum_deg_sq AS DOUBLE)
+                      / (4.0D * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))""")
+              .as("modularity"))
+      },
+      Some(ModularityOracleSql))
   )
 
   /** DuckDB replay of the synchronous LPA rounds — generated like
     * PagerankOracleSql so round count and tie-break can never drift. */
-  private lazy val LabelPropOracleSql: String = {
-    val rounds = (1 to Iters).map { i =>
-      s"""l$i AS (
-            SELECT d.doc_id, COALESCE(w.new_label, p.label) AS label
-            FROM documents d
-            JOIN l${i - 1} p ON p.doc_id = d.doc_id
-            LEFT JOIN (
-              SELECT v, label AS new_label FROM (
-                SELECT e.v, l.label, count(*) AS c,
-                  row_number() OVER (PARTITION BY e.v
-                    ORDER BY count(*) DESC, l.label) AS rn
-                FROM e JOIN l${i - 1} l ON l.doc_id = e.u
-                GROUP BY e.v, l.label) t
-              WHERE rn = 1) w ON w.v = d.doc_id)"""
-    }.mkString(",\n")
+  private lazy val LabelPropOracleSql: String =
     s"""WITH ${Dedup.JaccardPairsCte},
           e AS (
             SELECT a_id AS u, b_id AS v FROM pairs
             UNION ALL SELECT b_id, a_id FROM pairs),
-          l0 AS (SELECT doc_id, doc_id AS label FROM documents),
-          $rounds
+          $LpaRoundsCte
         SELECT f.doc_id, f.label AS community,
           sz.community_size
         FROM l$Iters f JOIN (
           SELECT label, CAST(count(*) AS BIGINT) AS community_size
           FROM l$Iters GROUP BY label) sz ON sz.label = f.label
         ORDER BY f.doc_id"""
-  }
+
+  /** DuckDB replay of the modularity scorecard over the SAME LPA rounds
+    * CTE the labelprop oracle uses. The closing arithmetic is written
+    * with the identical operand order as the Spark expr (two divisions,
+    * one left-associated product, one subtraction — all IEEE double), so
+    * the score matches bit-for-bit. */
+  private lazy val ModularityOracleSql: String =
+    s"""WITH ${Dedup.JaccardPairsCte},
+          e AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+          $LpaRoundsCte,
+          deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+          mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+          intra AS (
+            SELECT CAST(count(*) AS BIGINT) AS intra_edges
+            FROM pairs p
+            JOIN l$Iters x ON x.doc_id = p.a_id
+            JOIN l$Iters y ON y.doc_id = p.b_id
+            WHERE x.label = y.label),
+          dc AS (
+            SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d_c
+            FROM deg d JOIN l$Iters l ON l.doc_id = d.u
+            GROUP BY l.label),
+          s2 AS (
+            SELECT CAST(sum(CAST(d_c AS HUGEINT) * d_c) AS BIGINT)
+              AS sum_deg_sq
+            FROM dc)
+        SELECT mm.m, intra.intra_edges, s2.sum_deg_sq,
+          CAST(intra.intra_edges AS DOUBLE) / CAST(mm.m AS DOUBLE)
+            - CAST(s2.sum_deg_sq AS DOUBLE)
+              / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
+            AS modularity
+        FROM mm, intra, s2"""
 
   /** DuckDB replay of the quantized iterations — generated so iteration
     * count and arithmetic can never drift from the Spark loop. `//` and
@@ -471,6 +523,50 @@ object Graph {
         SELECT doc_id, CAST(r AS BIGINT) AS pagerank_q,
           CAST(r AS DOUBLE) / ${Q.toDouble} AS pagerank
         FROM r$Iters ORDER BY doc_id"""
+  }
+
+  /** The synchronous label-propagation rounds — shared by
+    * graph_labelprop and graph_modularity so the communities scored are
+    * exactly the communities reported. One edges×labels equi-join, one
+    * (v,label) count, one per-v argmax window per round. */
+  private def lpaLabels(docs: DataFrame, edges: DataFrame): DataFrame = {
+    var lbl = docs.select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 0 until Iters) {
+      val neigh = edges
+        .join(lbl.select(col("doc_id").as("u"), col("label")), "u")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("v")
+        .orderBy(col("c").desc, col("label"))
+      val winner = neigh.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v").as("doc_id"), col("label").as("new_label"))
+      lbl = docs.join(lbl, "doc_id")
+        .join(winner, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+    }
+    lbl
+  }
+
+  /** The LPA rounds as DuckDB CTEs (l0..lIters over relations `e` and
+    * `documents`) — shared by the labelprop and modularity oracles. */
+  private lazy val LpaRoundsCte: String = {
+    val rounds = (1 to Iters).map { i =>
+      s"""l$i AS (
+            SELECT d.doc_id, COALESCE(w.new_label, p.label) AS label
+            FROM documents d
+            JOIN l${i - 1} p ON p.doc_id = d.doc_id
+            LEFT JOIN (
+              SELECT v, label AS new_label FROM (
+                SELECT e.v, l.label, count(*) AS c,
+                  row_number() OVER (PARTITION BY e.v
+                    ORDER BY count(*) DESC, l.label) AS rn
+                FROM e JOIN l${i - 1} l ON l.doc_id = e.u
+                GROUP BY e.v, l.label) t
+              WHERE rn = 1) w ON w.v = d.doc_id)"""
+    }.mkString(",\n")
+    s"""l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+        $rounds"""
   }
 
   /** DuckDB replay of the seeded iterations — generated like

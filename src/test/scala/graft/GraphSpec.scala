@@ -58,6 +58,21 @@ class GraphSpec extends AnyFunSuite {
     assert(out.values.sum <= 1000000000000L)
   }
 
+  test("modularity on the triangle+pair fixture matches the hand computation") {
+    // LPA(3 rounds) on triDir: the 3-clique {0,1,2} collapses to label 0;
+    // the 3-4 pair oscillates into two singleton communities. So
+    // m = 4 edges, intra = 3 (the clique's), degrees (2,2,2,1,1) give
+    // D_c in {6,1,1} -> sum_deg_sq = 38, and
+    // Q = 3/4 - 38/64 = 0.15625 EXACTLY (both terms are binary fractions).
+    val r = Registry.byName("graph_modularity").run(spark, triDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("m") === 4L)
+    assert(row.getAs[Long]("intra_edges") === 3L)
+    assert(row.getAs[Long]("sum_deg_sq") === 38L)
+    assert(row.getAs[Double]("modularity") === 0.15625)
+  }
+
   test("cluster-size histogram: one 6-doc star family plus two singletons") {
     val out = Registry.byName("dedup_cluster_sizes").run(spark, dir).collect()
       .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
