@@ -773,8 +773,107 @@ object Similarity {
         v.zipWithIndex.map { case (w, k) => (k.toLong, w) }.toSeq
           .toDF("dim", "weight").orderBy("dim")
       },
-      Some(PcaPowerOracleSql))
+      Some(PcaPowerOracleSql)),
+
+    // The IVF recall/cost CURVE — the table an engineer actually reads
+    // when setting nprobe: one row per probe count with macro recall@k
+    // against exact brute force AND the true scan cost (candidates
+    // touched, counted from the IDENTICAL candidate relation the search
+    // ranks — ivfCandidatesFor feeds both, so the cost shown is the
+    // cost paid). Same scorecard discipline as sim_ann_recall /
+    // dedup_eval: sub-pipelines are the registry's own building blocks
+    // re-invoked, every count exact, one IEEE division per row. Shape:
+    // the exact side is the gated NumQueries broadcast join; each leg
+    // adds one inverted-list equi-join (work ∝ probed-list sizes) and
+    // three 1-row aggregates combined by broadcast.
+    QueryDef(
+      "sim_ivf_tradeoff",
+      (s, dir) => {
+        val exact = graft.Registry.byName("sim_topk_bruteforce")
+          .run(s, dir).select(col("q_id"), col("vec_id")).localCheckpoint()
+        val queries = embParallel(s, dir).filter(col("vec_id") < NumQueries)
+        def leg(nprobe: Int): DataFrame = {
+          val cand = ivfCandidatesFor(s, dir, nprobe, queries)
+            .localCheckpoint() // feeds both the top-k and the cost count
+          val ann = ivfTopKOf(cand)
+            .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
+          val hits = exact
+            .join(ann, col("q_id") === col("a_qid") &&
+              col("vec_id") === col("a_vid"), "left_semi")
+            .agg(count(lit(1)).as("n_hit"))
+          val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+          exact.agg(count(lit(1)).as("n_exact"))
+            .crossJoin(broadcast(hits)).crossJoin(broadcast(nCand))
+            .select(lit(nprobe.toLong).as("nprobe"), col("n_exact"),
+              col("n_hit"), col("n_candidates"),
+              (col("n_hit").cast("double") / col("n_exact").cast("double"))
+                .as("recall"))
+        }
+        leg(1).union(leg(2)).orderBy("nprobe")
+      },
+      Some(IvfTradeoffOracleSql))
   )
+
+  /** DuckDB replay of the nprobe sweep: shared exact-top-k and IVF
+    * assignment CTEs, one candidates/ann/counts leg generated per probe
+    * count — the same construction as ivfOracleSql so the probed lists
+    * can never drift from what sim_ann_ivf itself searches. */
+  private lazy val IvfTradeoffOracleSql: String = {
+    val legs = Seq(1, 2).map { np =>
+      s"""cand$np AS (
+            SELECT qa.q_id, a.vec_id,
+              ${cosineSql("qa.q_emb", "a.embedding")} AS cos
+            FROM assigned a JOIN qa
+              ON a.list_id = qa.list_id AND a.vec_id != qa.q_id
+            WHERE qa.arn <= $np),
+          ann$np AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id) AS rank
+              FROM cand$np) t
+            WHERE rank <= $TopK),
+          leg$np AS (
+            SELECT CAST($np AS BIGINT) AS nprobe,
+              (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+              (SELECT CAST(count(*) AS BIGINT) FROM exact e
+                 JOIN ann$np a
+                 ON e.q_id = a.q_id AND e.vec_id = a.vec_id) AS n_hit,
+              (SELECT CAST(count(*) AS BIGINT) FROM cand$np)
+                AS n_candidates)"""
+    }.mkString(",\n")
+    s"""WITH qv AS (SELECT vec_id AS q_id, embedding AS q_emb
+                    FROM embeddings WHERE vec_id < $NumQueries),
+          ec AS (SELECT q_id, vec_id,
+                   ${cosineSql("q_emb", "embedding")} AS cos
+                 FROM qv, embeddings WHERE vec_id != q_id),
+          er AS (SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, vec_id) AS rank
+                 FROM ec),
+          exact AS (SELECT q_id, vec_id FROM er WHERE rank <= $TopK),
+          cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+                   FROM embeddings WHERE vec_id % 50 = 0),
+          scored AS (SELECT e.vec_id, e.embedding, cent.c_id,
+                       ${cosineSql("e.embedding", "cent.c_emb")} AS c_cos
+                     FROM embeddings e, cent),
+          ranked AS (
+            SELECT vec_id, embedding, c_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY c_cos DESC, c_id) AS arn
+            FROM scored),
+          assigned AS (
+            SELECT vec_id, embedding, c_id AS list_id
+            FROM ranked WHERE arn = 1),
+          qa AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                   c_id AS list_id, arn
+                 FROM ranked WHERE arn <= 2 AND vec_id < $NumQueries),
+          $legs,
+          u AS (SELECT * FROM leg1 UNION ALL SELECT * FROM leg2)
+        SELECT nprobe, n_exact, n_hit, n_candidates,
+          CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+        FROM u ORDER BY nprobe"""
+  }
 
   /** DuckDB replay of the 3 quantized power iterations (same folds, same
     * integer quantization, same decimal sums) — built programmatically so
@@ -829,7 +928,11 @@ object Similarity {
     * (StreamOps.streamAnnProbe) passes each micro-batch. Queries
     * broadcast; the corpus is touched once per call through the
     * list-keyed equi-join. */
-  private[graft] def ivfSearchFor(s: SparkSession, dir: String,
+  /** The scanned (query, candidate, cos) relation at the given probe
+    * count — everything ivfSearchFor does except the closing top-k, so
+    * the tradeoff scorecard can count the TRUE cost (candidates scanned)
+    * of each nprobe setting from the identical plan. */
+  private[graft] def ivfCandidatesFor(s: SparkSession, dir: String,
       nprobe: Int, queries: DataFrame): DataFrame = {
     val e = embParallel(s, dir)
     val centroids = broadcast(
@@ -847,16 +950,25 @@ object Similarity {
       assign(queries).filter(col("arn") <= nprobe)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("c_id").as("list_id")))
-    val wRank = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
     assigned.join(q, Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("list_id").cast("long"),
         CosineSimilarity(s, col("q_emb"), col("embedding")).as("cos"))
+  }
+
+  /** Per-query cosine top-k over a candidate relation. */
+  private[graft] def ivfTopKOf(cand: DataFrame): DataFrame = {
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= TopK)
       .orderBy("q_id", "rank")
   }
+
+  private[graft] def ivfSearchFor(s: SparkSession, dir: String,
+      nprobe: Int, queries: DataFrame): DataFrame =
+    ivfTopKOf(ivfCandidatesFor(s, dir, nprobe, queries))
 
   /** DuckDB mirror of ivfTopK at the given probe count. */
   private[graft] def ivfOracleSql(nprobe: Int): String =

@@ -237,4 +237,29 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(exactCos(embMap(s0), embMap(n0)) - c) < 1e-12)
     }
   }
+
+  test("ivf tradeoff: legs agree with the registry's own IVF searches") {
+    val t = Registry.byName("sim_ivf_tradeoff").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => r.getAs[Long]("nprobe") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("n_candidates"), r.getAs[Double]("recall")))
+      .toMap
+    assert(t.keySet === Set(1L, 2L))
+    // probing a second list can only add candidates and recall
+    assert(t(2L)._3 >= t(1L)._3, "nprobe=2 must scan at least as much")
+    assert(t(2L)._2 >= t(1L)._2, "nprobe=2 hits can only grow")
+    // drift-proof: n_hit must equal the overlap of the registry's OWN
+    // brute-force and IVF outputs, recomputed here independently
+    val exact = Registry.byName("sim_topk_bruteforce").run(spark, TestSpark.sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    Seq(1L -> "sim_ann_ivf", 2L -> "sim_ann_ivf_nprobe2").foreach {
+      case (np, name) =>
+        val ann = Registry.byName(name).run(spark, TestSpark.sf).collect()
+          .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+        assert(t(np)._2 === (exact & ann).size.toLong,
+          s"$name: scorecard n_hit drifted from the registry outputs")
+        assert(t(np)._4 === (exact & ann).size.toDouble / exact.size)
+    }
+  }
 }
