@@ -29,6 +29,37 @@ object Multimodal {
     * cut — |delta| > 600 fires on ~16% of uniform frame pairs. */
   private val SceneCutThreshold = 600L
 
+  /** Silence threshold: a frame is quiet when its integer energy
+    * satisfies sum_sq < SilenceThresh * n_samples (exact — no division);
+    * 2015 sits at the corpus median of mean_sq. */
+  private val SilenceThresh = 2015L
+
+  /** Audio frame energies (doc_id, frame_idx, sum_sq, n_samples) over
+    * the WAV payload bodies as centered u8 PCM, 4 equal frames per clip
+    * — shared by mm_audio_energy and mm_silence_segments so the energy
+    * both report is computed once, by one parser. mapPartitions over the
+    * typed Dataset: map-only, 4 rows out per clip at any scale. */
+  private def audioFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), payloadCol.as("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.flatMap { in =>
+        val b = in.payload
+        val L = b.length - 16
+        (0 until 4).map { f =>
+          val lo = 16 + (L.toLong * f / 4).toInt
+          val hi = 16 + (L.toLong * (f + 1) / 4).toInt
+          val ss = (lo until hi).map { j =>
+            val v = (b(j) & 0xff).toLong - 128L; v * v
+          }.sum
+          (in.doc_id, f.toLong, ss, (hi - lo).toLong)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "sum_sq", "n_samples")
+  }
+
   /** The sampled frame stream with its deterministic per-frame energy —
     * shared by mm_scene_cut and mm_keyframe so segmentation and keyframe
     * selection can never disagree about the frames. The md5 energy is
@@ -448,28 +479,11 @@ object Multimodal {
     // frame from the planted payload recipe (body = ASCII text bytes).
     QueryDef(
       "mm_audio_energy",
-      (s, dir) => {
-        import s.implicits._
-        docs(s, dir)
-          .filter(col("doc_id") % 2 === 1)
-          .select(col("doc_id"), payloadCol.as("payload"))
-          .as[MediaIn]
-          .mapPartitions(_.flatMap { in =>
-            val b = in.payload
-            val L = b.length - 16
-            (0 until 4).map { f =>
-              val lo = 16 + (L.toLong * f / 4).toInt
-              val hi = 16 + (L.toLong * (f + 1) / 4).toInt
-              val ss = (lo until hi).map { j =>
-                val v = (b(j) & 0xff).toLong - 128L; v * v
-              }.sum
-              (in.doc_id, f.toLong, ss, (hi - lo).toLong,
-                ss.toDouble / (hi - lo).toDouble)
-            }
-          })
-          .toDF("doc_id", "frame_idx", "sum_sq", "n_samples", "mean_sq")
-          .orderBy("doc_id", "frame_idx")
-      },
+      (s, dir) =>
+        audioFrames(s, dir)
+          .withColumn("mean_sq",
+            col("sum_sq").cast("double") / col("n_samples").cast("double"))
+          .orderBy("doc_id", "frame_idx"),
       Some("""WITH b AS (
                 SELECT doc_id,
                   list_transform(range(1, length(text) + 1),
@@ -487,6 +501,61 @@ object Multimodal {
                 CAST(n_samples AS BIGINT) AS n_samples,
                 CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE) AS mean_sq
               FROM fr ORDER BY doc_id, frame_idx""")),
+
+    // Silence-span extraction — the audio-trim primitive: contiguous
+    // runs of quiet frames (sum_sq < thresh * n_samples, an exact
+    // integer compare — no division enters the gate) collapsed to
+    // (start, end) segments by the gaps-and-islands trick (frame_idx
+    // minus the per-clip quiet rank is constant within a run). Built on
+    // the SAME audioFrames relation as mm_audio_energy, so trimming and
+    // the energy report can never disagree. Shape: map-only frame
+    // parsing, one per-clip window, one (clip, island) aggregate —
+    // shuffle is a single hash pass on doc_id at any scale.
+    QueryDef(
+      "mm_silence_segments",
+      (s, dir) => {
+        val quiet = audioFrames(s, dir)
+          .filter(col("sum_sq") < lit(SilenceThresh) * col("n_samples"))
+        val wq = Window.partitionBy("doc_id").orderBy("frame_idx")
+        quiet
+          .withColumn("grp", col("frame_idx") - row_number().over(wq))
+          .groupBy("doc_id", "grp")
+          .agg(min(col("frame_idx")).as("seg_start"),
+            max(col("frame_idx")).as("seg_end"),
+            count(lit(1)).as("n_frames"),
+            sum(col("sum_sq")).as("sum_sq"))
+          .select(col("doc_id"), col("seg_start"), col("seg_end"),
+            col("n_frames"), col("sum_sq"))
+          .orderBy("doc_id", "seg_start")
+      },
+      Some(s"""WITH b AS (
+                 SELECT doc_id,
+                   list_transform(range(1, length(text) + 1),
+                     i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) - 128) AS cs,
+                   CAST(length(text) AS BIGINT) AS L
+                 FROM documents WHERE doc_id % 2 = 1),
+               fr AS (
+                 SELECT doc_id, f,
+                   CAST(list_sum(list_transform(
+                     cs[CAST(L * f // 4 AS INTEGER) + 1 : CAST(L * (f + 1) // 4 AS INTEGER)],
+                     x -> x * x)) AS BIGINT) AS sum_sq,
+                   L * (f + 1) // 4 - L * f // 4 AS n_samples
+                 FROM b, (SELECT unnest(range(0, 4)) AS f) fs),
+               quiet AS (
+                 SELECT doc_id, f, sum_sq
+                 FROM fr WHERE sum_sq < $SilenceThresh * n_samples),
+               isl AS (
+                 SELECT doc_id, f, sum_sq,
+                   f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+                     AS grp
+                 FROM quiet)
+               SELECT doc_id,
+                 CAST(min(f) AS BIGINT) AS seg_start,
+                 CAST(max(f) AS BIGINT) AS seg_end,
+                 CAST(count(*) AS BIGINT) AS n_frames,
+                 CAST(sum(sum_sq) AS BIGINT) AS sum_sq
+               FROM isl GROUP BY doc_id, grp
+               ORDER BY doc_id, seg_start""")),
 
     // Multimodal training-sample assembly: one manifest row per sample
     // joining the text record (documents) with its embedding row

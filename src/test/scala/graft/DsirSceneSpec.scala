@@ -153,4 +153,39 @@ class DsirSceneSpec extends AnyFunSuite {
         s"doc $id: scenes != cuts + 1")
     }
   }
+
+  // Silence fixture: 'a' frames have mean_sq 961 (quiet, < 2015), space
+  // frames 9216 (loud). Each text is 40 chars -> 4 frames of 10.
+  private val silenceDocs: Seq[(Long, String)] = Seq(
+    (1L, "a" * 40),               // all quiet -> one segment (0,3)
+    (3L, "a" * 20 + " " * 20),    // quiet, quiet, loud, loud -> (0,1)
+    (5L, "a" * 10 + " " * 10 + "a" * 20), // quiet,loud,quiet,quiet -> (0,0),(2,3)
+    (7L, " " * 40),               // all loud -> no segment
+    (2L, "a" * 40))               // even id = png payload -> excluded
+
+  private lazy val silenceDir: String = {
+    val d = Files.createTempDirectory("graft_silence").toString
+    silenceDocs
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("mm_silence_segments finds exactly the planted quiet runs") {
+    val out = Registry.byName("mm_silence_segments").run(spark, silenceDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seg_start"),
+        r.getAs[Long]("seg_end"), r.getAs[Long]("n_frames"))).toSeq
+    val q = 961L * 10 // sum_sq of one all-'a' frame
+    assert(out === Seq(
+      (1L, 0L, 3L, 4L),
+      (3L, 0L, 1L, 2L),
+      (5L, 0L, 0L, 1L),
+      (5L, 2L, 3L, 2L)))
+    // sum_sq of the all-quiet clip is exactly 4 quiet frames
+    val full = Registry.byName("mm_silence_segments").run(spark, silenceDir)
+      .collect().find(_.getAs[Long]("doc_id") == 1L).get
+    assert(full.getAs[Long]("sum_sq") === 4 * q)
+  }
 }
