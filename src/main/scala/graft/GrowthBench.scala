@@ -43,7 +43,10 @@ object GrowthBench {
     "graph_neighbor_sim" -> "sum deg^2 (wedge join, DF-capped)",
     "mm_phash_neardup" -> "~linear x collisions (4-bit chunk buckets)",
     "q_peak_concurrency" -> "linear (day-partitioned prefix sum)",
-    "text_pmi" -> "~linear (bigram counts + top-k)")
+    "text_pmi" -> "~linear (bigram counts + top-k)",
+    "sample_dsir" -> "linear (64-bucket stats + map-only gate)",
+    "graph_modularity" -> "~linear x LPA iters (equi-join per round)",
+    "mm_keyframe" -> "linear (one doc_id exchange, two windows)")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

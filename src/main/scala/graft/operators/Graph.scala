@@ -313,6 +313,16 @@ object Graph {
     QueryDef(
       "graph_bfs_2hop",
       (s, dir) => {
+        // Spark guards recursive CTEs with a cumulative-row safety valve
+        // (spark.sql.cteRecursionRowLimit, default 10^6) against
+        // unbounded recursion. THIS recursion is hop-bounded (hop < 2 in
+        // the recursive member), so its total row count is at most
+        // nodes x the 2-hop neighborhood size — finite by construction —
+        // and the sf0.1 corpus's duplicate families already exceed the
+        // default (first seen as a bench-only failure: sf0.01 fit under
+        // 10^6, sf0.1 did not). Raise the valve, keep the hop bound as
+        // the real terminator.
+        s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
         Dedup.jaccardPairs(Dedup.shingled(s, dir))
           .filter(col("jaccard") >= Dedup.JaccardThreshold)
           .select("a_id", "b_id")
