@@ -224,6 +224,25 @@ object Bench {
     val failures = failed.size
     val total = best.map(_._2).sum
 
+    // per-query pass variance (max/min over the measured passes):
+    // best-of-N masks swings like 10.1/13.4/4.0 s — a "regression"
+    // computed from two noisy bests is noise, not a plan change, and
+    // the report below must say so (round-5 task #5)
+    val varRatio: Map[String, Double] = defs.map { d =>
+      val ps = passes(d.name)
+      d.name -> (if (ps.size >= 2 && ps.min > 0) ps.max / ps.min
+                 else Double.NaN)
+    }.toMap
+    // per-family subtotals (dedup/sim/graph/mm/text/stream/q/...): with
+    // 200+ queries a per-area regression is invisible in the total;
+    // family = the operator-name prefix, the registry's own grouping
+    def family(n: String): String = n.takeWhile(_ != '_')
+    val famTotals: Seq[(String, Double)] = best
+      .filterNot(_._2.isNaN)
+      .groupBy { case (n, _) => family(n) }
+      .map { case (f, qs) => f -> qs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+
     // compact number: enough precision for a seconds-scale bench, short
     // enough that the whole per-query line survives the driver's
     // 2000-char stdout tail window (round 2's 4 KB line was truncated
@@ -255,10 +274,18 @@ object Bench {
     val passesJson = defs.map { d =>
       "\"" + d.name + "\":" + passes(d.name).reverse.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val varianceJson = defs
+      .filterNot(d => varRatio(d.name).isNaN)
+      .map(d => "\"" + d.name + "\":" + fmt(varRatio(d.name)))
+      .mkString("{", ",", "}")
+    val familiesJson = famTotals
+      .map { case (f, t) => "\"" + f + "\":" + fmt(t) }
+      .mkString("{", ",", "}")
     val fp = corpusFingerprint(spark, sfDir)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
-        s""""passes":$passesJson,"failures":$failures,"failed":$failedJson,""" +
+        s""""passes":$passesJson,"variance":$varianceJson,""" +
+        s""""families":$familiesJson,"failures":$failures,"failed":$failedJson,""" +
         s""""best_of":$bestOf,"sf":"$sfDir","corpus":"$fp"}"""
     // artifacts + regression report only for OFFICIAL full sweeps (the
     // driver's config: full registry at sf0.1) — a partial or small-sf
@@ -308,9 +335,20 @@ object Bench {
         if (regressions.isEmpty)
           System.err.println("[bench] no per-query regressions vs previous run")
         else regressions.foreach { case (name, old, now, ratio) =>
-          System.err.println(
+          // a query whose own passes swing >1.5x this run is noise, not
+          // a plan change — label it so a noisy best-vs-best delta is
+          // never read as a regression (round-5 task #5)
+          val vr = varRatio.getOrElse(name, Double.NaN)
+          if (!vr.isNaN && vr > 1.5)
+            System.err.println(
+              f"[bench] HIGH-VARIANCE $name: $old%.2f -> $now%.2f s " +
+                f"(${ratio}%.2fx) — pass max/min $vr%.2fx, delta unreliable")
+          else System.err.println(
             f"[bench] REGRESSION $name: $old%.2f -> $now%.2f s (${ratio}%.2fx)")
         }
+      }
+      famTotals.foreach { case (f, t) =>
+        System.err.println(f"[bench] family $f%-8s $t%8.1f s")
       }
       java.nio.file.Files.writeString(lastPath, full + "\n")
       // the trend file carries the per-query map too (round-3 task #5):

@@ -41,7 +41,9 @@ object GrowthBench {
     "text_bm25" -> "~linear (per-doc terms, DF-capped)",
     "text_bpe_encode" -> "~linear (map-only encode after train)",
     "graph_neighbor_sim" -> "sum deg^2 (wedge join, DF-capped)",
-    "mm_phash_neardup" -> "~linear x collisions (4-bit chunk buckets)",
+    "mm_phash_neardup_wide" -> "~linear x collisions (15-bit chunk buckets)",
+    "graph_bfs_2hop" -> "superlinear: sum |N2(v)| wedge-mass reach set (reporting class)",
+    "graph_bfs_2hop_capped" -> "~linear (per-node F=4 capped expansion)",
     "q_peak_concurrency" -> "linear (day-partitioned prefix sum)",
     "text_pmi" -> "~linear (bigram counts + top-k)",
     "sample_dsir" -> "linear (64-bucket stats + map-only gate)",

@@ -479,6 +479,26 @@ object Dedup {
       (s, dir) => {
         val d = docsParallel(s, dir)
         val toks = split(col("text"), " ")
+        // Pre-flight weight-magnitude guard (round-5 task): the cos²
+        // step casts dot/norms to DECIMAL(19,0), and idf grows with the
+        // corpus (df=1 ceiling: 1000*(2N-1) div 3), so at some corpus
+        // size the cast overflows — ANSI makes that a THROW (loud, never
+        // wrong), but a stack trace is a poor diagnosis. Bound the worst
+        // case up front: per-doc Σw <= maxW * maxTokens, and both n2 and
+        // dot are <= (Σw)² by Cauchy-Schwarz, so requiring
+        // maxW * maxTokens < sqrt(10^19) guarantees every DECIMAL(19,0)
+        // value fits. Two bounded driver scalars, same discipline as
+        // requireAllPairsSmall.
+        val pre = d.agg(count(lit(1)).as("n"),
+          max(size(toks)).cast("long").as("mt")).head()
+        val nDocs = pre.getLong(0)
+        val maxToks = pre.getLong(1)
+        val maxW = BigInt(1000) * (2 * BigInt(nDocs) - 1) / 3
+        require(maxW * maxToks < BigInt("3162277660168379331"),
+          s"dedup_tfidf_nn: idf-weight bound maxW*maxTokens = " +
+            s"${maxW * maxToks} (n_docs=$nDocs, max_tokens=$maxToks) " +
+            "exceeds the DECIMAL(19,0) cos2 range — lower the idf scale " +
+            "factor or widen the cos2 casts to DECIMAL(38,0)")
         val sh = d.filter(size(toks) >= 3).select(col("doc_id"),
           explode(transform(sequence(lit(0), size(toks) - lit(3)), i =>
             array_join(slice(toks, i + 1, lit(3)), " "))).as("shingle"))
@@ -1508,8 +1528,125 @@ object Dedup {
                  CAST(count(*) AS BIGINT) AS n_clusters,
                  CAST(sum(cluster_size) AS BIGINT) AS n_docs
                FROM fam GROUP BY cluster_size
-               ORDER BY cluster_size"""))
+               ORDER BY cluster_size""")),
+
+    // LSH banding tradeoff CURVE — the table an engineer reads to set
+    // (bands, rows): one row per rows-per-band setting (1/2/4 over the
+    // 16 permutations) with the candidate count the banding join would
+    // materialize (the TRUE cost — band collisions are the shuffle) and
+    // precision/recall of those candidates against the exact-Jaccard
+    // truth. More rows per band → fewer, higher-precision candidates;
+    // fewer rows → recall. Same scorecard discipline as dedup_eval /
+    // sim_ivf_tradeoff: the signatures and the truth come from ONE
+    // shared checkpointed shingle frame (the registry's own building
+    // blocks re-invoked), counts exact, divisions guarded. Shape per
+    // leg: one bands self-equi-join (shuffle ∝ bucket collisions) +
+    // three 1-row aggregates combined by broadcast; the truth relation
+    // is computed once for all legs.
+    QueryDef(
+      "dedup_lsh_tune",
+      (s, dir) => {
+        val sh = shingled(s, dir).localCheckpoint()
+        val withSig = signaturesFrom(sh).localCheckpoint()
+        val truth = jaccardPairs(sh)
+          .filter(col("jaccard") >= JaccardThreshold)
+          .select("a_id", "b_id").localCheckpoint()
+        def leg(rows: Int): DataFrame = {
+          val bands = withSig.select(
+            col("doc_id"),
+            explode(array((0 until NumPerms / rows).map { b =>
+              struct(
+                lit(b.toLong).as("band_id"),
+                concat_ws(",", slice(col("sig"), b * rows + 1, rows))
+                  .as("band_key"))
+            }: _*)).as("band"))
+            .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+          val cand = bands.as("x").join(bands.as("y"),
+              col("x.band_id") === col("y.band_id") &&
+                col("x.band_key") === col("y.band_key") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+            .distinct().localCheckpoint()
+          val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+          val nHit = cand.join(truth, Seq("a_id", "b_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hit"))
+          val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+          nCand.crossJoin(broadcast(nHit)).crossJoin(broadcast(nTruth))
+            .select(lit(rows.toLong).as("band_rows"),
+              lit((NumPerms / rows).toLong).as("n_bands"),
+              col("n_candidates"), col("n_truth"), col("n_hit"),
+              when(col("n_candidates") === 0, lit(0.0))
+                .otherwise(col("n_hit").cast("double") /
+                  col("n_candidates").cast("double")).as("prec"),
+              when(col("n_truth") === 0, lit(0.0))
+                .otherwise(col("n_hit").cast("double") /
+                  col("n_truth").cast("double")).as("recall"))
+        }
+        LshTuneRows.map(leg).reduce(_ union _).orderBy("band_rows")
+      },
+      Some(LshTuneOracleSql))
   )
+
+  /** The rows-per-band settings the tuning curve sweeps — ONE list
+    * shared by the Spark legs and the oracle generator (the Nprobes
+    * discipline), so extending the sweep cannot desynchronize them.
+    * Every value must divide NumPerms. */
+  private lazy val LshTuneRows: Seq[Int] = Seq(1, 2, 4)
+
+  /** DuckDB replay of the banding sweep: shared shingle/signature/truth
+    * CTEs, one bands/cand/leg chain generated per rows-per-band value —
+    * the same construction as the Spark legs so the band keys can never
+    * drift from what the banding join actually buckets on. */
+  private lazy val LshTuneOracleSql: String = {
+    val legs = LshTuneRows.map { r =>
+      val nb = NumPerms / r
+      s"""bands$r AS (
+           SELECT doc_id, b,
+             array_to_string(sg[$r*b + 1 : $r*b + $r], ',') AS band_key
+           FROM sig, (SELECT unnest(range(0, $nb)) AS b) bs),
+         cand$r AS (
+           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM bands$r x JOIN bands$r y
+             ON x.b = y.b AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id),
+         leg$r AS (
+           SELECT CAST($r AS BIGINT) AS band_rows,
+             CAST($nb AS BIGINT) AS n_bands,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand$r) AS n_candidates,
+             (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand$r c
+                JOIN truth t ON t.a_id = c.a_id AND t.b_id = c.b_id)
+               AS n_hit)"""
+    }.mkString(",\n")
+    s"""WITH d AS (
+         SELECT doc_id, list_distinct(list_transform(
+           range(1, len(string_split(text,' ')) - 1),
+           i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+         FROM documents),
+       sig AS (
+         SELECT doc_id, list_transform(range(0, 16), p ->
+           list_aggregate(list_transform(sh, s ->
+             ((2*p + 3) * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) + p) % 2147483647),
+           'min')) AS sg
+         FROM d),
+       truth AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM d a, d b
+         WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= $JaccardThreshold),
+       $legs,
+       u AS (${LshTuneRows.map(r => s"SELECT * FROM leg$r")
+         .mkString(" UNION ALL ")})
+       SELECT band_rows, n_bands, n_candidates, n_truth, n_hit,
+         CASE WHEN n_candidates = 0 THEN 0.0
+              ELSE CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+              END AS prec,
+         CASE WHEN n_truth = 0 THEN 0.0
+              ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+              END AS recall
+       FROM u ORDER BY band_rows"""
+  }
 
   /** Oracle for dedup_eval: exact-Jaccard truth + both generators'
     * candidate sets, assembled from the same CTE pieces the individual

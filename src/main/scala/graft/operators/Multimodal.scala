@@ -163,6 +163,141 @@ object Multimodal {
              AS BIGINT) AS phash
          FROM b)"""
 
+  /** Wide (60-bit) perceptual hash (doc_id, format, phash) — the
+    * PRODUCTION-scale media signature: a simhash over the payload body's
+    * byte 4-grams. Content-anchored features are the load-bearing design
+    * choice: a byte inserted near the front of a blob shifts every later
+    * offset, so OFFSET-anchored features (the 16-bit block-mean
+    * phashSigs scaled to 60 segments) flip ~20 of 60 bits on a planted
+    * near-dup — measured on this corpus, radius-3 search finds nothing —
+    * while the 4-gram multiset barely changes, putting true near-dups at
+    * Hamming 0-3 and unrelated blobs at ~30 (real image pHash gets the
+    * same robustness from fixed-grid resampling before the DCT). The
+    * signature space is 2^60, so it cannot saturate the way the 16-bit
+    * form does (round-5 verdict: 2^16 values ⇒ ~N²/8 candidate pairs);
+    * 60 bits rather than 64 keeps the top nibble clear — the BIGINT
+    * stays non-negative on both engines, so arithmetic shifts and the
+    * oracle's `<<` never touch the sign bit (the dedup_simhash_wide
+    * rationale). Per-gram hashes are md5-derived exactly like
+    * EngineFns.hash31 (first 15 hex chars → bigint → mod 2^31-1), votes
+    * carry gram multiplicity, and everything is integer — bit-identical
+    * in any engine. Map-only: one pass over the payload bytes per doc,
+    * one MessageDigest reused per partition, no explode. */
+  private def phashWideSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), payloadCol.as("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // first 15 hex chars of the md5 = first 7 bytes + the 8th's high
+        // nibble, then mod the Mersenne prime — EngineFns.hash31 exactly
+        def h31(bytes: Array[Byte]): Long = {
+          md.reset()
+          val d = md.digest(bytes)
+          var v = 0L
+          var i = 0
+          while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+          v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+          v % 2147483647L
+        }
+        it.map { in =>
+          val b = in.payload
+          val votes = new Array[Int](60)
+          val gram = new Array[Byte](4)
+          val gramX = new Array[Byte](5)
+          gramX(0) = 'x'
+          var i = 16
+          while (i + 3 < b.length) {
+            System.arraycopy(b, i, gram, 0, 4)
+            System.arraycopy(b, i, gramX, 1, 4)
+            val h1 = h31(gram)
+            val h2 = h31(gramX)
+            var j = 0
+            while (j < 60) {
+              val bit =
+                if (j < 30) (h1 >> j) & 1L else (h2 >> (j - 30)) & 1L
+              votes(j) += (if (bit == 1L) 1 else -1)
+              j += 1
+            }
+            i += 1
+          }
+          var h = 0L
+          var j = 0
+          while (j < 60) {
+            if (votes(j) > 0) h |= (1L << j)
+            j += 1
+          }
+          (in.doc_id, if (in.doc_id % 2 == 0) "png" else "wav", h)
+        }
+      }
+      .toDF("doc_id", "format", "phash")
+  }
+
+  /** DuckDB replay of phashWideSigs (body = the ASCII text bytes behind
+    * the 16-byte header; every corpus doc is ≥ 4 bytes, so every doc has
+    * grams): CTEs `g`/`h`/`v`/`sig`, shared by the wide signature and
+    * wide near-dup oracles so the gram arithmetic can never drift. */
+  private val PhashWideSigCte: String =
+    """g AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+           substr(text, CAST(i AS INTEGER), 4) AS t
+         FROM documents, LATERAL
+           (SELECT unnest(range(1, length(text) - 2)) AS i) ix),
+       h AS (
+         SELECT doc_id, format,
+           CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+             % 2147483647 AS h1,
+           CAST(concat('0x', substr(md5(concat('x', t)), 1, 15)) AS BIGINT)
+             % 2147483647 AS h2
+         FROM g),
+       v AS (
+         SELECT doc_id, format, j,
+           sum(CASE WHEN ((CASE WHEN j < 30 THEN h1 >> CAST(j AS INTEGER)
+                                ELSE h2 >> CAST(j - 30 AS INTEGER) END)
+                          & 1) = 1
+                    THEN 1 ELSE -1 END) AS vote
+         FROM h, (SELECT unnest(range(0, 60)) AS j) js
+         GROUP BY doc_id, format, j),
+       sig AS (
+         SELECT doc_id, format,
+           CAST(sum(CASE WHEN vote > 0
+                         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS phash
+         FROM v GROUP BY doc_id, format)"""
+
+  /** Same-format Hamming-blocked candidate pairs over a (doc_id, format,
+    * phash) signature relation — the pigeonhole discipline shared by the
+    * 16-bit baseline, the wide near-dup, and the media cluster collapse:
+    * nChunks chunks of chunkBits bits, candidates from a (format, chunk
+    * idx, chunk value) equi-join (radius <= nChunks-1 guarantees one
+    * equal chunk), each qualifying pair emitted exactly once at its
+    * FIRST equal chunk, exact Hamming filtered to [minHam, maxHam]. */
+  private def phashChunkPairs(sig: DataFrame, nChunks: Int, chunkBits: Int,
+      minHam: Int, maxHam: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
+    val chunks = sig
+      .select(col("doc_id"), col("format"), col("phash"),
+        explode(expr(s"sequence(0, ${nChunks - 1})")).as("k"))
+      .withColumn("ck", expr(s"shiftright(phash, $chunkBits*k) & $mask"))
+    val a = chunks.select(col("format"), col("k"), col("ck"),
+      col("doc_id").as("a_id"), col("phash").as("pa"))
+    val b = chunks.select(col("format"), col("k"), col("ck"),
+      col("doc_id").as("b_id"), col("phash").as("pb"))
+    a.join(b, Seq("format", "k", "ck"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+      .filter(col("hamming").between(minHam, maxHam))
+      // first-equal-chunk rule: emit only where k is the smallest index
+      // at which the two signatures agree
+      .filter(expr(s"""k = array_min(filter(sequence(0, ${nChunks - 1}),
+                i -> (shiftright(pa, $chunkBits*i) & $mask)
+                   = (shiftright(pb, $chunkBits*i) & $mask)))"""))
+      .select(col("format"), col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Synthesized media payload: a real PNG or RIFF/WAVE header (planted
     * dimensions / sample rate) in front of the text bytes, built with
     * codegen'd byte/hex expressions. Shared by mm_decode (in-plan) and
@@ -397,35 +532,114 @@ object Multimodal {
     QueryDef(
       "mm_phash_neardup",
       (s, dir) => {
-        val sig = phashSigs(s, dir)
-        val chunks = sig
-          .select(col("doc_id"), col("format"), col("phash"),
-            explode(expr("sequence(0, 3)")).as("k"))
-          .withColumn("ck", expr("shiftright(phash, 4*k) & 15"))
-        val a = chunks.select(col("format"), col("k"), col("ck"),
-          col("doc_id").as("a_id"), col("phash").as("pa"))
-        val b = chunks.select(col("format"), col("k"), col("ck"),
-          col("doc_id").as("b_id"), col("phash").as("pb"))
-        a.join(b, Seq("format", "k", "ck"))
-          .filter(col("a_id") < col("b_id"))
-          .withColumn("hamming",
-            expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
-          .filter(col("hamming").between(1, 3))
-          // first-equal-chunk rule: emit only where k is the smallest
-          // index at which the two signatures agree
-          .filter(expr("""k = array_min(filter(sequence(0, 3),
-                    i -> (shiftright(pa, 4*i) & 15)
-                       = (shiftright(pb, 4*i) & 15)))"""))
-          .select(col("format"), col("a_id"), col("b_id"), col("hamming"))
+        // 16-bit signatures SATURATE: 4-bit chunks give 16 values per
+        // chunk, so the blocked join still materializes ~N²/8 candidate
+        // pairs, and at media-corpus scale the 2^16 signature space
+        // itself collides constantly (round-5 verdict). Hard registry
+        // gate + bench=false, same treatment as its text sibling
+        // dedup_simhash_pairs; the production form is
+        // mm_phash_neardup_wide (60-bit, 15-bit chunks).
+        Dedup.requireAllPairsSmall(
+          Tables.load(s, dir, "documents").count(),
+          "mm_phash_neardup (16-bit, saturating)", "docs",
+          "mm_phash_neardup_wide")
+        phashChunkPairs(phashSigs(s, dir),
+            nChunks = 4, chunkBits = 4, minHam = 1, maxHam = 3)
           .orderBy("format", "a_id", "b_id")
       },
-      Some(s"""WITH $PhashSigCte
+      bench = false, // saturating 16-bit baseline — see gate above
+      oracle = Some(s"""WITH $PhashSigCte
               SELECT a.format, a.doc_id AS a_id, b.doc_id AS b_id,
                 CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
               FROM sig a JOIN sig b
                 ON a.format = b.format AND a.doc_id < b.doc_id
               WHERE bit_count(xor(a.phash, b.phash)) BETWEEN 1 AND 3
               ORDER BY a.format, a_id, b_id"""))
+  ,
+    // The wide perceptual-hash signature relation itself — oracle-checked
+    // directly so a signature bug is diagnosed at the signature, not
+    // through the pair join. Map-only at any scale.
+    QueryDef(
+      "mm_phash_wide",
+      (s, dir) => phashWideSigs(s, dir).orderBy("doc_id"),
+      Some(s"""WITH $PhashWideSigCte
+              SELECT doc_id, format, phash FROM sig ORDER BY doc_id""")),
+
+    // Perceptual NEAR-duplicate pairs at PRODUCTION scale: same-format
+    // payload pairs within Hamming distance 3 of each other's 60-bit
+    // gram-simhash signature (see phashWideSigs for why the signature is
+    // content-anchored). Blocking is the dedup_simhash_wide_pairs
+    // recipe: the 60-bit hash splits into four 15-bit chunks, radius <=
+    // 3 pigeonholes at least one chunk equal, so candidates come from a
+    // (format, chunk index, chunk value) equi-join over 32768 bucket
+    // values per chunk — collisions (and therefore the join) stay
+    // sparse at any corpus size, unlike the 16-bit form's 16-value
+    // chunks. Each qualifying pair is emitted exactly once at its FIRST
+    // equal chunk. The oracle checks the naive quadratic definition,
+    // proving the blocked plan loses nothing. On this corpus the planted
+    // near-dups land at Hamming 1-3 while unrelated payloads sit at ~30
+    // — the separation a radius-3 search needs.
+    QueryDef(
+      "mm_phash_neardup_wide",
+      (s, dir) =>
+        phashChunkPairs(phashWideSigs(s, dir),
+            nChunks = 4, chunkBits = 15, minHam = 1, maxHam = 3)
+          .orderBy("format", "a_id", "b_id"),
+      Some(s"""WITH $PhashWideSigCte
+              SELECT a.format, a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+              FROM sig a JOIN sig b
+                ON a.format = b.format AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.phash, b.phash)) BETWEEN 1 AND 3
+              ORDER BY a.format, a_id, b_id"""))
+  ,
+    // Media dedup cluster collapse — the END PRODUCT of the perceptual
+    // path, mirroring dedup_cluster on the text side: wide-phash pairs
+    // at Hamming <= 3 (including 0 — exact-signature duplicates belong
+    // in the same family) feed the pointer-doubled connected-components
+    // loop, and every document gets its media representative (rep_id =
+    // min doc_id of the family; itself when it has no perceptual
+    // near-dup). Filter doc_id = rep_id and you have the deduplicated
+    // media corpus. Edges are same-format by construction, so families
+    // never span formats. Shape: the blocked pair join (shuffle ∝
+    // chunk-bucket collisions) + the O(log diameter) CC loop with
+    // per-generation localCheckpoint — both audited 100 TB shapes; the
+    // oracle closes the same pair relation with a recursive CTE.
+    QueryDef(
+      "mm_phash_cluster",
+      (s, dir) => {
+        val pairs = phashChunkPairs(phashWideSigs(s, dir),
+            nChunks = 4, chunkBits = 15, minHam = 0, maxHam = 3)
+          .select("a_id", "b_id")
+        val vertices = docs(s, dir).select("doc_id")
+        Dedup.connectedComponents(vertices, pairs)
+          .withColumn("format",
+            when(col("doc_id") % 2 === 0, lit("png")).otherwise(lit("wav")))
+          .select(col("doc_id"), col("rep_id"), col("format"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $PhashWideSigCte,
+              pairs AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM sig a JOIN sig b
+                  ON a.format = b.format AND a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+              edges AS (
+                SELECT a_id AS u, b_id AS v FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+              reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              rep AS (
+                SELECT u AS doc_id, least(u, min(v)) AS rep_id
+                FROM reach GROUP BY u)
+              SELECT doc.doc_id,
+                COALESCE(rep.rep_id, doc.doc_id) AS rep_id,
+                CASE WHEN doc.doc_id % 2 = 0 THEN 'png' ELSE 'wav' END
+                  AS format
+              FROM documents doc LEFT JOIN rep ON doc.doc_id = rep.doc_id
+              ORDER BY doc.doc_id"""))
   ,
     // Resize/downsample — the thumbnailing step of a media pipeline, on
     // the same mapPartitions plumbing: nearest-neighbor sample 16 evenly

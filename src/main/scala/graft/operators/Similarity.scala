@@ -809,17 +809,24 @@ object Similarity {
               (col("n_hit").cast("double") / col("n_exact").cast("double"))
                 .as("recall"))
         }
-        leg(1).union(leg(2)).orderBy("nprobe")
+        Nprobes.map(leg).reduce(_ union _).orderBy("nprobe")
       },
       Some(IvfTradeoffOracleSql))
   )
+
+  /** The probe counts the tradeoff curve sweeps — ONE list shared by the
+    * Spark legs and the oracle generator (legs, the qa.arn bound, and
+    * the closing union are all derived from it), so extending the sweep
+    * cannot silently truncate the oracle's probed lists (round-5
+    * advice). */
+  private lazy val Nprobes: Seq[Int] = Seq(1, 2)
 
   /** DuckDB replay of the nprobe sweep: shared exact-top-k and IVF
     * assignment CTEs, one candidates/ann/counts leg generated per probe
     * count — the same construction as ivfOracleSql so the probed lists
     * can never drift from what sim_ann_ivf itself searches. */
   private lazy val IvfTradeoffOracleSql: String = {
-    val legs = Seq(1, 2).map { np =>
+    val legs = Nprobes.map { np =>
       s"""cand$np AS (
             SELECT qa.q_id, a.vec_id,
               ${cosineSql("qa.q_emb", "a.embedding")} AS cos
@@ -867,9 +874,10 @@ object Similarity {
             FROM ranked WHERE arn = 1),
           qa AS (SELECT vec_id AS q_id, embedding AS q_emb,
                    c_id AS list_id, arn
-                 FROM ranked WHERE arn <= 2 AND vec_id < $NumQueries),
+                 FROM ranked WHERE arn <= ${Nprobes.max} AND vec_id < $NumQueries),
           $legs,
-          u AS (SELECT * FROM leg1 UNION ALL SELECT * FROM leg2)
+          u AS (${Nprobes.map(np => s"SELECT * FROM leg$np")
+            .mkString(" UNION ALL ")})
         SELECT nprobe, n_exact, n_hit, n_candidates,
           CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
         FROM u ORDER BY nprobe"""

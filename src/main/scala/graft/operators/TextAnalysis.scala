@@ -1403,8 +1403,14 @@ object TextAnalysis {
               .as("lam"))
         val score = bg.join(broadcast(lam), "bucket")
           .groupBy("doc_id").agg(sum(col("lam")).as("score_q"))
+        // s_sum accumulates in DECIMAL(38,0): a plain LongType sum wraps
+        // silently in non-ANSI mode while the oracle's DuckDB sum widens
+        // to HUGEINT — at the corpus sizes this gate targets the two
+        // could silently diverge. Decimal accumulation is exact to ~1e38
+        // and THROWS past that on both engines (round-5 advice).
         val stats = score
-          .agg(count(lit(1)).as("n_docs"), sum(col("score_q")).as("s_sum"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("score_q").cast("decimal(38,0)")).as("s_sum"))
           .select(col("s_sum"), (col("n_docs") * lit(DsirBudget)).as("nb"))
         val u = hash31(concat(lit("dsir|"), col("doc_id").cast("string"))) %
           DsirM
@@ -1412,8 +1418,7 @@ object TextAnalysis {
           .join(score, "doc_id") // bigram-less docs carry no evidence: drop
           .crossJoin(broadcast(stats))
           .withColumn("u", u)
-          .filter(col("u").cast("decimal(19,0)") *
-              col("s_sum").cast("decimal(19,0)") <
+          .filter(col("u").cast("decimal(19,0)") * col("s_sum") <
             col("score_q").cast("decimal(19,0)") *
               col("nb").cast("decimal(19,0)"))
           .select(col("doc_id"), col("lang"), col("score_q"))
@@ -1451,7 +1456,60 @@ object TextAnalysis {
                      % 2147483647) % $DsirM AS HUGEINT)
                    * CAST(st.s_sum AS HUGEINT)
                  < CAST(sc.score_q AS HUGEINT) * CAST(st.nb AS HUGEINT)
-               ORDER BY d.doc_id"""))
+               ORDER BY d.doc_id""")),
+
+    // Benchmark decontamination — the train-set hygiene pass every LLM
+    // pipeline runs before training: held-out/eval documents (doc_id %
+    // 11 == 0 stands in for the benchmark manifest; production swaps in
+    // the real eval-set table) are checked for VERBATIM 8-token window
+    // overlap against the training side, and every contaminated training
+    // doc is reported with its evidence — which benchmark doc, how many
+    // distinct shared windows. The 8-token window is the published
+    // decontamination granularity (a 13-gram in GPT-3's report, 8 here
+    // to match dedup_substring's chunking). Shape: the corpus is
+    // windowed ONCE (distinct windows per doc, in-scan lambda), split
+    // into train/bench sides by the id rule, and matched by ONE
+    // inverted-index equi-join on the window string — shuffle ∝
+    // colliding windows, never train × bench; a stop-window DF cap
+    // (same MaxShingleDF discipline, far above this corpus's max DF so
+    // the oracle comparison stays byte-exact) keeps one viral
+    // boilerplate window from exploding the posting join at 100 TB.
+    QueryDef(
+      "text_contamination",
+      (s, dir) => {
+        val W = 8
+        val ts = col("ts")
+        val wins = when(size(ts) >= W,
+          transform(sequence(lit(0), size(ts) - W),
+            i => concat_ws(" ", slice(ts, i + lit(1), lit(W)))))
+          .otherwise(slice(ts, lit(1), lit(0)))
+        val postings = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+          .select(col("doc_id"), explode(array_distinct(wins)).as("w"))
+          .localCheckpoint() // windows feed the DF cap and both join sides
+        val viral = postings.groupBy("w")
+          .agg(count(lit(1)).as("df")).filter(col("df") > 10000)
+          .select("w")
+        val kept = postings.join(broadcast(viral), Seq("w"), "left_anti")
+        val bench = kept.filter(col("doc_id") % 11 === 0)
+          .select(col("w"), col("doc_id").as("bench_id"))
+        kept.filter(col("doc_id") % 11 =!= 0)
+          .join(bench, Seq("w"))
+          .groupBy("doc_id", "bench_id")
+          .agg(count(lit(1)).as("n_shared_windows"))
+          .orderBy("doc_id", "bench_id")
+      },
+      Some("""WITH p AS (
+                SELECT DISTINCT doc_id,
+                  array_to_string(string_split(text, ' ')[i:i+7], ' ') AS w
+                FROM documents, LATERAL (SELECT unnest(range(1,
+                  len(string_split(text, ' ')) - 6)) AS i) ix)
+              SELECT t.doc_id AS doc_id, b.doc_id AS bench_id,
+                CAST(count(*) AS BIGINT) AS n_shared_windows
+              FROM p t JOIN p b ON t.w = b.w
+              WHERE t.doc_id % 11 != 0 AND b.doc_id % 11 = 0
+              GROUP BY t.doc_id, b.doc_id
+              ORDER BY t.doc_id, bench_id"""))
   )
 
   /** Run the BPE merge-training rounds corpus-parallel; returns the

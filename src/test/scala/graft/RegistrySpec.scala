@@ -18,12 +18,28 @@ class RegistrySpec extends AnyFunSuite {
   // Queries whose correct result may legitimately be empty at sf0.001.
   private val mayBeEmpty = Set("dedup_minhash_pairs", "dedup_simhash_pairs")
 
+  // Conf keys an operator may legitimately leave set on the shared
+  // session: the idempotent corpus-wide parquet-nanos read requirement
+  // (set by Tables.load itself — every reader needs it, the value never
+  // varies). Everything else is residue: a query that weakens a safety
+  // valve (e.g. cteRecursionRowLimit) for every later query sharing the
+  // session is a bug (round-5 advice) — scope such raises to a cloned
+  // session (see graph_bfs_2hop).
+  private val allowedResidue = Set("spark.sql.legacy.parquet.nanosAsLong")
+
   Registry.all.foreach { d =>
     test(s"${d.name} executes on sf0.001") {
+      val before = spark.conf.getAll
       val df = d.run(spark, TestSpark.sf)
       assert(df.columns.nonEmpty)
       val n = df.count()
       if (!mayBeEmpty(d.name)) assert(n > 0, s"${d.name} returned no rows")
+      val residue = (spark.conf.getAll.toSet -- before.toSet)
+        .filterNot { case (k, _) => allowedResidue(k) }
+      assert(residue.isEmpty,
+        s"${d.name} left session-config residue $residue — operators " +
+          "must leave the session as they found it (clone the session " +
+          "or snapshot-and-restore)")
     }
   }
 
