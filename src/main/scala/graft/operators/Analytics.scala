@@ -1040,7 +1040,105 @@ object Analytics {
                 COALESCE(first_click_us, -1) AS first_click_us,
                 COALESCE(last_purchase_us, -1) AS last_purchase_us
               FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
-              ORDER BY user_id"""))
+              ORDER BY user_id""")),
+
+    // Markov transition matrix over per-user event sequences — the
+    // "what follows what" relation behind next-event features, session
+    // modeling, and bot detection (a user whose transition row
+    // concentrates on one edge is a script). src→dst bigrams come from
+    // ONE lead() window on the same (user_id; ts, event_id) shuffle
+    // every sequence operator here pays — no self-join — and the
+    // normalizing row-total window runs on the AGGREGATED matrix, which
+    // is |event_types|²-sized (25 rows), not data-sized, so the
+    // per-src partition is trivially bounded at any corpus scale.
+    // p = n / row_total in double from exact bigints, same op order as
+    // the oracle.
+    QueryDef(
+      "q_transition_matrix",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val bi = t(s, dir, "events")
+          .select(col("user_id"), col("event_type").as("src"),
+            lead(col("event_type"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+        bi.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+          .withColumn("p", col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy("src")).cast("double"))
+          .orderBy("src", "dst")
+      },
+      Some("""WITH x AS (
+                SELECT user_id, event_type AS src,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+                FROM events),
+              c AS (
+                SELECT src, dst, count(*) AS n
+                FROM x WHERE dst IS NOT NULL GROUP BY src, dst)
+              SELECT src, dst, n,
+                CAST(n AS DOUBLE)
+                  / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+              FROM c ORDER BY src, dst""")),
+
+    // A/B experiment scorecard: deterministic hash-bucket assignment
+    // (variant = user_id % 2 — the stable modulo assignment experiment
+    // frameworks use, so a user's arm never flaps between runs) and a
+    // pooled two-proportion z-test on conversion (>= 1 purchase with
+    // value >= 99 — non-degenerate at every SF: both arms convert,
+    // neither fully). Shape: per-user conversion is ONE user_id-hashed
+    // aggregate (map-side combined), the variant fold is a 2-row
+    // aggregate, and the z statistic is a 1-row projection from EXACT
+    // bigint counts with a canonical op order — bit-identical in any
+    // engine, nothing driver-side, work ∝ events.
+    QueryDef(
+      "q_ab_test",
+      (s, dir) => {
+        val conv = when(col("event_type") === "purchase" &&
+          col("value") >= 99.0, 1L).otherwise(0L)
+        val perUser = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(max(conv).as("conv"))
+          .withColumn("variant", pmod(col("user_id"), lit(2L)))
+        perUser.agg(
+            sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c_a"),
+            sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c_b"))
+          .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+            (col("c_a").cast("double") / col("n_a").cast("double")).as("p_a"),
+            (col("c_b").cast("double") / col("n_b").cast("double")).as("p_b"),
+            ((col("c_a") + col("c_b")).cast("double") /
+              (col("n_a") + col("n_b")).cast("double")).as("p_pool"))
+          .select(col("n_a"), col("c_a"), col("p_a"),
+            col("n_b"), col("c_b"), col("p_b"),
+            ((col("p_b") - col("p_a")) /
+              sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+                (lit(1.0) / col("n_a").cast("double") +
+                  lit(1.0) / col("n_b").cast("double")))).as("z"))
+      },
+      Some("""WITH u AS (
+                SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' AND value >= 99.0
+                           THEN 1 ELSE 0 END) AS conv,
+                  user_id % 2 AS variant
+                FROM events GROUP BY user_id),
+              v AS (
+                SELECT
+                  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+                  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                  CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+                FROM u),
+              w AS (
+                SELECT n_a, c_a, n_b, c_b,
+                  CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+                  CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+                  CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p_pool
+                FROM v)
+              SELECT n_a, c_a, p_a, n_b, c_b, p_b,
+                (p_b - p_a) / sqrt(p_pool * (1.0 - p_pool)
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+              FROM w"""))
   )
 
   /** Count-min sketch geometry: 4 rows x 1024 counters = 32 KB. With

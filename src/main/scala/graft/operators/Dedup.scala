@@ -28,6 +28,13 @@ object Dedup {
   private[graft] val BandRows = 2 // 8 bands x 2 rows — recall-biased for low-J corpora
   private[graft] val JaccardThreshold = 0.015
 
+  /** The prefix-filter join's similarity bar (dedup_prefix_filter):
+    * 0.8 is the realistic "near-duplicate" threshold (the planted
+    * duplicate families sit above it) and yields a ~20%-of-doc prefix
+    * (n - ceil(0.8n) + 1), i.e. ~4% of the full inverted index's
+    * candidate mass. */
+  private[graft] val PrefixJaccardT = 0.8
+
   // Hard input-size gate for the declared all-pairs/saturating baseline
   // variants (dedup_simhash_pairs here, sim_embed_neardup_exact in
   // Similarity): far above every test SF, far below any corpus where
@@ -615,6 +622,96 @@ object Dedup {
                WHERE a.doc_id < b.doc_id
                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= $JaccardThreshold
+               ORDER BY a_id, b_id""")),
+
+    // Prefix-filtered set-similarity join (the SSJoin/PPJoin family,
+    // Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08): for Jaccard >= t,
+    // any qualifying pair must share a shingle inside each side's
+    // (n - ceil(t*n) + 1)-prefix under a GLOBAL shingle order — so only
+    // prefixes are indexed, not full posting lists. With the canonical
+    // rarest-first order (ascending document frequency, shingle
+    // tie-break), prefix postings carry the corpus's RARE shingles:
+    // viral shingles sort last and fall out of every prefix, which is
+    // why this path needs no lossy stop-shingle DF cap — the candidate
+    // reduction is PROVABLY lossless for the threshold (asserted against
+    // the all-pairs oracle, and against jaccardPairs in DedupTextSpec).
+    // At t=0.8 (the realistic near-dup bar; this corpus's planted
+    // families sit above it) the prefix is ~20% of each doc, so the
+    // candidate join mass is ~4% of the full inverted index's sum(df²).
+    // Shape: one explode, one map-side-combined DF count, one join back
+    // on the SAME shingle key (exchange reuse), one per-doc rank window,
+    // a prefix-postings self-join, and a verify join of the ~matches-
+    // sized candidate set against the checkpointed shingle arrays —
+    // work ∝ corpus shingles + prefix collisions, never |docs|².
+    QueryDef(
+      "dedup_prefix_filter",
+      (s, dir) => {
+        // the shingle frame feeds the postings pipeline AND both verify
+        // sides — checkpoint once (same discipline as jaccardPairs)
+        val sh = shingled(s, dir).localCheckpoint()
+        val postings = sh
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        val dfreq = postings.groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+        val ranked = postings.join(dfreq, Seq("shingle"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("df").asc, col("shingle").asc)))
+          .join(sh.select(col("doc_id"), size(col("sh")).as("n_sh")),
+            Seq("doc_id"))
+        val prefix = ranked
+          .filter(col("r") <= col("n_sh").cast("long")
+            - ceil(col("n_sh") * lit(PrefixJaccardT)) + 1)
+          .select("shingle", "doc_id")
+        val cand = prefix.select(col("shingle"), col("doc_id").as("a_id"))
+          .join(prefix.select(col("shingle"), col("doc_id").as("b_id")),
+            Seq("shingle"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val nc = size(array_intersect(col("sh_a"), col("sh_b")))
+        cand
+          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")),
+            Seq("a_id"))
+          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
+            Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            nc.cast("long").as("n_common"),
+            (nc.cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) - nc).cast("double"))
+              .as("jaccard"))
+          .filter(col("jaccard") >= PrefixJaccardT)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH d AS (
+                 SELECT doc_id, list_distinct(list_transform(
+                   range(1, len(string_split(text,' ')) - 1),
+                   i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+                 FROM documents),
+               sz AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+               p AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+               f AS (SELECT shingle, count(*) AS df FROM p GROUP BY shingle),
+               r AS (
+                 SELECT p.doc_id, p.shingle,
+                   row_number() OVER (PARTITION BY p.doc_id
+                     ORDER BY f.df ASC, p.shingle ASC) AS r,
+                   sz.n_sh
+                 FROM p JOIN f USING (shingle) JOIN sz USING (doc_id)),
+               pre AS (
+                 SELECT doc_id, shingle FROM r
+                 WHERE r <= n_sh - CAST(CEIL(n_sh * $PrefixJaccardT) AS BIGINT) + 1),
+               cand AS (
+                 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM pre a JOIN pre b USING (shingle)
+                 WHERE a.doc_id < b.doc_id)
+               SELECT c.a_id, c.b_id,
+                 CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS n_common,
+                 CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                   / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard
+               FROM cand c
+               JOIN d da ON da.doc_id = c.a_id
+               JOIN d db ON db.doc_id = c.b_id
+               WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                   / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) >= $PrefixJaccardT
                ORDER BY a_id, b_id""")),
 
     // MinHash signatures, flattened to (doc_id, perm_id, sig_val) for the

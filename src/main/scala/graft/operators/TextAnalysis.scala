@@ -1509,7 +1509,53 @@ object TextAnalysis {
               FROM p t JOIN p b ON t.w = b.w
               WHERE t.doc_id % 11 != 0 AND b.doc_id % 11 = 0
               GROUP BY t.doc_id, b.doc_id
-              ORDER BY t.doc_id, bench_id"""))
+              ORDER BY t.doc_id, bench_id""")),
+
+    // Per-document n-gram novelty — the memorization-risk / marginal-
+    // value score data-curation loops rank shards by: the fraction of a
+    // document's distinct 3-gram shingles whose FIRST corpus occurrence
+    // (min doc_id, the ingestion-order stand-in) is the document itself.
+    // A novelty near 0 means the doc is assembled from already-seen
+    // text (near-dup families score lowest); near 1 means fresh
+    // material. Shape: one shingle explode, ONE map-side-combined
+    // min(doc_id) aggregate on the shingle key, one equi-join of the
+    // postings back on the SAME shingle key (exchange reuse — the join
+    // reads the aggregate's own partitioning), one per-doc aggregate —
+    // work ∝ corpus shingles, no self-join, no broadcast of anything
+    // corpus-sized. novelty = exact-int n_new / n_sh in double, same
+    // division the oracle runs.
+    QueryDef(
+      "text_ngram_novelty",
+      (s, dir) => {
+        val postings = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+          .localCheckpoint() // feeds the first-seen agg AND the probe side
+        val firstSeen = postings.groupBy("sh")
+          .agg(min(col("doc_id")).as("first_doc"))
+        postings.join(firstSeen, Seq("sh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_new"))
+          .select(col("doc_id"), col("n_sh"), col("n_new"),
+            (col("n_new").cast("double") / col("n_sh").cast("double"))
+              .as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+                SELECT DISTINCT doc_id,
+                  array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
+                FROM documents, LATERAL (SELECT unnest(range(1,
+                  len(string_split(text, ' ')) - 1)) AS i) ix),
+              f AS (SELECT sh, min(doc_id) AS first_doc FROM p GROUP BY sh)
+              SELECT p.doc_id,
+                CAST(count(*) AS BIGINT) AS n_sh,
+                CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+              FROM p JOIN f USING (sh)
+              GROUP BY p.doc_id ORDER BY p.doc_id"""))
   )
 
   /** Run the BPE merge-training rounds corpus-parallel; returns the

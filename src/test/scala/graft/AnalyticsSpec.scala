@@ -161,4 +161,35 @@ class AnalyticsSpec extends AnyFunSuite {
     // the merges must actually fire somewhere in the corpus
     assert(enc.exists(_.getAs[String]("text_bpe").contains("~")))
   }
+
+  test("transition matrix rows are distributions over observed bigrams") {
+    val rows = run("q_transition_matrix").collect()
+    assert(rows.nonEmpty)
+    // each src row's probabilities sum to exactly its count shares
+    rows.groupBy(_.getAs[String]("src")).foreach { case (src, g) =>
+      val pSum = g.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-9, s"src=$src p-sum=$pSum")
+    }
+    // total transition count = events - one tail event per user
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum === expected)
+  }
+
+  test("ab test counts reconcile and the z statistic is finite") {
+    val r = run("q_ab_test").collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nA, cA) = (row.getAs[Long]("n_a"), row.getAs[Long]("c_a"))
+    val (nB, cB) = (row.getAs[Long]("n_b"), row.getAs[Long]("c_b"))
+    val users = Tables.load(spark, TestSpark.sf, "events")
+      .select("user_id").distinct().count()
+    assert(nA + nB === users)
+    assert(cA >= 0 && cA <= nA && cB >= 0 && cB <= nB)
+    // the cutoff keeps both arms non-degenerate at every SF, so the
+    // pooled z denominator is nonzero and z is a real number
+    assert(!row.getAs[Double]("z").isNaN &&
+      !row.getAs[Double]("z").isInfinite)
+    assert(row.getAs[Double]("p_a") === cA.toDouble / nA.toDouble)
+  }
 }

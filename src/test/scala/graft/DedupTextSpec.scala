@@ -321,4 +321,45 @@ class DedupTextSpec extends AnyFunSuite {
     assert(out(3L)._3 === other)
     assert(out(3L)._1 === out(3L)._2)
   }
+
+  test("prefix filter keeps the exact-dup pair, drops the sub-threshold near dup") {
+    // plantedDir jaccards: (0,1) = 1.0 exact dups; (0,2)/(1,2) ≈ 0.76 —
+    // one changed token flips 3 of 22 shingles, BELOW the 0.8 bar; doc 3
+    // shares nothing. The t=0.8 prefix join must return exactly (0,1).
+    val out = Registry.byName("dedup_prefix_filter").run(spark, plantedDir)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard")))
+    assert(out.length === 1)
+    assert(out.head._1 === 0L && out.head._2 === 1L && out.head._3 === 1.0)
+  }
+
+  test("prefix filter is lossless vs the full inverted-index join at t=0.8") {
+    // the prefix theorem says candidates can only be LOST by an
+    // implementation bug; compare against the uncapped inverted index
+    // (maxDf = MaxValue disables the stop-shingle cap so the baseline
+    // is the pure Jaccard relation) on the real sf0.001 corpus
+    val got = Registry.byName("dedup_prefix_filter").run(spark, TestSpark.sf)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    val want = graft.operators.Dedup.jaccardPairs(
+        graft.operators.Dedup.shingled(spark, TestSpark.sf),
+        maxDf = Int.MaxValue)
+      .filter(col("jaccard") >= graft.operators.Dedup.PrefixJaccardT)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    assert(want.nonEmpty, "corpus must contain pairs above the bar")
+    assert(got === want)
+  }
+
+  test("ngram novelty scores first occurrence 1.0 and exact dup 0.0") {
+    val out = Registry.byName("text_ngram_novelty").run(spark, plantedDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty"))
+      .toMap
+    assert(out(0L) === 1.0)  // doc 0 first-sees every one of its shingles
+    assert(out(1L) === 0.0)  // exact dup: every shingle first seen in doc 0
+    assert(out(2L) > 0.0 && out(2L) < 1.0) // near dup: only flipped shingles new
+    assert(out(3L) === 1.0)  // unrelated doc is all-new
+  }
 }
