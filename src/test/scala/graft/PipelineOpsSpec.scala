@@ -462,4 +462,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("mm_cdc_match survives a prefix shift that breaks offset-anchored frames") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    // deterministic ~600-char word soup; doc 3 = doc 1 with 3 bytes
+    // INSERTED at the front (every byte offset shifts), doc 5 unrelated
+    val base = (1 to 120).map(i => s"w${(i * 7) % 97}").mkString(" ")
+    val other = (1 to 120).map(i => s"v${(i * 13) % 89}").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "s1", base.length.toLong),
+      (3L, "zz " + base, "en", "s3", base.length + 3L),
+      (5L, other, "en", "s5", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Registry.byName("mm_cdc_match").run(spark, d).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("n_shared")))
+    // content-defined boundaries re-synchronize after the insertion:
+    // the shifted copy still shares every post-edit chunk
+    assert(out.length === 1, s"expected exactly the shifted pair, got ${out.toSeq}")
+    assert(out.head._1 === 1L && out.head._2 === 3L)
+    assert(out.head._3 >= 4L)
+    // and the chunk relation is per-doc distinct md5 ids over the body
+    val chunkDocs = graft.operators.Multimodal.cdcChunks(spark, d)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(chunkDocs === Set(1L, 3L, 5L))
+  }
 }
