@@ -1138,7 +1138,71 @@ object Analytics {
               SELECT n_a, c_a, p_a, n_b, c_b, p_b,
                 (p_b - p_a) / sqrt(p_pool * (1.0 - p_pool)
                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
-              FROM w"""))
+              FROM w""")),
+
+    // Item co-occurrence with lift — the association-rule / "bought
+    // together" primitive: items are the JSON props.k payload (parsed
+    // with the codegen'd get_json_object, ~100-item catalog), baskets
+    // are per-user DISTINCT item sets, and lift(a,b) =
+    // P(a,b)/(P(a)P(b)) = n_ab·N / (n_a·n_b) from exact bigints
+    // (multiplications BEFORE the one division, so both engines run the
+    // identical IEEE op). Shape: basket building is one user-hashed
+    // distinct; the pair join is a per-user self-join whose mass is
+    // Σ(per-user basket²) — bounded by catalog size per user, NOT data-
+    // sized — and the aggregated matrix is at most |catalog|² rows
+    // (≤ 4950 pairs here) at any corpus scale; item totals and the
+    // 1-row user count attach as broadcasts. Support floor n_ab ≥ 2
+    // mirrors production min-support pruning.
+    QueryDef(
+      "q_item_cooccurrence",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val baskets = ev.select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .distinct()
+        val nUsers = ev.select(countDistinct(col("user_id")).as("n_users"))
+        val itemCnt = baskets.groupBy("item")
+          .agg(count(lit(1)).as("n_i"))
+        baskets.select(col("user_id"), col("item").as("a_item"))
+          .join(baskets.select(col("user_id"), col("item").as("b_item")),
+            Seq("user_id"))
+          .filter(col("a_item") < col("b_item"))
+          .groupBy("a_item", "b_item")
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+          .join(broadcast(itemCnt.select(col("item").as("a_item"),
+            col("n_i").as("n_a"))), Seq("a_item"))
+          .join(broadcast(itemCnt.select(col("item").as("b_item"),
+            col("n_i").as("n_b"))), Seq("b_item"))
+          .crossJoin(broadcast(nUsers))
+          .select(col("a_item"), col("b_item"), col("n_ab"),
+            col("n_a"), col("n_b"),
+            ((col("n_ab") * col("n_users")).cast("double") /
+              (col("n_a") * col("n_b")).cast("double")).as("lift"))
+          .orderBy("a_item", "b_item")
+      },
+      Some("""WITH b AS (
+                SELECT DISTINCT user_id,
+                  CAST(props->>'$.k' AS BIGINT) AS item
+                FROM events),
+              ic AS (SELECT item, count(*) AS n_i FROM b GROUP BY item),
+              nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+              p AS (
+                SELECT a.item AS a_item, b2.item AS b_item,
+                  count(*) AS n_ab
+                FROM b a JOIN b b2 USING (user_id)
+                WHERE a.item < b2.item
+                GROUP BY a.item, b2.item
+                HAVING count(*) >= 2)
+              SELECT p.a_item, p.b_item, CAST(p.n_ab AS BIGINT) AS n_ab,
+                CAST(ia.n_i AS BIGINT) AS n_a, CAST(ib.n_i AS BIGINT) AS n_b,
+                CAST(p.n_ab * nu.n_users AS DOUBLE)
+                  / CAST(ia.n_i * ib.n_i AS DOUBLE) AS lift
+              FROM p
+              JOIN ic ia ON ia.item = p.a_item
+              JOIN ic ib ON ib.item = p.b_item
+              CROSS JOIN nu
+              ORDER BY a_item, b_item"""))
   )
 
   /** Count-min sketch geometry: 4 rows x 1024 counters = 32 KB. With

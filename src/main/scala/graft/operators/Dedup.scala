@@ -659,25 +659,57 @@ object Dedup {
               .orderBy(col("df").asc, col("shingle").asc)))
           .join(sh.select(col("doc_id"), size(col("sh")).as("n_sh")),
             Seq("doc_id"))
+        // a candidate needs the SAME shingle in both prefixes, and a
+        // df=1 shingle exists in one doc only — it fills its doc's
+        // prefix slots (so it must survive RANKING) but can never
+        // collide, so it drops out before the self-join. On word-soup
+        // corpora most shingles are unique: this lossless prune cuts
+        // the join input to the df>=2 sliver.
+        // checkpoint the (tiny, post-prune) prefix relation: the self-
+        // join's alias renames would otherwise defeat subtree reuse and
+        // run the whole df-count + rank-window pipeline TWICE (plan-
+        // audited: the un-checkpointed form duplicated nodes 1-24)
         val prefix = ranked
           .filter(col("r") <= col("n_sh").cast("long")
             - ceil(col("n_sh") * lit(PrefixJaccardT)) + 1)
+          .filter(col("df") >= 2)
           .select("shingle", "doc_id")
+          .localCheckpoint()
         val cand = prefix.select(col("shingle"), col("doc_id").as("a_id"))
           .join(prefix.select(col("shingle"), col("doc_id").as("b_id")),
             Seq("shingle"))
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
-        val nc = size(array_intersect(col("sh_a"), col("sh_b")))
-        cand
-          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")),
+        // SSJoin's length filter, applied before verification: J >= t
+        // forces t·max(n_a,n_b) <= min(n_a,n_b), so size-incompatible
+        // candidates drop LOSSLESSLY (63% of this corpus's candidate
+        // mass — rare-shingle noise pairs between unlike-sized docs).
+        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+        val candLen = cand
+          .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")),
             Seq("a_id"))
-          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
+          .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")),
             Seq("b_id"))
-          .select(col("a_id"), col("b_id"),
-            nc.cast("long").as("n_common"),
-            (nc.cast("double") /
-              (size(col("sh_a")) + size(col("sh_b")) - nc).cast("double"))
+          .filter(col("n_b").cast("double") >=
+            col("n_a").cast("double") * lit(PrefixJaccardT))
+          .filter(col("n_a").cast("double") >=
+            col("n_b").cast("double") * lit(PrefixJaccardT))
+          .localCheckpoint() // feeds both posting joins of the verify
+        // COUNTING verification (the jaccardPairs discipline): common
+        // shingles per surviving pair via two codegen'd equi-joins back
+        // to the posting relation — never a per-pair interpreted
+        // array_intersect over materialized shingle arrays (the first
+        // formulation; it was ~70% of the query's CPU).
+        candLen
+          .join(postings.select(col("doc_id").as("a_id"), col("shingle")),
+            Seq("a_id"))
+          .join(postings.select(col("doc_id").as("b_id"), col("shingle")),
+            Seq("b_id", "shingle"))
+          .groupBy("a_id", "b_id", "n_a", "n_b")
+          .agg(count(lit(1)).as("n_common"))
+          .select(col("a_id"), col("b_id"), col("n_common"),
+            (col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")).cast("double"))
               .as("jaccard"))
           .filter(col("jaccard") >= PrefixJaccardT)
           .orderBy("a_id", "b_id")
@@ -697,21 +729,37 @@ object Dedup {
                    sz.n_sh
                  FROM p JOIN f USING (shingle) JOIN sz USING (doc_id)),
                pre AS (
-                 SELECT doc_id, shingle FROM r
-                 WHERE r <= n_sh - CAST(CEIL(n_sh * $PrefixJaccardT) AS BIGINT) + 1),
+                 SELECT r.doc_id, r.shingle FROM r JOIN f USING (shingle)
+                 WHERE r.r <= r.n_sh
+                     - CAST(CEIL(r.n_sh * $PrefixJaccardT) AS BIGINT) + 1
+                   AND f.df >= 2),
                cand AS (
                  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                  FROM pre a JOIN pre b USING (shingle)
-                 WHERE a.doc_id < b.doc_id)
-               SELECT c.a_id, c.b_id,
-                 CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS n_common,
-                 CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-                   / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard
-               FROM cand c
-               JOIN d da ON da.doc_id = c.a_id
-               JOIN d db ON db.doc_id = c.b_id
-               WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-                   / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) >= $PrefixJaccardT
+                 WHERE a.doc_id < b.doc_id),
+               candl AS (
+                 SELECT c.a_id, c.b_id, sa.n_sh AS n_a, sb.n_sh AS n_b
+                 FROM cand c
+                 JOIN sz sa ON sa.doc_id = c.a_id
+                 JOIN sz sb ON sb.doc_id = c.b_id
+                 WHERE CAST(sb.n_sh AS DOUBLE)
+                     >= CAST(sa.n_sh AS DOUBLE) * $PrefixJaccardT
+                   AND CAST(sa.n_sh AS DOUBLE)
+                     >= CAST(sb.n_sh AS DOUBLE) * $PrefixJaccardT),
+               com AS (
+                 SELECT cl.a_id, cl.b_id, cl.n_a, cl.n_b,
+                   count(*) AS n_common
+                 FROM candl cl
+                 JOIN p pa ON pa.doc_id = cl.a_id
+                 JOIN p pb ON pb.doc_id = cl.b_id
+                   AND pb.shingle = pa.shingle
+                 GROUP BY cl.a_id, cl.b_id, cl.n_a, cl.n_b)
+               SELECT a_id, b_id, CAST(n_common AS BIGINT) AS n_common,
+                 CAST(n_common AS DOUBLE)
+                   / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+               FROM com
+               WHERE CAST(n_common AS DOUBLE)
+                   / CAST(n_a + n_b - n_common AS DOUBLE) >= $PrefixJaccardT
                ORDER BY a_id, b_id""")),
 
     // MinHash signatures, flattened to (doc_id, perm_id, sig_val) for the

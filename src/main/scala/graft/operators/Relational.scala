@@ -954,7 +954,47 @@ object Relational {
           .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
         s.sql(LateralSql)
       },
-      Some(LateralSql))
+      Some(LateralSql)),
+
+    // Runtime bloom-filter join pruning — the 100 TB shuffle-join
+    // optimization this engine must prove it can plan: when a selective
+    // dimension filter can't broadcast, Spark's InjectRuntimeFilter
+    // builds a bloom filter over the dimension's join keys at runtime
+    // and pushes a might_contain() probe onto the FACT side, so fact
+    // rows that can't join are dropped BEFORE the shuffle (at cluster
+    // scale that's the difference between shuffling 100 TB and shuffling
+    // the matching fraction). The local[32] corpus is far below the
+    // production injection thresholds, so the knobs are lowered on a
+    // CLONED session (config-residue-free, the graph_bfs_2hop
+    // discipline) with broadcast disabled to force the shuffle-join
+    // shape; PlanSpec asserts the might_contain probe actually lands on
+    // the lineitem scan side. Blooms admit false positives only, so the
+    // result equals the plain join — which is exactly what the oracle
+    // checks.
+    QueryDef(
+      "q_runtime_filter",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s2.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val li = t(s2, dir, "lineitem")
+        val p = t(s2, dir, "part").filter(col("p_size") <= 5)
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy("p_size")
+          .agg(count(lit(1)).as("n_items"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+          .orderBy("p_size")
+      },
+      Some("""SELECT p.p_size,
+                count(*) AS n_items,
+                CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  AS sum_qty
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_size <= 5
+              GROUP BY p.p_size
+              ORDER BY p.p_size"""))
   )
 
   private lazy val LateralSql =

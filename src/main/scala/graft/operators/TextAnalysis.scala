@@ -1555,7 +1555,64 @@ object TextAnalysis {
                 CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
                     AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
               FROM p JOIN f USING (sh)
-              GROUP BY p.doc_id ORDER BY p.doc_id"""))
+              GROUP BY p.doc_id ORDER BY p.doc_id""")),
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    // the MOSS algorithm): from each doc's positional 3-gram hash
+    // stream, every w=4-gram window contributes its minimal hash
+    // (leftmost on ties — deterministic and replayed identically by
+    // the oracle), and the union of selected (pos, hash) pairs is the
+    // document fingerprint. The guarantee production systems buy with
+    // this: any shared token run of length ≥ w+2 yields at least one
+    // SHARED fingerprint hash, at an expected density of only
+    // 2/(w+1) ≈ 0.4 of the grams — the provable-coverage alternative
+    // to random MinHash sampling. Shape: the gram stream is the same
+    // map-only Generate as text_ngrams_gen, window membership is a
+    // constant w-row expansion (never data × data), the per-window
+    // argmin is ONE doc_id-hashed rank window, and the final dedup is
+    // a hash aggregate — work ∝ corpus grams × w at any scale.
+    QueryDef(
+      "text_winnowing",
+      (s, dir) => {
+        val W = 4
+        val grams = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            (size(tokens(col("text"))) - 2).cast("long").as("n_grams"),
+            graft.functions.NGramsGenerator(s, col("text"), 3))
+          .filter(col("n_grams") >= W)
+          .select(col("doc_id"), col("n_grams"), col("pos"),
+            hash31(col("gram")).as("h"))
+        val exp = grams.select(col("doc_id"), col("pos"), col("h"),
+          explode(sequence(
+            greatest(lit(0L), col("pos") - (W - 1)),
+            least(col("pos"), col("n_grams") - W))).as("ws"))
+        exp.withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id", "ws")
+              .orderBy(col("h").asc, col("pos").asc)))
+          .filter(col("rk") === 1)
+          .select("doc_id", "pos", "h").distinct()
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH g AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                  CAST(concat('0x', substr(md5(array_to_string(
+                    string_split(text,' ')[i:i+2], ' ')), 1, 15)) AS BIGINT)
+                    % 2147483647 AS h,
+                  CAST(len(string_split(text,' ')) - 2 AS BIGINT) AS n_grams
+                FROM documents, LATERAL (SELECT unnest(range(1,
+                  len(string_split(text,' ')) - 1)) AS i) ix
+                WHERE len(string_split(text,' ')) - 2 >= 4),
+              e AS (
+                SELECT doc_id, pos, h, ws
+                FROM g, LATERAL (SELECT unnest(range(
+                  GREATEST(0, pos - 3), LEAST(pos, n_grams - 4) + 1)) AS ws) wx),
+              r AS (
+                SELECT doc_id, pos, h,
+                  row_number() OVER (PARTITION BY doc_id, ws
+                    ORDER BY h ASC, pos ASC) AS rk
+                FROM e)
+              SELECT DISTINCT doc_id, pos, h FROM r WHERE rk = 1
+              ORDER BY doc_id, pos"""))
   )
 
   /** Run the BPE merge-training rounds corpus-parallel; returns the

@@ -362,4 +362,46 @@ class DedupTextSpec extends AnyFunSuite {
     assert(out(2L) > 0.0 && out(2L) < 1.0) // near dup: only flipped shingles new
     assert(out(3L) === 1.0)  // unrelated doc is all-new
   }
+
+  test("winnowing: shared runs yield shared fingerprints at the guaranteed density") {
+    // plantedDir docs 0/1 are identical and doc 2 shares long token runs
+    // with them; the winnowing guarantee (any shared run of >= w+2 = 6
+    // tokens shares a fingerprint hash) must fire for both pairs, and
+    // selection density must sit between the 1/w floor and 1
+    val fp = Registry.byName("text_winnowing").run(spark, plantedDir)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("h")).toSet).toMap
+    assert(fp(0L) === fp(1L), "identical docs must fingerprint identically")
+    assert((fp(0L) & fp(2L)).nonEmpty,
+      "docs sharing >= 6-token runs must share a fingerprint hash")
+    assert((fp(0L) & fp(3L)).isEmpty,
+      "no shared grams -> no shared fingerprints")
+    // density: base has 24 tokens -> 22 grams, 19 full windows; the
+    // selected count lies in [ceil(19/4), 19] (w=4 windows overlap)
+    assert(fp(0L).size >= 5 && fp(0L).size <= 19, s"density off: ${fp(0L).size}")
+  }
+
+  test("item co-occurrence: lift reconciles with a local basket replay") {
+    val rows = Registry.byName("q_item_cooccurrence").run(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // local replay: per-user distinct items from the raw events
+    val baskets = Tables.load(spark, TestSpark.sf, "events")
+      .selectExpr("user_id", "CAST(get_json_object(props, '$.k') AS LONG) AS item")
+      .distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byItem = baskets.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val nUsers = baskets.map(_._1).distinct.length.toLong
+    rows.take(20).foreach { r =>
+      val (a, b) = (r.getAs[Long]("a_item"), r.getAs[Long]("b_item"))
+      assert(a < b)
+      val nab = (byItem(a) & byItem(b)).size.toLong
+      assert(r.getAs[Long]("n_ab") === nab)
+      assert(r.getAs[Long]("n_a") === byItem(a).size.toLong)
+      val lift = (nab * nUsers).toDouble /
+        (byItem(a).size.toLong * byItem(b).size.toLong).toDouble
+      assert(r.getAs[Double]("lift") === lift)
+    }
+  }
 }

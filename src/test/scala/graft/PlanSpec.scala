@@ -689,4 +689,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in ppr:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in ppr:\n$p")
   }
+
+  test("runtime bloom filter probe lands on the fact side of the shuffle join") {
+    val df = Registry.byName("q_runtime_filter").run(spark, TestSpark.sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      s"InjectRuntimeFilter planned no bloom probe:\n$opt")
+    // the probe must filter the FACT (lineitem) subtree, keyed on the
+    // fact join key — that is the shuffle-volume reduction at scale
+    assert(opt.contains("l_partkey"),
+      s"bloom probe not keyed on the fact join key:\n$opt")
+    // and the join itself is the forced shuffle join, not a broadcast
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastHashJoin"),
+      s"join broadcast despite disabled threshold:\n$phys")
+  }
 }
