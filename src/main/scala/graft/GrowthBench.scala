@@ -48,7 +48,10 @@ object GrowthBench {
     "text_pmi" -> "~linear (bigram counts + top-k)",
     "sample_dsir" -> "linear (64-bucket stats + map-only gate)",
     "graph_modularity" -> "~linear x LPA iters (equi-join per round)",
-    "mm_keyframe" -> "linear (one doc_id exchange, two windows)")
+    "mm_keyframe" -> "linear (one doc_id exchange, two windows)",
+    "dedup_prefix_filter" -> "~linear x prefix collisions (sum prefix-df^2)",
+    "mm_cdc_match" -> "~linear x chunk collisions (DF-capped chunk join)",
+    "text_winnowing" -> "linear x w (gram stream, one rank window)")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

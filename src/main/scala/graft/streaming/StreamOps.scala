@@ -367,6 +367,78 @@ object StreamOps {
   }
 
   /** Raw event stream with a µs timestamp column. */
+  /** Typed rows for the transformWithState per-user stats processor. */
+  final case class TwsIn(user_id: Long, us: Long, value: Double)
+  final case class TwsOut(user_id: Long, n_events: Long, max_value: Double,
+      first_us: Long, last_us: Long)
+  final case class TwsState(n: Long, mx: Double, lo: Long, hi: Long)
+
+  /** Spark 4 arbitrary-state processor (the transformWithState /
+    * state-API-v2 replacement for [flat]mapGroupsWithState): per-user
+    * running stats held in a typed ValueState. State is one fixed-size
+    * record per user — bounded by key cardinality, not stream length —
+    * and lives in the RocksDB state store the new API requires, so at
+    * deployment scale it spills off-heap instead of occupying executor
+    * memory. Counters/min/max are associative, so re-processing a key
+    * across microbatches converges to the same final state under any
+    * batch split. */
+  private[graft] final class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TwsIn, TwsOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[TwsState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TwsState]("stats",
+        org.apache.spark.sql.Encoders.product[TwsState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TwsIn],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsOut] = {
+      var acc =
+        if (st.exists()) st.get()
+        else TwsState(0L, Double.NegativeInfinity, Long.MaxValue, Long.MinValue)
+      rows.foreach { r =>
+        acc = TwsState(acc.n + 1L, math.max(acc.mx, r.value),
+          math.min(acc.lo, r.us), math.max(acc.hi, r.us))
+      }
+      st.update(acc)
+      Iterator.single(TwsOut(key, acc.n, acc.mx, acc.lo, acc.hi))
+    }
+  }
+
+  /** Per-user lifetime stats via transformWithState (see the
+    * stream_transform_state def). The RocksDB provider the API requires
+    * is set on a CLONED session so the shared session keeps its default
+    * provider (config-hygiene discipline). */
+  def transformStateStats(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val sink = s"graft_stream_tws_${nameCounter.incrementAndGet()}"
+    val in = rawEventStream(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .as[TwsIn]
+    val q = in.groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // each microbatch emits that batch's running state per touched key;
+    // the final value per field is the monotone extreme, so this fold is
+    // batch-split-invariant (one batch here — the corpus is one file)
+    s.table(sink).groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("max_value")).as("max_value"),
+        min(col("first_us")).as("first_us"),
+        max(col("last_us")).as("last_us"))
+      .orderBy("user_id")
+  }
+
   private def rawEventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -1046,6 +1118,20 @@ object StreamOps {
       (s, dir) => streamingNearDup(s, dir),
       Some(graft.operators.Dedup.MinhashPairsOracleSql),
       bench = false),
+
+    // Spark 4 state API v2 (transformWithState): per-user lifetime
+    // stats in a typed ValueState on the RocksDB provider — the modern
+    // replacement for [flat]mapGroupsWithState, with per-state TTL,
+    // timers, and off-heap state. State per key is ONE fixed record;
+    // the oracle is the equivalent batch aggregate.
+    QueryDef(
+      "stream_transform_state",
+      (s, dir) => transformStateStats(s, dir),
+      Some("""SELECT user_id, count(*) AS n_events,
+                max(value) AS max_value,
+                min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+                max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+              FROM events GROUP BY user_id ORDER BY user_id""")),
     QueryDef(
       "stream_interval_join",
       (s, dir) => intervalJoin(s, dir),

@@ -428,4 +428,35 @@ class StreamCancelSpec extends AnyFunSuite {
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(orphans.forall(o => clickIds.contains(o._2)))
   }
+
+  test("transformWithState accumulates ValueState across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // the RocksDB provider transformWithState requires lives on a CLONE
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[StreamOps.TwsIn]
+    val q = input.toDS()
+      .groupByKey(_.user_id)
+      .transformWithState(new StreamOps.UserStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_xbatch_tws").start()
+    try {
+      input.addData(StreamOps.TwsIn(7L, 100L, 1.5),
+        StreamOps.TwsIn(7L, 50L, 9.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.TwsIn(7L, 200L, 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.table("graft_xbatch_tws").collect()
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("max_value"),
+        r.getAs[Long]("first_us"), r.getAs[Long]("last_us")))
+    // update mode emits one row per batch; the SECOND row proves the
+    // ValueState survived the batch boundary and kept accumulating
+    assert(rows.toSet === Set((2L, 9.0, 50L, 100L), (3L, 9.0, 50L, 200L)))
+  }
 }
