@@ -994,7 +994,69 @@ object Relational {
               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
               WHERE p.p_size <= 5
               GROUP BY p.p_size
-              ORDER BY p.p_size"""))
+              ORDER BY p.p_size""")),
+
+    // SQL pipe syntax (Spark 4 / the SQL:2023-era |> operator chain):
+    // the same relational algebra written as a linear pipeline —
+    // FROM |> WHERE |> JOIN |> WHERE |> AGGREGATE |> ORDER BY — which
+    // Catalyst parses into the IDENTICAL logical plan as the nested
+    // form, so every optimizer rule (pushdown, pruning, join selection)
+    // applies unchanged. The oracle is the equivalent classic SQL: the
+    // engine contract is that surface syntax must not change semantics.
+    QueryDef(
+      "q_pipe_syntax",
+      (s, dir) => {
+        Seq("lineitem", "part")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          FROM lineitem
+          |> WHERE l_quantity > 10
+          |> JOIN part ON l_partkey = p_partkey
+          |> WHERE p_size <= 10
+          |> AGGREGATE count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS revenue
+             GROUP BY p_brand
+          |> ORDER BY p_brand""")
+      },
+      Some("""SELECT p.p_brand, count(*) AS n_items,
+                CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                  AS revenue
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_quantity > 10 AND p.p_size <= 10
+              GROUP BY p.p_brand
+              ORDER BY p.p_brand""")),
+
+    // Exchange reuse — the "shuffle once, read twice" property that
+    // keeps diamond-shaped plans affordable at 100 TB: both branches of
+    // the outlier screen (customers with unusually many / few orders)
+    // consume the SAME per-customer count aggregate, and because the two
+    // subtrees canonicalize identically Spark materializes ONE hash
+    // exchange and wires the second branch to a ReusedExchange /
+    // reused shuffle stage (PlanSpec-asserted after execution, where
+    // AQE's stage reuse is visible). Written naively this query would
+    // scan + shuffle the fact table twice.
+    QueryDef(
+      "q_exchange_reuse",
+      (s, dir) => {
+        val cnt = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"))
+        cnt.filter(col("n_orders") >= 15)
+          .withColumn("side", lit("heavy"))
+          .union(cnt.filter(col("n_orders") <= 2)
+            .withColumn("side", lit("light")))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH c AS (
+                SELECT o_custkey, count(*) AS n_orders
+                FROM orders GROUP BY o_custkey)
+              SELECT o_custkey, n_orders, 'heavy' AS side
+              FROM c WHERE n_orders >= 15
+              UNION ALL
+              SELECT o_custkey, n_orders, 'light' AS side
+              FROM c WHERE n_orders <= 2
+              ORDER BY o_custkey"""))
   )
 
   private lazy val LateralSql =

@@ -690,6 +690,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in ppr:\n$p")
   }
 
+  test("outlier screen shuffles once: second branch reads a ReusedExchange") {
+    val df = Registry.byName("q_exchange_reuse").run(spark, TestSpark.sf)
+    df.collect() // materialize so AQE finalizes and stage reuse is visible
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("ReusedExchange"),
+      s"both union branches materialized their own aggregate exchange:\n$p")
+  }
+
   test("runtime bloom filter probe lands on the fact side of the shuffle join") {
     val df = Registry.byName("q_runtime_filter").run(spark, TestSpark.sf)
     val opt = df.queryExecution.optimizedPlan.toString
