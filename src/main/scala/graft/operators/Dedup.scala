@@ -829,6 +829,83 @@ object Dedup {
       },
       Some(MinhashPairsOracleSql)),
 
+    // b-bit MinHash (Li & König, CACM 2011): keep only the low b=3 bits
+    // of each of the 16 permutation minima, packed into ONE 48-bit
+    // BIGINT per document — a 16× signature-storage compression
+    // (16 longs → 1), the trick web-scale dedup indexes use to hold
+    // billions of signatures in memory. Similarity is re-estimated from
+    // the packed form alone: P[low-b bits agree] = J + (1-J)/2^b, so
+    // Ĵ = (A/k − 2⁻ᵇ)/(1 − 2⁻ᵇ) with A the agreeing-permutation count —
+    // emitted as the exact rational (8A−16)/112 in one closing IEEE
+    // division. Candidates come from the SAME banded-LSH join as
+    // dedup_minhash_pairs (band keys derive from the full minima,
+    // upstream of compression), so this def is the storage-tier
+    // readout: signatures ship compressed and estimation is pure
+    // codegen bit arithmetic on two BIGINTs — no arrays in the
+    // comparison path at all.
+    QueryDef(
+      "dedup_minhash_bbit",
+      (s, dir) => {
+        val sh = shingled(s, dir).localCheckpoint()
+        // signatures feed the band keys AND the packed form: checkpoint
+        // so the 16-permutation min-aggregate runs once
+        val withSig = signaturesFrom(sh).localCheckpoint()
+        val bands = bandsOf(withSig)
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band_id") === col("y.band_id") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val packedExpr = (0 until NumPerms).map(p =>
+          shiftleft(pmod(element_at(col("sig"), p + 1), lit(8L)), 3 * p))
+          .reduce(_ + _)
+        val packed = withSig
+          .select(col("doc_id"), packedExpr.as("packed"))
+          .filter(col("packed").isNotNull)
+        val agree = (0 until NumPerms).map { p =>
+          when(shiftright(col("packed_a"), 3 * p).bitwiseAND(lit(7L)) ===
+            shiftright(col("packed_b"), 3 * p).bitwiseAND(lit(7L)), 1L)
+            .otherwise(0L)
+        }.reduce(_ + _)
+        cand
+          .join(packed.select(col("doc_id").as("a_id"),
+            col("packed").as("packed_a")), Seq("a_id"))
+          .join(packed.select(col("doc_id").as("b_id"),
+            col("packed").as("packed_b")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"), col("packed_a"),
+            col("packed_b"), agree.as("agree"))
+          .withColumn("j_bbit",
+            (col("agree") * 8L - 16L).cast("double") / lit(112.0))
+          .orderBy("a_id", "b_id")
+      },
+      Some(MinhashBandsCte + """,
+         pk AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 16), p ->
+               (sg[CAST(p AS INTEGER) + 1] % 8) << CAST(3*p AS INTEGER)))
+               AS BIGINT) AS packed
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id),
+         ag AS (
+           SELECT c.a_id, c.b_id,
+             pa.packed AS packed_a, pb.packed AS packed_b,
+             CAST(list_sum(list_transform(range(0, 16), p ->
+               CASE WHEN ((pa.packed >> CAST(3*p AS INTEGER)) & 7)
+                       = ((pb.packed >> CAST(3*p AS INTEGER)) & 7)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS agree
+           FROM cand c
+           JOIN pk pa ON pa.doc_id = c.a_id
+           JOIN pk pb ON pb.doc_id = c.b_id
+           WHERE pa.packed IS NOT NULL AND pb.packed IS NOT NULL)
+         SELECT a_id, b_id, packed_a, packed_b, agree,
+           CAST(agree * 8 - 16 AS DOUBLE) / 112.0 AS j_bbit
+         FROM ag ORDER BY a_id, b_id""")),
+
     // Corpus-level MinHash via a typed custom Aggregator: element-wise
     // min over per-document signatures = the signature of each source's
     // concatenated shingle set (minhash union property). Associative +

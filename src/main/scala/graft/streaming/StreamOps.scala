@@ -760,6 +760,109 @@ object StreamOps {
   final case class EvWithTime(
       event_id: Long, user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
 
+  /** Open-session record for the state-API-v2 sessionizer. */
+  final case class TwsSession(start_us: Long, end_us: Long, n: Long)
+
+  /** Event-time-TIMER sessionization on the state API v2 — the same
+    * session relation as sessionTtlGroup, re-expressed with
+    * transformWithState primitives: a typed ValueState holds the one
+    * open session per user, in-batch gap closes emit immediately, and
+    * the trailing session emits from handleExpiredTimer when the
+    * WATERMARK passes lastEvent + gap (the registered timer). Timers
+    * are re-armed per batch (old ones deleted), so the state store
+    * holds exactly one record + one timer per ACTIVE user — the
+    * bounded-state property, now with the API that also offers
+    * per-state TTL and off-heap RocksDB state. The per-key per-batch
+    * sort buffer is bounded by one batch's rows for that key. */
+  private[graft] final class SessionTimerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvWithTime, ClosedSession] {
+    import graft.operators.Analytics.{SessionGapUs => Gap}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[TwsSession] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TwsSession]("open",
+        org.apache.spark.sql.Encoders.product[TwsSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EvWithTime],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[ClosedSession] = {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var cur: Option[TwsSession] = if (st.exists()) Some(st.get()) else None
+      rows.map(_.ts_us).toArray.sorted.foreach { t =>
+        cur = cur match {
+          case Some(o) if t - o.end_us <= Gap =>
+            Some(TwsSession(o.start_us, t, o.n + 1L))
+          case Some(o) =>
+            out += ClosedSession(key, o.start_us, o.end_us + Gap, o.n)
+            Some(TwsSession(t, t, 1L))
+          case None => Some(TwsSession(t, t, 1L))
+        }
+      }
+      cur.foreach { o =>
+        st.update(o)
+        getHandle.registerTimer((o.end_us + Gap) / 1000L)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] =
+      if (st.exists()) {
+        val o = st.get()
+        // only the CURRENT session's timer closes it (a stale timer
+        // from a superseded arm would fire before lastEvent + gap)
+        if (expired.getExpiryTimeInMs >= (o.end_us + Gap) / 1000L) {
+          st.clear()
+          Iterator.single(ClosedSession(key, o.start_us, o.end_us + Gap, o.n))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** Timer-driven sessionization via transformWithState (see the
+    * stream_transform_state_timers def). RocksDB provider on a CLONE. */
+  def transformStateSessions(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val staged = new SentinelStage(s, dir)
+    val schema = staged.schema
+    val sink = s"graft_stream_tws_sess_${nameCounter.incrementAndGet()}"
+    val q = s.readStream
+      .schema(schema)
+      .parquet(staged.stage)
+      .withColumn("ts", graft.Tables.normTsCol(schema))
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[EvWithTime]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable() // real corpus: gap-closed sessions emit
+      staged.addSentinel("click") // watermark past every open session
+      q.processAllAvailable() // timers fire, trailing sessions emit
+    } finally {
+      q.stop()
+      staged.cleanup()
+    }
+    s.table(sink)
+      .filter(col("user_id") >= 0) // drop the sentinel's own session
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Streaming ANN serving: query vectors STREAM IN and each
     * micro-batch is searched against the STATIC IVF index via
     * foreachBatch — the model-serving split (index built offline,
@@ -1319,6 +1422,17 @@ object StreamOps {
     QueryDef(
       "stream_session_ttl",
       (s, dir) => sessionizeTtl(s, dir),
+      Some(graft.operators.Analytics.SessionWindowOracleSql),
+      bench = false),
+
+    // The state-API-v2 re-expression of stream_session_ttl: event-time
+    // TIMERS (registerTimer / handleExpiredTimer) instead of
+    // GroupStateTimeout, typed ValueState on RocksDB instead of
+    // GroupState. Same session relation, same shared gaps-and-islands
+    // oracle — API migration must not change semantics.
+    QueryDef(
+      "stream_transform_state_timers",
+      (s, dir) => transformStateSessions(s, dir),
       Some(graft.operators.Analytics.SessionWindowOracleSql),
       bench = false),
 
