@@ -1056,7 +1056,34 @@ object Relational {
               UNION ALL
               SELECT o_custkey, n_orders, 'light' AS side
               FROM c WHERE n_orders <= 2
-              ORDER BY o_custkey"""))
+              ORDER BY o_custkey""")),
+
+    // Scale-safe GLOBAL row numbering — the pattern that replaces the
+    // classic scale killer `row_number() OVER (ORDER BY …)`, whose
+    // empty PARTITION BY funnels the entire relation through ONE task.
+    // Here the sort stays a parallel range partition and the numbering
+    // is RDD zipWithIndex: one extra count-per-partition job computes
+    // partition offsets, then each partition numbers its rows locally —
+    // 2 passes, zero funnels, deterministic because the sort key
+    // (o_orderkey) is unique. This is the justified imperative escape
+    // hatch (per-partition offset arithmetic has no Catalyst form); the
+    // oracle is the window form the pattern replaces.
+    QueryDef(
+      "q_global_rownum",
+      (s, dir) => {
+        import s.implicits._
+        val sorted = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+        sorted.rdd.zipWithIndex()
+          .map { case (r, i) =>
+            (i + 1L, r.getLong(0), r.getLong(1), r.getDouble(2))
+          }
+          .toDF("rn", "o_orderkey", "o_custkey", "o_totalprice")
+      },
+      Some("""SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,
+                o_orderkey, o_custkey, o_totalprice
+              FROM orders ORDER BY rn"""))
   )
 
   private lazy val LateralSql =
