@@ -1234,7 +1234,10 @@ object StreamOps {
                 max(value) AS max_value,
                 min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
                 max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
-              FROM events GROUP BY user_id ORDER BY user_id""")),
+              FROM events GROUP BY user_id ORDER BY user_id"""),
+      // streaming family: wall is query-setup-dominated (source listing,
+      // state-store init), off the headline sweep like its 24 siblings
+      bench = false),
     QueryDef(
       "stream_interval_join",
       (s, dir) => intervalJoin(s, dir),
