@@ -35,6 +35,12 @@ object Graph {
 
   private val Q = 1000000000000L // 10^12 rank quantization
   private val Iters = 3
+  // HITS quantum is deliberately smaller than Q: the max-norm rescale
+  // multiplies a degree-weighted sum (≤ deg·HitsQ) by HitsQ again, so
+  // 10^6 keeps the worst product ≤ ~10^16 — far inside BIGINT — where
+  // Q=10^12 would overflow at the first rescale.
+  private val HitsQ = 1000000L
+  private val HitsIters = 2
   private val WalkSteps = 3
   private val KcoreRounds = 3
   private val BfsHops = 2
@@ -99,6 +105,96 @@ object Graph {
                        UNION ALL SELECT b_id FROM pairs)
                SELECT doc_id, count(*) AS degree
                FROM e GROUP BY doc_id ORDER BY doc_id""")),
+
+    // HITS hubs & authorities (Kleinberg, JACM'99) — the other classic
+    // link-analysis ranking, complementing the quantized PageRank/PPR:
+    // on the ORIENTED near-dup relation (a_id → b_id, i.e. earlier doc
+    // points at later family member), authority mass flows along edges
+    // and hub mass against them. Exact-integer iteration in the same
+    // discipline as graph_pagerank: scores live in HitsQ=10^6 quanta,
+    // each half-step is ONE equi-join + map-side-combined sum, and the
+    // norm step rescales by the 1-row broadcast maximum with pure
+    // integer division — so the fixpoint is bit-identical in any
+    // engine (no sqrt normalization; max-norm is the standard integer-
+    // safe substitute). Two full iterations, unrolled in the oracle CTE
+    // chain. Products stay ≤ deg·HitsQ² ≈ 10^16 — overflow-safe in
+    // BIGINT at any corpus where degree ≤ 10^6.
+    QueryDef(
+      "graph_hits",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select(col("a_id").as("u"), col("b_id").as("v"))
+          .localCheckpoint()
+        require(pairs.count() > 0,
+          "graph_hits: near-dup edge relation is empty — hubs/authorities " +
+            "are undefined on an edgeless graph")
+        val docs = Tables.load(s, dir, "documents").select("doc_id")
+        def rescale(x: DataFrame, c: String): DataFrame = {
+          val mx = x.agg(max(col(c)).as("mx"))
+          x.crossJoin(broadcast(mx))
+            .select(col("doc_id"),
+              expr(s"($c * ${HitsQ}L) div mx").as(c))
+        }
+        var h = docs.select(col("doc_id"), lit(HitsQ).as("h"))
+        var a: DataFrame = null
+        for (_ <- 0 until HitsIters) {
+          val aSum = pairs
+            .join(h.select(col("doc_id").as("u"), col("h")), "u")
+            .groupBy(col("v").as("doc_id")).agg(sum(col("h")).as("a"))
+          a = rescale(docs.join(aSum, Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("a"), lit(0L)).as("a")), "a")
+          val hSum = pairs
+            .join(a.select(col("doc_id").as("v"), col("a")), "v")
+            .groupBy(col("u").as("doc_id")).agg(sum(col("a")).as("h"))
+          h = rescale(docs.join(hSum, Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("h"), lit(0L)).as("h")), "h")
+        }
+        a.join(h, "doc_id")
+          .select(col("doc_id"), col("a").as("auth_q"), col("h").as("hub_q"),
+            (col("a").cast("double") / lit(HitsQ.toDouble)).as("authority"),
+            (col("h").cast("double") / lit(HitsQ.toDouble)).as("hub"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${Dedup.JaccardPairsCte},
+                 nd AS (SELECT doc_id FROM documents),
+                 e AS (SELECT a_id AS u, b_id AS v FROM pairs),
+                 h0 AS (SELECT doc_id, CAST($HitsQ AS BIGINT) AS h FROM nd),
+                 a1r AS (SELECT e.v AS doc_id, sum(h0.h) AS a
+                         FROM e JOIN h0 ON h0.doc_id = e.u GROUP BY e.v),
+                 a1f AS (SELECT nd.doc_id, COALESCE(a1r.a, 0) AS a
+                         FROM nd LEFT JOIN a1r USING (doc_id)),
+                 a1 AS (SELECT doc_id,
+                          (a * $HitsQ) // (SELECT max(a) FROM a1f) AS a
+                        FROM a1f),
+                 h1r AS (SELECT e.u AS doc_id, sum(a1.a) AS h
+                         FROM e JOIN a1 ON a1.doc_id = e.v GROUP BY e.u),
+                 h1f AS (SELECT nd.doc_id, COALESCE(h1r.h, 0) AS h
+                         FROM nd LEFT JOIN h1r USING (doc_id)),
+                 h1 AS (SELECT doc_id,
+                          (h * $HitsQ) // (SELECT max(h) FROM h1f) AS h
+                        FROM h1f),
+                 a2r AS (SELECT e.v AS doc_id, sum(h1.h) AS a
+                         FROM e JOIN h1 ON h1.doc_id = e.u GROUP BY e.v),
+                 a2f AS (SELECT nd.doc_id, COALESCE(a2r.a, 0) AS a
+                         FROM nd LEFT JOIN a2r USING (doc_id)),
+                 a2 AS (SELECT doc_id,
+                          (a * $HitsQ) // (SELECT max(a) FROM a2f) AS a
+                        FROM a2f),
+                 h2r AS (SELECT e.u AS doc_id, sum(a2.a) AS h
+                         FROM e JOIN a2 ON a2.doc_id = e.v GROUP BY e.u),
+                 h2f AS (SELECT nd.doc_id, COALESCE(h2r.h, 0) AS h
+                         FROM nd LEFT JOIN h2r USING (doc_id)),
+                 h2 AS (SELECT doc_id,
+                          (h * $HitsQ) // (SELECT max(h) FROM h2f) AS h
+                        FROM h2f)
+               SELECT a2.doc_id,
+                 CAST(a2.a AS BIGINT) AS auth_q,
+                 CAST(h2.h AS BIGINT) AS hub_q,
+                 CAST(a2.a AS DOUBLE) / $HitsQ.0 AS authority,
+                 CAST(h2.h AS DOUBLE) / $HitsQ.0 AS hub
+               FROM a2 JOIN h2 USING (doc_id)
+               ORDER BY doc_id""")),
 
     // Triangle enumeration over the near-dup graph — the clustering-
     // coefficient / community-density primitive. Edges arrive oriented
