@@ -50,6 +50,7 @@ object GrowthBench {
     "graph_modularity" -> "~linear x LPA iters (equi-join per round)",
     "mm_keyframe" -> "linear (one doc_id exchange, two windows)",
     "dedup_prefix_filter" -> "~linear x prefix collisions (sum prefix-df^2)",
+    "graph_hits" -> "~linear x iters (equi-join per half-step)",
     "mm_cdc_match" -> "~linear x chunk collisions (DF-capped chunk join)",
     "text_winnowing" -> "linear x w (gram stream, one rank window)")
 
