@@ -137,6 +137,70 @@ object Analytics {
                 ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
               ORDER BY e.event_id""")),
 
+    // NEAREST as-of join — the bidirectional variant feature pipelines
+    // need when "most recent" is wrong (sensor alignment, label
+    // attachment): each error matches the purchase closest in TIME,
+    // before or after, ties to the earlier one. Same single-shuffle
+    // composition as q_asof_join — one union, one (user_id; ts, kind)
+    // sort serving BOTH window frames (backward last-carry + forward
+    // first-carry), then a pure projection picks the closer side. No
+    // range explosion, no self-join; the oracle is the quadratic
+    // per-user LATERAL argmin the window form replaces.
+    QueryDef(
+      "q_asof_nearest",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id").as("src_id"), lit(0).as("kind"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id").as("src_id"), lit(1).as("kind"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("kind"))
+        val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val isP = col("kind") === 0
+        val picked = purchases.unionAll(errors)
+          .withColumn("pb_id",
+            last(when(isP, col("src_id")), ignoreNulls = true).over(back))
+          .withColumn("pb_us",
+            last(when(isP, col("us")), ignoreNulls = true).over(back))
+          .withColumn("pf_id",
+            first(when(isP, col("src_id")), ignoreNulls = true).over(fwd))
+          .withColumn("pf_us",
+            first(when(isP, col("us")), ignoreNulls = true).over(fwd))
+          .filter(col("kind") === 1)
+        val takeBack = col("pf_id").isNull ||
+          (col("pb_id").isNotNull &&
+            (col("us") - col("pb_us")) <= (col("pf_us") - col("us")))
+        picked
+          .withColumn("p_event_id",
+            when(takeBack, col("pb_id")).otherwise(col("pf_id")))
+          .withColumn("p_us",
+            when(takeBack, col("pb_us")).otherwise(col("pf_us")))
+          .filter(col("p_event_id").isNotNull)
+          .select(col("src_id").as("event_id"), col("p_event_id"),
+            ((col("us") - col("p_us")).cast("double") / 1000000.0)
+              .as("gap_seconds"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+                SELECT event_id, user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                FROM events WHERE event_type = 'error'),
+              p AS (
+                SELECT event_id, user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                FROM events WHERE event_type = 'purchase')
+              SELECT e.event_id, sel.p_event_id, sel.gap_seconds
+              FROM e JOIN LATERAL (
+                SELECT p.event_id AS p_event_id,
+                  CAST(e.us - p.us AS DOUBLE) / 1000000.0 AS gap_seconds
+                FROM p WHERE p.user_id = e.user_id
+                ORDER BY abs(e.us - p.us) ASC, p.us ASC LIMIT 1) sel ON true
+              ORDER BY event_id""")),
+
     // Gap-based sessionization (30-min inactivity) — declarative window
     // form: flag session starts with lag, then a running sum numbers the
     // sessions per user.
