@@ -598,6 +598,94 @@ object Numerics {
               t AS (SELECT count(*) AS total FROM e)
               SELECT dow, hour, n, n_users,
                 CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
-              FROM g, t ORDER BY dow, hour"""))
+              FROM g, t ORDER BY dow, hour""")),
+
+    // Two-sample Kolmogorov–Smirnov drift statistic — the distribution-
+    // shift alarm a training pipeline runs between data slices (here
+    // purchase values of the two deterministic A/B arms; in production,
+    // train vs serve or yesterday vs today). D = max_c |F_A(c) − F_B(c)|
+    // is a GLOBAL-order statistic, usually a scale problem; here the
+    // CDFs are built with the q_peak_concurrency discipline: per-cents
+    // counts (one hash aggregate on exact DECIMAL cents, relation ∝
+    // distinct values), bucket subtotals with a window over the ~50-row
+    // bucket grain (the textbook-correct SinglePartition: bucket-count-
+    // sized, never data-sized), and within-bucket running sums that add
+    // the bucket offset — no global sort of the raw sample. The
+    // comparison is EXACT: |c_A·n_B − c_B·n_A| is integer, so the argmax
+    // (and its min-cents tie-break) involves no floats; D itself is one
+    // closing IEEE division. The oracle replays the plain global-window
+    // form — same integers, same maximum, engine-identical.
+    QueryDef(
+      "q_ks_drift",
+      (s, dir) => {
+        val cents = (col("value").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents")
+        val p = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(cents, pmod(col("user_id"), lit(2L)).as("arm"))
+        val perC = p.groupBy("cents").agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na_c"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb_c"))
+        val withB = perC.withColumn("bucket", expr("cents div 1000"))
+        val bTot = withB.groupBy("bucket").agg(
+          sum(col("na_c")).as("ba"), sum(col("nb_c")).as("bb"))
+        val bOff = bTot
+          .withColumn("off_a",
+            coalesce(sum(col("ba")).over(Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("off_b",
+            coalesce(sum(col("bb")).over(Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bucket", "off_a", "off_b")
+        val wIn = Window.partitionBy("bucket").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = withB.join(broadcast(bOff), Seq("bucket"))
+          .withColumn("ca", col("off_a") + sum(col("na_c")).over(wIn))
+          .withColumn("cb", col("off_b") + sum(col("nb_c")).over(wIn))
+        val tot = p.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        cum.crossJoin(broadcast(tot))
+          .select(col("cents"), col("n_a"), col("n_b"),
+            abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("d_num"))
+          .orderBy(col("d_num").desc, col("cents").asc)
+          .limit(1)
+          .select(col("n_a"), col("n_b"),
+            col("d_num"), col("cents").as("d_at_cents"),
+            (col("d_num").cast("double") /
+              (col("n_a") * col("n_b")).cast("double")).as("d_stat"))
+      },
+      Some("""WITH p AS (
+                SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    AS cents,
+                  user_id % 2 AS arm
+                FROM events WHERE event_type = 'purchase'),
+              c AS (
+                SELECT cents,
+                  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS na_c,
+                  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS nb_c
+                FROM p GROUP BY cents),
+              cc AS (
+                SELECT cents,
+                  sum(na_c) OVER (ORDER BY cents
+                    ROWS UNBOUNDED PRECEDING) AS ca,
+                  sum(nb_c) OVER (ORDER BY cents
+                    ROWS UNBOUNDED PRECEDING) AS cb
+                FROM c),
+              tt AS (
+                SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_a,
+                  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_b
+                FROM p)
+              SELECT n_a, n_b,
+                CAST(abs(ca * n_b - cb * n_a) AS BIGINT) AS d_num,
+                cents AS d_at_cents,
+                CAST(abs(ca * n_b - cb * n_a) AS DOUBLE)
+                  / CAST(n_a * n_b AS DOUBLE) AS d_stat
+              FROM cc, tt
+              ORDER BY d_num DESC, cents ASC LIMIT 1"""))
   )
 }

@@ -145,4 +145,28 @@ class NumericsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("KS drift statistic equals a local exact-integer replay") {
+    val row = Registry.byName("q_ks_drift").run(spark, TestSpark.sf).head()
+    val vals = Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select((col("value").cast("decimal(12,2)") * 100).cast("long"),
+        pmod(col("user_id"), lit(2L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = vals.filter(_._2 == 0L).map(_._1).sorted
+    val b = vals.filter(_._2 == 1L).map(_._1).sorted
+    val cuts = (a ++ b).distinct.sorted
+    // exact-integer maximum of |cA*nB - cB*nA|, min-cents tie-break
+    val best = cuts.map { c =>
+      val ca = a.count(_ <= c).toLong
+      val cb = b.count(_ <= c).toLong
+      (math.abs(ca * b.length - cb * a.length), c)
+    }.minBy { case (num, c) => (-num, c) }
+    assert(row.getAs[Long]("n_a") === a.length.toLong)
+    assert(row.getAs[Long]("n_b") === b.length.toLong)
+    assert(row.getAs[Long]("d_num") === best._1)
+    assert(row.getAs[Long]("d_at_cents") === best._2)
+    assert(row.getAs[Double]("d_stat") ===
+      best._1.toDouble / (a.length.toLong * b.length.toLong).toDouble)
+  }
 }
