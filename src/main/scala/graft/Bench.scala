@@ -180,6 +180,49 @@ object Bench {
       clearPersisted(spark)
     }
 
+    // Second, TARGETED warm pass at the measured scale: AQE shapes sf0.1
+    // plans differently from sf0.01 (coalesced partitions, switched join
+    // strategies → different whole-stage-codegen classes), so for a few
+    // heavy shapes the sf0.01 warm-up never compiles the code pass 1
+    // runs — observed as 10-50x pass-1/steady ratios (q_pivot 27.9 s vs
+    // 0.54 steady in round 6). Warm exactly the queries whose previous
+    // sweep (BENCH_LAST.json "passes") showed pass1 > 3x the later-pass
+    // minimum: self-tuning, and costs only what pass 1 would have burned
+    // anyway — the burn just stops landing in the measured samples.
+    val prevPassHist: Map[String, List[Double]] =
+      try {
+        val lp = java.nio.file.Paths.get("/root/repo/BENCH_LAST.json")
+        if (java.nio.file.Files.exists(lp)) {
+          val txt = java.nio.file.Files.readString(lp)
+          val ps = txt.indexOf("\"passes\":{")
+          if (ps < 0) Map.empty
+          else "\"([A-Za-z0-9_]+)\":\\[([0-9.eE+,-]+)\\]".r
+            .findAllMatchIn(txt.substring(ps))
+            .map(m => m.group(1) -> m.group(2).split(',').map(_.toDouble).toList)
+            .toMap
+        } else Map.empty
+      } catch { case _: Exception => Map.empty }
+    val coldShapes = defs.filter { d =>
+      prevPassHist.get(d.name).exists { ps =>
+        ps.size >= 2 && ps.tail.min > 0.0 && ps.head / ps.tail.min > 3.0
+      }
+    }
+    if (coldShapes.nonEmpty) {
+      System.err.println(s"[bench] full-scale warm for cold shapes: " +
+        coldShapes.map(_.name).mkString(", "))
+      coldShapes.foreach { d =>
+        val t0 = System.nanoTime()
+        try d.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] FULL-WARM FAILED ${d.name}: $e")
+        }
+        clearPersisted(spark)
+        System.err.println(
+          f"[bench] warm@sf ${d.name}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+
     // best-successful, best-failed, and per-pass history per query, in
     // registry order. Best is tracked ONLY over successful passes — a
     // fast failing pass must never mask a later slower success (round-2
@@ -257,13 +300,8 @@ object Bench {
     val qs = best.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // sf basename + no empty failed list: every byte of the stdout line
-    // competes for the driver's 2000-char tail window
     val sfShort = sfDir.split('/').last
     val failedPart = if (failed.isEmpty) "" else s""","failed":$failedJson"""
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""failures":$failures$failedPart,"best_of":$bestOf,"sf":"$sfShort"}"""
 
     // capture-proof artifacts: the full-precision result (with per-pass
     // history) goes to a repo file the driver's tail window can never
@@ -366,7 +404,23 @@ object Bench {
         System.err.println(s"[bench] artifact write failed (non-fatal): $e")
     }
 
-    println(line)
+    // per-query compact map to stderr (dev visibility); stdout carries
+    // ONLY the compact summary below
+    System.err.println(s"[bench] queries: $qs")
+
+    // The driver captures a BOUNDED stdout tail and json-parses it: the
+    // old per-query line (~8 KB at 238 queries) outgrew the window and
+    // BOTH round-5 and round-6 driver artifacts degraded to a truncated
+    // string ("parsed": null). The durable per-query record lives in the
+    // committed BENCH_LAST.json; stdout gets one COMPACT line — totals,
+    // failure list, per-family subtotals, corpus fingerprint — sized to
+    // survive any plausible tail window (round-6 verdict task #3).
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""n_queries":${best.size},"failures":$failures$failedPart,""" +
+        s""""families":$familiesJson,"best_of":$bestOf,"sf":"$sfShort",""" +
+        s""""corpus":"$fp","queries_file":"BENCH_LAST.json"}"""
+    println(summary)
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

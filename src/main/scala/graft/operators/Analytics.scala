@@ -156,8 +156,13 @@ object Analytics {
         val errors = ev.filter(col("event_type") === "error")
           .select(col("user_id"), unix_micros(col("ts")).as("us"),
             col("event_id").as("src_id"), lit(1).as("kind"))
+        // src_id is the final tie-break: (user_id, ts) is unique on this
+        // corpus, but two purchases at one microsecond must still pick
+        // deterministically — back frame's last() then takes the LARGEST
+        // src_id among equal-us purchases, fwd frame's first() the
+        // smallest; the oracle's CASE tie-break replays exactly that.
         val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("us"), col("kind"))
+          .orderBy(col("us"), col("kind"), col("src_id"))
         val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         val isP = col("kind") === 0
@@ -198,7 +203,9 @@ object Analytics {
                 SELECT p.event_id AS p_event_id,
                   CAST(e.us - p.us AS DOUBLE) / 1000000.0 AS gap_seconds
                 FROM p WHERE p.user_id = e.user_id
-                ORDER BY abs(e.us - p.us) ASC, p.us ASC LIMIT 1) sel ON true
+                ORDER BY abs(e.us - p.us) ASC, p.us ASC,
+                  CASE WHEN p.us <= e.us THEN -p.event_id
+                       ELSE p.event_id END ASC LIMIT 1) sel ON true
               ORDER BY event_id""")),
 
     // Gap-based sessionization (30-min inactivity) — declarative window

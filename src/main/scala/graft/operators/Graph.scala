@@ -126,7 +126,10 @@ object Graph {
           .filter(col("jaccard") >= Dedup.JaccardThreshold)
           .select(col("a_id").as("u"), col("b_id").as("v"))
           .localCheckpoint()
-        require(pairs.count() > 0,
+        // isEmpty is a limit(1) probe over the already-materialized
+        // checkpoint blocks — a full count() here forced an extra
+        // whole-relation action on every run (round-6 advice)
+        require(!pairs.isEmpty,
           "graph_hits: near-dup edge relation is empty — hubs/authorities " +
             "are undefined on an edgeless graph")
         val docs = Tables.load(s, dir, "documents").select("doc_id")

@@ -697,7 +697,10 @@ object StreamOps {
       it.map(_.ts_us).toArray.sorted.foreach { t =>
         cur = cur match {
           case Some(o) if t - o.lastUs <= Gap =>
-            Some(OpenSession(o.startUs, t, o.n + 1))
+            // max(): a cross-batch late event admitted by the watermark
+            // can have t < o.lastUs — it joins the session (gap test is
+            // against the session END) but must never REGRESS the end
+            Some(OpenSession(o.startUs, math.max(o.lastUs, t), o.n + 1))
           case Some(o) =>
             out += ClosedSession(uid, o.startUs, o.lastUs + Gap, o.n)
             Some(OpenSession(t, t, 1))
@@ -792,7 +795,10 @@ object StreamOps {
       rows.map(_.ts_us).toArray.sorted.foreach { t =>
         cur = cur match {
           case Some(o) if t - o.end_us <= Gap =>
-            Some(TwsSession(o.start_us, t, o.n + 1L))
+            // max(): same late-event guard as sessionTtlGroup — an
+            // in-gap event older than the current end extends the
+            // count without regressing end_us (or the armed timer)
+            Some(TwsSession(o.start_us, math.max(o.end_us, t), o.n + 1L))
           case Some(o) =>
             out += ClosedSession(key, o.start_us, o.end_us + Gap, o.n)
             Some(TwsSession(t, t, 1L))
