@@ -41,6 +41,7 @@ object GrowthBench {
     "text_bm25" -> "~linear (per-doc terms, DF-capped)",
     "text_bpe_encode" -> "~linear (map-only encode after train)",
     "graph_neighbor_sim" -> "sum deg^2 (wedge join, DF-capped)",
+    "graph_neighbor_sim_capped" -> "~linear (per-node F=8 capped wedge join)",
     "mm_phash_neardup_wide" -> "~linear x collisions (15-bit chunk buckets)",
     "graph_bfs_2hop" -> "superlinear: sum |N2(v)| wedge-mass reach set (reporting class)",
     "graph_bfs_2hop_capped" -> "~linear (per-node F=4 capped expansion)",

@@ -45,6 +45,7 @@ object Graph {
   private val KcoreRounds = 3
   private val BfsHops = 2
   private val BfsCapF = 4 // per-node adjacency cap for the bounded BFS
+  private val NbrCapF = 8 // per-node adjacency cap for capped neighbor-sim
   private val PprSeedMod = 20L // seeds = doc_id % 20 == 0 (~5% of corpus)
 
   val defs: Seq[QueryDef] = Seq(
@@ -320,6 +321,84 @@ object Graph {
                    AS nbr_jaccard
                FROM sc JOIN deg da ON da.u = sc.a
                        JOIN deg db ON db.u = sc.b
+               ORDER BY a_id, b_id"""),
+      // bench=false: the wedge self-join's shuffle is Σdeg(z)² — the
+      // suite's highest measured growth exponent (0.69 at r6, SCALE.md's
+      // watch row) and the first shape to blow up if corpora densify.
+      // Stays oracle-checked + growth-measured; the benched pipeline
+      // form is graph_neighbor_sim_capped below (bounded wedge mass).
+      bench = false),
+
+    // Degree-capped neighborhood similarity — the PIPELINE form: each
+    // node expands only its NbrCapF smallest-id neighbors (the same
+    // deterministic bounded-expansion discipline as graph_bfs_2hop_capped),
+    // so the wedge self-join is provably <= nodes x F² rows — LINEAR in
+    // nodes where the full form's shuffle is wedge mass Σdeg(z)².
+    // Candidate generators use exactly this cap (a viral hub's full
+    // adjacency adds no precision to "do a and b share a neighbor?").
+    // The RA weight keeps the TRUE degree of the shared neighbor
+    // (1/deg(z) is z's property, a cheap broadcast-joined lookup);
+    // the Jaccard denominator uses CAPPED degrees so the score stays a
+    // real similarity in [0,1] over the capped neighbor sets. Exact
+    // integers throughout; the oracle replays the identical cap.
+    QueryDef(
+      "graph_neighbor_sim_capped",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select("a_id", "b_id")
+        val edges = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("u", "v").localCheckpoint()
+        val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        val capW = Window.partitionBy("u").orderBy("v")
+        val cap = edges.withColumn("rn", row_number().over(capW))
+          .filter(col("rn") <= NbrCapF).select("u", "v")
+        val degc = cap.groupBy("u").agg(count(lit(1)).as("degc"))
+        val wedges = cap.toDF("z", "a")
+          .join(deg.select(col("u").as("z"), col("deg").as("deg_z")), "z")
+          .join(cap.toDF("z", "b"), "z")
+          .filter(col("a") < col("b"))
+        val scored = wedges.groupBy("a", "b").agg(
+          count(lit(1)).as("common_neighbors"),
+          sum(expr("1000000000 div deg_z")).as("ra_index_q"))
+        scored
+          .join(degc.select(col("u").as("a"), col("degc").as("degc_a")), "a")
+          .join(degc.select(col("u").as("b"), col("degc").as("degc_b")), "b")
+          .select(col("a").as("a_id"), col("b").as("b_id"),
+            col("common_neighbors"), col("ra_index_q"),
+            (col("common_neighbors").cast("double") /
+              (col("degc_a") + col("degc_b") - col("common_neighbors"))
+                .cast("double")).as("nbr_jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH ${Dedup.JaccardPairsCte},
+                 e AS (
+                   SELECT a_id AS u, b_id AS v FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+                 deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+                 cap AS (
+                   SELECT u, v FROM (
+                     SELECT u, v,
+                       row_number() OVER (PARTITION BY u ORDER BY v) AS rn
+                     FROM e) t
+                   WHERE rn <= $NbrCapF),
+                 degc AS (SELECT u, count(*) AS degc FROM cap GROUP BY u),
+                 w AS (
+                   SELECT e1.v AS a, e2.v AS b, d.deg AS deg_z
+                   FROM cap e1 JOIN cap e2 ON e1.u = e2.u AND e1.v < e2.v
+                        JOIN deg d ON d.u = e1.u),
+                 sc AS (
+                   SELECT a, b, count(*) AS common_neighbors,
+                     CAST(sum(1000000000 // deg_z) AS BIGINT) AS ra_index_q
+                   FROM w GROUP BY a, b)
+               SELECT sc.a AS a_id, sc.b AS b_id,
+                 sc.common_neighbors, sc.ra_index_q,
+                 CAST(sc.common_neighbors AS DOUBLE)
+                   / CAST(da.degc + db.degc - sc.common_neighbors AS DOUBLE)
+                   AS nbr_jaccard
+               FROM sc JOIN degc da ON da.u = sc.a
+                       JOIN degc db ON db.u = sc.b
                ORDER BY a_id, b_id""")),
 
     // Deterministic random walks over the near-dup graph — the
