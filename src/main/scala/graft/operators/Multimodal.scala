@@ -51,10 +51,18 @@ object Multimodal {
     * MessageDigest per partition, one pass over the body bytes per doc
     * (~len/32 chunk hashes out). The open tail chunk (last boundary →
     * end) is dropped, mirroring the oracle's lead()-NULL filter. */
-  private[graft] def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunks(s, dir, wavOnly = true)
+
+  /** wavOnly=false chunks EVERY payload body: the PNG and WAV synthetic
+    * headers are both 16 bytes, so the content-defined boundaries read
+    * the same body offsets either way (mm_contamination wants media
+    * evidence for the full corpus, not just the audio half). */
+  private[graft] def cdcChunks(s: SparkSession, dir: String,
+      wavOnly: Boolean): DataFrame = {
     import s.implicits._
-    docs(s, dir)
-      .filter(col("doc_id") % 2 === 1)
+    val base = docs(s, dir)
+    (if (wavOnly) base.filter(col("doc_id") % 2 === 1) else base)
       .select(col("doc_id"), payloadCol.as("payload"))
       .as[MediaIn]
       .mapPartitions { it =>
@@ -1069,6 +1077,105 @@ object Multimodal {
                WHERE a.doc_id < b.doc_id
                GROUP BY a.doc_id, b.doc_id
                HAVING count(*) >= $CdcMinShared
-               ORDER BY a_id, b_id"""))
+               ORDER BY a_id, b_id""")),
+
+    // CROSS-MODAL benchmark-contamination join — the leak check a
+    // multimodal training pipeline actually runs before training: a
+    // (train doc, benchmark doc) pair is flagged only when BOTH signal
+    // families fire — the TEXT side shares >= 1 verbatim 8-token window
+    // (text_contamination's granularity) AND the MEDIA side shares >=
+    // CdcMinShared content-defined chunk hashes of the attached payload
+    // bodies (mm_cdc_match's discipline, here over every payload — the
+    // PNG and WAV headers are both 16 bytes so one chunker covers both
+    // modalities). Requiring both kills each side's singleton
+    // coincidences (on this corpus the chunk-only pair (464,462) and
+    // every df=1 window collision drop out; the three genuinely
+    // contaminated pairs survive with 12/9/5 shared chunks). Shape:
+    // two independent bucketed equi-joins — one keyed on the window
+    // string, one on the chunk hash, each behind its own broadcast
+    // viral-key cap — then ONE pair-keyed equi-join of two already-
+    // aggregated, contamination-sized relations. Never train × bench.
+    QueryDef(
+      "mm_contamination",
+      (s, dir) => {
+        val W = 8
+        val ts = col("ts")
+        val wins = when(size(ts) >= W,
+          transform(sequence(lit(0), size(ts) - W),
+            i => concat_ws(" ", slice(ts, i + lit(1), lit(W)))))
+          .otherwise(slice(ts, lit(1), lit(0)))
+        val postings = docs(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+          .select(col("doc_id"), explode(array_distinct(wins)).as("w"))
+          .localCheckpoint() // feeds the DF cap and both split sides
+        val viralW = postings.groupBy("w").agg(count(lit(1)).as("df"))
+          .filter(col("df") > 10000).select("w")
+        val keptW = postings.join(broadcast(viralW), Seq("w"), "left_anti")
+        val txt = keptW.filter(col("doc_id") % 11 =!= 0)
+          .join(keptW.filter(col("doc_id") % 11 === 0)
+            .select(col("w"), col("doc_id").as("bench_id")), Seq("w"))
+          .groupBy("doc_id", "bench_id")
+          .agg(count(lit(1)).as("n_shared_windows"))
+        val hs = cdcChunks(s, dir, wavOnly = false).localCheckpoint()
+        val viralC = hs.groupBy("ch").agg(count(lit(1)).as("df"))
+          .filter(col("df") > CdcMaxChunkDf).select("ch")
+        val keptC = hs.join(broadcast(viralC), Seq("ch"), "left_anti")
+        val med = keptC.filter(col("doc_id") % 11 =!= 0)
+          .join(keptC.filter(col("doc_id") % 11 === 0)
+            .select(col("ch"), col("doc_id").as("bench_id")), Seq("ch"))
+          .groupBy("doc_id", "bench_id")
+          .agg(count(lit(1)).as("n_shared_chunks"))
+          .filter(col("n_shared_chunks") >= CdcMinShared)
+        txt.join(med, Seq("doc_id", "bench_id"))
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(s"""WITH p AS (
+                 SELECT DISTINCT doc_id,
+                   array_to_string(string_split(text, ' ')[i:i+7], ' ') AS w
+                 FROM documents, LATERAL (SELECT unnest(range(1,
+                   len(string_split(text, ' ')) - 6)) AS i) ix),
+               txt AS (
+                 SELECT t.doc_id AS doc_id, b.doc_id AS bench_id,
+                   CAST(count(*) AS BIGINT) AS n_shared_windows
+                 FROM p t JOIN p b ON t.w = b.w
+                 WHERE t.doc_id % 11 != 0 AND b.doc_id % 11 = 0
+                 GROUP BY t.doc_id, b.doc_id),
+               pos AS (
+                 SELECT doc_id, i,
+                   CAST(concat('0x', substr(md5(substr(text,
+                       CAST(i AS INTEGER), 4)), 1, 15)) AS BIGINT)
+                     % 2147483647 % $CdcBoundaryMod = 0 AS bnd
+                 FROM documents, LATERAL
+                   (SELECT unnest(range(1, length(text) - 2)) AS i) ix),
+               bnds AS (
+                 SELECT DISTINCT doc_id, i FROM (
+                   SELECT doc_id, i FROM pos WHERE bnd
+                   UNION ALL SELECT DISTINCT doc_id, 1 FROM pos) u),
+               ck AS (
+                 SELECT doc_id, i AS lo,
+                   lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS hi
+                 FROM bnds),
+               chunks AS (
+                 SELECT DISTINCT c.doc_id,
+                   md5(substr(d.text, CAST(c.lo AS INTEGER),
+                     CAST(c.hi - c.lo AS INTEGER))) AS ch
+                 FROM ck c JOIN documents d USING (doc_id)
+                 WHERE c.hi IS NOT NULL
+                   AND c.hi - c.lo >= $CdcMinChunkLen),
+               keptc AS (
+                 SELECT doc_id, ch FROM chunks
+                 WHERE ch NOT IN (SELECT ch FROM chunks
+                   GROUP BY ch HAVING count(*) > $CdcMaxChunkDf)),
+               med AS (
+                 SELECT t.doc_id AS doc_id, b.doc_id AS bench_id,
+                   CAST(count(*) AS BIGINT) AS n_shared_chunks
+                 FROM keptc t JOIN keptc b USING (ch)
+                 WHERE t.doc_id % 11 != 0 AND b.doc_id % 11 = 0
+                 GROUP BY t.doc_id, b.doc_id
+                 HAVING count(*) >= $CdcMinShared)
+               SELECT txt.doc_id, txt.bench_id,
+                 txt.n_shared_windows, med.n_shared_chunks
+               FROM txt JOIN med USING (doc_id, bench_id)
+               ORDER BY doc_id, bench_id"""))
   )
 }

@@ -439,6 +439,132 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** Typed rows for the ListState top-k / MapState counter processors. */
+  final case class TwsEvIn(user_id: Long, event_id: Long, value: Double,
+      event_type: String)
+  final case class TopKOut(user_id: Long, rank: Long, value: Double,
+      event_id: Long)
+  final case class TopKEntry(value: Double, event_id: Long)
+  final case class TypeCountOut(user_id: Long, event_type: String, n: Long)
+
+  /** State-API-v2 LISTSTATE coverage: per-user running top-K events by
+    * value (K=3, ties to the smaller event_id). The typed ListState
+    * holds at most K entries per user — the processor trims on every
+    * batch, so state is K rows per key REGARDLESS of stream length (the
+    * unbounded-collect anti-pattern this primitive exists to avoid).
+    * Each batch re-emits the key's current top-K; the batch-side fold
+    * keeps, per (user, rank), the lexicographic max of (value,
+    * -event_id) — the rank-r element only ever improves under that
+    * order as data arrives, so the fold is batch-split-invariant. */
+  private[graft] final class TopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TwsEvIn, TopKOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ListState[TopKEntry] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getListState[TopKEntry]("topk",
+        org.apache.spark.sql.Encoders.product[TopKEntry],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvIn],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[TopKOut] = {
+      val cur = collection.mutable.ArrayBuffer.empty[TopKEntry]
+      val it = st.get()
+      while (it.hasNext) cur += it.next()
+      rows.foreach(r => cur += TopKEntry(r.value, r.event_id))
+      val top = cur.sortBy(e => (-e.value, e.event_id)).take(k).toArray
+      st.put(top)
+      top.iterator.zipWithIndex.map { case (e, i) =>
+        TopKOut(key, i + 1L, e.value, e.event_id)
+      }
+    }
+  }
+
+  /** State-API-v2 MAPSTATE coverage: per-user event-type counters held
+    * in a typed MapState[String, Long] — one map entry per (user, type)
+    * ever seen, the per-composite-key point-update shape that would
+    * need a whole serialized map rewrite under ValueState. Counts are
+    * monotone, so the per-batch re-emissions fold batch-side with a
+    * plain max. */
+  private[graft] final class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TwsEvIn, TypeCountOut] {
+    @transient private var st: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("cnt",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvIn],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCountOut] = {
+      val batch = collection.mutable.Map.empty[String, Long]
+      rows.foreach(r => batch(r.event_type) = batch.getOrElse(r.event_type, 0L) + 1L)
+      batch.toSeq.sortBy(_._1).iterator.map { case (t, c) =>
+        val n = (if (st.containsKey(t)) st.getValue(t) else 0L) + c
+        st.updateValue(t, n)
+        TypeCountOut(key, t, n)
+      }
+    }
+  }
+
+  /** Per-user top-K via transformWithState ListState (see the
+    * stream_transform_state_list def). RocksDB provider on a CLONE. */
+  def transformStateTopK(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val sink = s"graft_stream_tws_topk_${nameCounter.incrementAndGet()}"
+    val q = rawEventStream(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("event_type"))
+      .as[TwsEvIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new TopKProcessor(3),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // per (user, rank) the final emission is the lexicographic max of
+    // (value, -event_id) — see TopKProcessor's invariance note
+    s.table(sink)
+      .groupBy("user_id", "rank")
+      .agg(max(struct(col("value"), (-col("event_id")).as("nid"))).as("m"))
+      .select(col("user_id"), col("rank"),
+        col("m.value").as("value"), (-col("m.nid")).as("event_id"))
+      .orderBy("user_id", "rank")
+  }
+
+  /** Per-user per-type counters via transformWithState MapState (see
+    * the stream_transform_state_map def). RocksDB provider on a CLONE. */
+  def transformStateTypeCounts(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val sink = s"graft_stream_tws_map_${nameCounter.incrementAndGet()}"
+    val q = rawEventStream(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("event_type"))
+      .as[TwsEvIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .groupBy("user_id", "event_type")
+      .agg(max(col("n")).as("n_events"))
+      .orderBy("user_id", "event_type")
+  }
+
   private def rawEventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -1443,6 +1569,31 @@ object StreamOps {
       "stream_transform_state_timers",
       (s, dir) => transformStateSessions(s, dir),
       Some(graft.operators.Analytics.SessionWindowOracleSql),
+      bench = false),
+
+    // ListState coverage (the v2 primitive stream_transform_state's
+    // ValueState form can't express without serializing a whole list
+    // per update): bounded per-user top-K by value.
+    QueryDef(
+      "stream_transform_state_list",
+      (s, dir) => transformStateTopK(s, dir),
+      Some("""SELECT user_id, rank, value, event_id FROM (
+                SELECT user_id, value, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id) AS rank
+                FROM events) t
+              WHERE rank <= 3 ORDER BY user_id, rank"""),
+      bench = false),
+
+    // MapState coverage: per-(user, event_type) counters as map entries
+    // with point updates.
+    QueryDef(
+      "stream_transform_state_map",
+      (s, dir) => transformStateTypeCounts(s, dir),
+      Some("""SELECT user_id, event_type,
+                CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY user_id, event_type
+              ORDER BY user_id, event_type"""),
       bench = false),
 
     // Streaming paragraph dedup: per-paragraph first-writer state gate,
