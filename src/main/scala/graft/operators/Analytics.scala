@@ -1273,7 +1273,100 @@ object Analytics {
               JOIN ic ia ON ia.item = p.a_item
               JOIN ic ib ON ib.item = p.b_item
               CROSS JOIN nu
-              ORDER BY a_item, b_item"""))
+              ORDER BY a_item, b_item""")),
+
+    // Decile lift / gains table — the model-eval artifact behind every
+    // targeting decision ("if we act on the top 10% by score, how much
+    // better than random?"). Score = per-user click count, outcome =
+    // conversion (the q_ab_test rule, shared semantics). The equi-depth
+    // decile assignment is the usual scale trap (ntile() OVER () funnels
+    // every user through one task); here it rides the q_ks_drift CDF
+    // scaffold instead: per-score counts (∝ distinct scores), exclusive
+    // prefix sums on the score grain, decile = (users_below·10) div N —
+    // ties share a decile deterministically, at any data size. Lift
+    // numbers are exact-integer products with one closing division each,
+    // cumulated from the best decile over the ≤10-row aggregate.
+    QueryDef(
+      "q_decile_lift",
+      (s, dir) => {
+        val perUser = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("score"),
+            max(when(col("event_type") === "purchase" &&
+              col("value") >= 99.0, 1L).otherwise(0L)).as("conv"))
+        val perScore = perUser.groupBy("score").agg(
+          count(lit(1)).as("cnt"), sum(col("conv")).as("cv"))
+        val tot = perUser.agg(count(lit(1)).as("n_total"),
+          sum(col("conv")).as("conv_total"))
+        // exclusive prefix over the score grain (distinct click counts —
+        // bounded, never user-sized)
+        val ws = Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val deciled = perScore
+          .withColumn("below", coalesce(sum(col("cnt")).over(ws), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("decile", expr("(below * 10) div n_total"))
+        val agg = deciled.groupBy("decile").agg(
+          sum(col("cnt")).as("n_users"), sum(col("cv")).as("n_conv"),
+          max(col("n_total")).as("n_total"),
+          max(col("conv_total")).as("conv_total"))
+        val wd = Window.orderBy(col("decile").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        agg
+          .withColumn("cum_users", sum(col("n_users")).over(wd))
+          .withColumn("cum_conv", sum(col("n_conv")).over(wd))
+          .select(col("decile"), col("n_users"), col("n_conv"),
+            (col("n_conv").cast("double") / col("n_users").cast("double"))
+              .as("conv_rate"),
+            col("cum_users"), col("cum_conv"),
+            ((col("cum_conv") * col("n_total")).cast("double") /
+              (col("cum_users") * col("conv_total")).cast("double"))
+              .as("cum_lift"))
+          .orderBy(col("decile").desc)
+      },
+      Some("""WITH u AS (
+                SELECT user_id,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS score,
+                  CAST(max(CASE WHEN event_type = 'purchase'
+                                 AND value >= 99.0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS conv
+                FROM events GROUP BY user_id),
+              ps AS (
+                SELECT score, count(*) AS cnt,
+                  CAST(sum(conv) AS BIGINT) AS cv
+                FROM u GROUP BY score),
+              tt AS (
+                SELECT count(*) AS n_total,
+                  CAST(sum(conv) AS BIGINT) AS conv_total
+                FROM u),
+              d AS (
+                SELECT score, cnt, cv, n_total, conv_total,
+                  (coalesce(sum(cnt) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   * 10) // n_total AS decile
+                FROM ps CROSS JOIN tt),
+              a AS (
+                SELECT decile, CAST(sum(cnt) AS BIGINT) AS n_users,
+                  CAST(sum(cv) AS BIGINT) AS n_conv,
+                  max(n_total) AS n_total, max(conv_total) AS conv_total
+                FROM d GROUP BY decile),
+              c AS (
+                SELECT decile, n_users, n_conv, n_total, conv_total,
+                  CAST(sum(n_users) OVER (ORDER BY decile DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+                  CAST(sum(n_conv) OVER (ORDER BY decile DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_conv
+                FROM a)
+              SELECT CAST(decile AS BIGINT) AS decile, n_users, n_conv,
+                CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                  AS conv_rate,
+                cum_users, cum_conv,
+                CAST(cum_conv * n_total AS DOUBLE)
+                  / CAST(cum_users * conv_total AS DOUBLE) AS cum_lift
+              FROM c ORDER BY decile DESC"""))
   )
 
   /** Count-min sketch geometry: 4 rows x 1024 counters = 32 KB. With

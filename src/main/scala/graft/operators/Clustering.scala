@@ -143,7 +143,62 @@ object Clustering {
             coalesce(!col("drop"), lit(true)).as("keep"))
           .orderBy("vec_id")
       },
-      Some(SemDedupOracleSql))
+      Some(SemDedupOracleSql)),
+
+    // Silhouette scorecard over the k-means clustering — the cluster-
+    // quality gate run before trusting a clustering for SemDeDup or
+    // topic balancing: per cluster, how cleanly its members separate
+    // from the nearest other cluster. Uses the CENTROID silhouette (a =
+    // distance to own centroid, b = distance to the best other
+    // centroid — the O(N·k) form that scales; the O(N²) pairwise
+    // silhouette is exactly what a 100 TB corpus cannot run), in cosine
+    // distance: since assignment is argmax cosine, a = 1−cos₁ ≤
+    // b = 1−cos₂ always, so s = (b−a)/max(a,b) collapses to
+    // (cos₁−cos₂)/(1−cos₂) — written with that ONE op order on both
+    // engines. Per-vector s is quantized to integer nanos so the
+    // cluster means are exact-integer sums with one closing division
+    // (the house rule for order-free aggregation of doubles). Shape:
+    // the same Lloyd loop as emb_kmeans (broadcast centroids, map-only
+    // scoring, one vec_id window), then one k-row aggregate.
+    QueryDef(
+      "emb_silhouette",
+      (s, dir) => {
+        val e = emb(s, dir).select("vec_id", "embedding").localCheckpoint()
+        var cents: IndexedSeq[Array[Double]] =
+          e.filter(col("vec_id") % SeedStride === 0 &&
+              col("vec_id") < SeedStride.toLong * K)
+            .orderBy("vec_id").collect()
+            .map(r => r.getSeq[Float](1).map(_.toDouble).toArray).toIndexedSeq
+        for (_ <- 0 until Iters) cents = update(s, e, cents)
+        val scored = e.select(
+          col("vec_id"),
+          posexplode(array(cents.map(c =>
+            CosineSimilarity(s, col("embedding"),
+              array(c.map(lit): _*))): _*)).as(Seq("c", "cos")))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("c"))
+        val piv = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .groupBy("vec_id").agg(
+            max(when(col("rn") === 1, col("c"))).as("cluster"),
+            max(when(col("rn") === 1, col("cos"))).as("cos1"),
+            max(when(col("rn") === 2, col("cos"))).as("cos2"))
+        piv
+          .withColumn("s_q",
+            floor(((col("cos1") - col("cos2")) / (lit(1.0) - col("cos2")))
+              * lit(1e9)).cast("long"))
+          .groupBy("cluster").agg(
+            count(lit(1)).as("n"),
+            sum(col("s_q")).as("s_sum_q"),
+            min(col("s_q")).as("s_min_q"),
+            max(col("s_q")).as("s_max_q"))
+          .select(col("cluster").cast("long").as("cluster"), col("n"),
+            col("s_sum_q"), col("s_min_q"), col("s_max_q"),
+            (col("s_sum_q").cast("double") / col("n") / lit(1e9))
+              .as("mean_sil"))
+          .orderBy("cluster")
+      },
+      Some(SilhouetteOracleSql))
   ) ++ pqDefs
 
   /** DuckDB replay of the full k-means loop (same seeds, same argmax
@@ -206,6 +261,30 @@ object Clustering {
               AND ${cosineSql("sa.embedding", "sb.embedding")} >= $SemThreshold
           ) AS keep
         FROM fin sa ORDER BY sa.vec_id"""
+
+  /** Silhouette oracle: the clustering chain, then the rank-1/rank-2
+    * pivot from the final scored relation and the identical
+    * (cos1−cos2)/(1−cos2) quantization and mean division order. */
+  private lazy val SilhouetteOracleSql: String =
+    s"""$KmeansCtePrefix,
+        piv AS (
+          SELECT vec_id,
+            max(CASE WHEN rn = 1 THEN c END) AS cluster,
+            max(CASE WHEN rn = 1 THEN cos END) AS cos1,
+            max(CASE WHEN rn = 2 THEN cos END) AS cos2
+          FROM a$Iters WHERE rn <= 2 GROUP BY vec_id),
+        sq AS (
+          SELECT cluster,
+            CAST(floor((cos1 - cos2) / (1.0 - cos2) * 1.0E9) AS BIGINT)
+              AS s_q
+          FROM piv)
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+          count(*) AS n,
+          CAST(sum(s_q) AS BIGINT) AS s_sum_q,
+          min(s_q) AS s_min_q, max(s_q) AS s_max_q,
+          CAST(CAST(sum(s_q) AS BIGINT) AS DOUBLE) / count(*) / 1.0E9
+            AS mean_sil
+        FROM sq GROUP BY cluster ORDER BY cluster"""
 
   /** Product-quantization encode: 64 dims → PqM codes (one byte each at
     * PqK ≤ 256) — the memory-compression step in front of IVF-PQ serving

@@ -855,6 +855,67 @@ object Multimodal {
                FROM isl GROUP BY doc_id, grp
                ORDER BY doc_id, seg_start""")),
 
+    // Audio decimate-by-2 — the sample-rate-reduction step a speech
+    // pipeline runs before feature extraction (48 kHz capture → 16 kHz
+    // model input): adjacent-sample pair averaging (the box anti-alias
+    // filter) over the WAV payload bodies as u8 PCM, reported as the
+    // downsampled signal's exact energy. Averaging happens in UNSIGNED
+    // sample space ((u₀+u₁) div 2 with u ∈ [0,255] — nonnegative, so
+    // Spark's truncating div and DuckDB's floor // agree on every pair),
+    // centering at 128 only inside the square. The unpaired tail sample
+    // of an odd-length clip is dropped (n_out = L div 2), mirroring the
+    // oracle. Shape: map-only typed mapPartitions over the payload
+    // bytes — one output row per clip at any scale, no shuffle before
+    // the presentation sort.
+    QueryDef(
+      "mm_audio_downsample",
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), payloadCol.as("payload"))
+          .as[MediaIn]
+          .mapPartitions(_.map { in =>
+            val b = in.payload
+            val body = 16
+            val L = b.length - 16
+            val nOut = L / 2
+            var ss = 0L
+            var i = 0
+            while (i < nOut) {
+              val d = ((b(body + 2 * i) & 0xff) +
+                (b(body + 2 * i + 1) & 0xff)) / 2
+              val c = d - 128L
+              ss += c * c
+              i += 1
+            }
+            (in.doc_id, L.toLong, nOut.toLong, ss)
+          })
+          .toDF("doc_id", "n_in", "n_out", "sum_sq")
+          .withColumn("mean_sq",
+            when(col("n_out") > 0,
+              col("sum_sq").cast("double") / col("n_out").cast("double")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (
+                SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
+                FROM documents WHERE doc_id % 2 = 1),
+              d AS (
+                SELECT doc_id, L, L // 2 AS n_out,
+                  CAST(coalesce(list_sum(list_transform(
+                    list_transform(range(0, L // 2),
+                      i -> (ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1))
+                          + ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)))
+                           // 2 - 128),
+                    x -> x * x)), 0) AS BIGINT) AS sum_sq
+                FROM b)
+              SELECT doc_id, L AS n_in, CAST(n_out AS BIGINT) AS n_out,
+                sum_sq,
+                CASE WHEN n_out > 0
+                  THEN CAST(sum_sq AS DOUBLE) / CAST(n_out AS DOUBLE)
+                END AS mean_sq
+              FROM d ORDER BY doc_id""")),
+
     // Multimodal training-sample assembly: one manifest row per sample
     // joining the text record (documents) with its embedding row
     // (vec_id = doc_id) and the media payload's typed metadata — the

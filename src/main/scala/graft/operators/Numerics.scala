@@ -686,6 +686,207 @@ object Numerics {
                 CAST(abs(ca * n_b - cb * n_a) AS DOUBLE)
                   / CAST(n_a * n_b AS DOUBLE) AS d_stat
               FROM cc, tt
-              ORDER BY d_num DESC, cents ASC LIMIT 1"""))
+              ORDER BY d_num DESC, cents ASC LIMIT 1""")),
+
+    // Distributed ROC-AUC via the Mann–Whitney U statistic — the
+    // model-eval staple ("does this score separate the classes?"):
+    // here, does the event value separate purchases (positives) from
+    // clicks (negatives). AUC = P(score_pos > score_neg) + ½P(=), a
+    // GLOBAL rank statistic usually computed by sorting all N scores;
+    // here it rides the same no-global-sort CDF discipline as
+    // q_ks_drift: per-cents class counts (one hash aggregate, relation
+    // ∝ distinct scores), bucket-grain offsets (window over the ~50-row
+    // bucket relation), within-bucket running sums. U is assembled in
+    // HALF-UNITS so ties need no floats: u2 = Σ_v p_v·(2·neg_below(v)
+    // + neg_at(v)) is an exact BIGINT, and AUC = u2/(2·n_pos·n_neg) is
+    // one closing IEEE division. The oracle replays the plain global-
+    // window form — same integers, same division.
+    QueryDef(
+      "q_roc_auc",
+      (s, dir) => {
+        val cents = (col("value").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents")
+        val p = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(cents,
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        val perC = p.groupBy("cents").agg(
+          sum(col("pos")).as("np_c"),
+          sum(lit(1L) - col("pos")).as("nn_c"))
+        val withB = perC.withColumn("bucket", expr("cents div 1000"))
+        val bTot = withB.groupBy("bucket").agg(sum(col("nn_c")).as("bn"))
+        val bOff = bTot
+          .withColumn("off_n",
+            coalesce(sum(col("bn")).over(Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bucket", "off_n")
+        val wIn = Window.partitionBy("bucket").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = withB.join(broadcast(bOff), Seq("bucket"))
+          .withColumn("cn", col("off_n") + sum(col("nn_c")).over(wIn))
+        val tot = p.agg(
+          sum(col("pos")).as("n_pos"),
+          sum(lit(1L) - col("pos")).as("n_neg"))
+        cum
+          .select((col("np_c") *
+            (lit(2L) * (col("cn") - col("nn_c")) + col("nn_c"))).as("u2_c"))
+          .agg(sum(col("u2_c")).as("u2"))
+          .crossJoin(broadcast(tot))
+          .select(col("n_pos"), col("n_neg"), col("u2"),
+            (col("u2").cast("double") /
+              (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+              .as("auc"))
+      },
+      Some("""WITH p AS (
+                SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    AS cents,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+                FROM events WHERE event_type IN ('purchase', 'click')),
+              c AS (
+                SELECT cents,
+                  CAST(sum(pos) AS BIGINT) AS np_c,
+                  CAST(sum(1 - pos) AS BIGINT) AS nn_c
+                FROM p GROUP BY cents),
+              cc AS (
+                SELECT cents, np_c, nn_c,
+                  sum(nn_c) OVER (ORDER BY cents
+                    ROWS UNBOUNDED PRECEDING) AS cn
+                FROM c),
+              tt AS (
+                SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                  CAST(sum(1 - pos) AS BIGINT) AS n_neg
+                FROM p)
+              SELECT n_pos, n_neg,
+                CAST(sum(np_c * (2 * (cn - nn_c) + nn_c)) AS BIGINT) AS u2,
+                CAST(sum(np_c * (2 * (cn - nn_c) + nn_c)) AS DOUBLE)
+                  / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+              FROM cc, tt GROUP BY n_pos, n_neg""")),
+
+    // Pearson chi-square independence test — the categorical drift /
+    // A/B-balance check (is event_type distributed independently of the
+    // experiment arm?). All inputs are exact: observed cells O, row
+    // totals R, column totals C, and N are BIGINTs from three hash
+    // aggregates over the same scan; chi² = Σ (O·N − R·C)²/(N·R·C) is
+    // assembled per cell as the QUANTIZED integer ((O·N−R·C)²·10⁹) div
+    // (N·R·C) in DECIMAL(38,0) (numerator ≤ ~10²⁹ at any plausible SF —
+    // never overflows; DuckDB runs the identical arithmetic in HUGEINT),
+    // summed exactly over the |types|×2 cells, with ONE closing IEEE
+    // division. The cell matrix is catalog-sized (10 rows here), so the
+    // totals attach as broadcasts and nothing data-sized shuffles twice.
+    QueryDef(
+      "q_chisq",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_type"), pmod(col("user_id"), lit(2L)).as("arm"))
+        val cells = e.groupBy("event_type", "arm").agg(count(lit(1)).as("o"))
+        val rowT = e.groupBy("event_type").agg(count(lit(1)).as("r"))
+        val colT = e.groupBy("arm").agg(count(lit(1)).as("cl"))
+        val tot = e.agg(count(lit(1)).as("n"))
+        cells
+          .join(broadcast(rowT), Seq("event_type"))
+          .join(broadcast(colT), Seq("arm"))
+          .crossJoin(broadcast(tot))
+          .withColumn("d", col("o") * col("n") - col("r") * col("cl"))
+          .withColumn("term_q",
+            expr("""CAST((CAST(d AS DECIMAL(38,0)) * d * 1000000000)
+                        div (CAST(n AS DECIMAL(38,0)) * r * cl) AS BIGINT)"""))
+          .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+            sum(col("term_q")).as("chi2_q"))
+          .select(col("n"), col("n_cells"), col("chi2_q"),
+            (col("chi2_q").cast("double") / lit(1e9)).as("chi2"))
+      },
+      Some("""WITH e AS (
+                SELECT event_type, user_id % 2 AS arm FROM events),
+              cells AS (
+                SELECT event_type, arm, count(*) AS o
+                FROM e GROUP BY event_type, arm),
+              rt AS (SELECT event_type, count(*) AS r FROM e GROUP BY 1),
+              ct AS (SELECT arm, count(*) AS cl FROM e GROUP BY 1),
+              tt AS (SELECT count(*) AS n FROM e),
+              terms AS (
+                SELECT n,
+                  CAST((CAST(o * n - r * cl AS HUGEINT)
+                          * (o * n - r * cl) * 1000000000)
+                       // (CAST(n AS HUGEINT) * r * cl) AS BIGINT) AS term_q
+                FROM cells
+                JOIN rt USING (event_type)
+                JOIN ct USING (arm)
+                CROSS JOIN tt)
+              SELECT CAST(max(n) AS BIGINT) AS n,
+                count(*) AS n_cells,
+                CAST(sum(term_q) AS BIGINT) AS chi2_q,
+                CAST(CAST(sum(term_q) AS BIGINT) AS DOUBLE) / 1e9 AS chi2
+              FROM terms""")),
+
+    // Histogram drift scorecard — the bucketed complement of q_ks_drift
+    // for monitoring dashboards: purchase values of the two A/B arms
+    // over 10 fixed-width buckets, with the total-variation distance
+    // TV = Σ|c_a·n_b − c_b·n_a| / (2·n_a·n_b) attached. Deliberately
+    // LOG-FREE (house discipline — SCALE.md "Numeric determinism"): PSI
+    // needs ln(p/q), whose libm rounding is not engine-portable, while
+    // TV's numerator is an exact BIGINT fold over the 10-row bucket
+    // relation and the statistic is one closing IEEE division. Shape:
+    // one hash aggregate ∝ events, a 10-row pivot, broadcast totals.
+    QueryDef(
+      "q_hist_drift",
+      (s, dir) => {
+        val cents = (col("value").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents")
+        val p = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(cents, pmod(col("user_id"), lit(2L)).as("arm"))
+          .select(least(expr("cents div 5000"), lit(9L))
+            .cast("long").as("bucket"), col("arm"))
+        val buckets = p.groupBy("bucket").agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c_b"))
+        val tot = p.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        val terms = buckets.crossJoin(broadcast(tot))
+          .withColumn("tv_num",
+            abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")))
+        val tv = terms.agg(sum(col("tv_num")).as("tv_total"))
+        terms.crossJoin(broadcast(tv))
+          .select(col("bucket"), col("c_a"), col("c_b"),
+            col("n_a"), col("n_b"), col("tv_num"),
+            (col("tv_total").cast("double") /
+              (lit(2L) * col("n_a") * col("n_b")).cast("double")).as("tv"))
+          .orderBy("bucket")
+      },
+      Some(HistDriftOracleSql))
   )
+
+  /** q_hist_drift's oracle — shared VERBATIM with stream_tv_drift, whose
+    * incremental bucket counts must converge to the identical table.
+    * lazy: declared below `defs`, which captures it at build time. */
+  lazy val HistDriftOracleSql: String =
+    """WITH p AS (
+         SELECT least(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                        AS BIGINT) // 5000, 9) AS bucket,
+           user_id % 2 AS arm
+         FROM events WHERE event_type = 'purchase'),
+       b AS (
+         SELECT bucket,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_a,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_b
+         FROM p GROUP BY bucket),
+       tt AS (
+         SELECT
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b
+         FROM p),
+       terms AS (
+         SELECT bucket, c_a, c_b, n_a, n_b,
+           CAST(abs(c_a * n_b - c_b * n_a) AS BIGINT) AS tv_num
+         FROM b CROSS JOIN tt),
+       tv AS (SELECT CAST(sum(tv_num) AS BIGINT) AS tv_total FROM terms)
+       SELECT bucket, c_a, c_b, n_a, n_b, tv_num,
+         CAST(tv_total AS DOUBLE)
+           / CAST(2 * n_a * n_b AS DOUBLE) AS tv
+       FROM terms CROSS JOIN tv ORDER BY bucket"""
 }

@@ -1083,7 +1083,41 @@ object Relational {
       },
       Some("""SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,
                 o_orderkey, o_custkey, o_totalprice
-              FROM orders ORDER BY rn"""))
+              FROM orders ORDER BY rn""")),
+
+    // Spark 4 collation-aware grouping — the SQL:2023-style collation
+    // surface (CREATE TABLE ... COLLATE / collate(expr, 'UTF8_LCASE'))
+    // that replaces the lower()-wrapping idiom for case-insensitive
+    // semantics: grouping happens on a string column whose COLLATION is
+    // case-insensitive, so equality, hashing, and the aggregate all
+    // honor it engine-side (and unlike lower(), a collated column keeps
+    // its original bytes for display and range predicates). Case
+    // diversity is synthesized deterministically (even event_ids
+    // upper-case the type); the output representative is min() under
+    // BINARY collation — deterministic — never the grouping value
+    // itself, which an engine may surface as any class member. Oracle:
+    // the lower()-grouping form, which UTF8_LCASE coincides with on
+    // ASCII. One hash aggregate; collation support is metadata, not a
+    // plan change, so the shape is q1_agg's.
+    QueryDef(
+      "q_collation",
+      (s, dir) => {
+        val kRaw = when(col("event_id") % 2 === 0, upper(col("event_type")))
+          .otherwise(col("event_type")).as("k_raw")
+        t(s, dir, "events").select(kRaw)
+          .groupBy(expr("collate(k_raw, 'UTF8_LCASE')").as("kc"))
+          .agg(min(col("k_raw")).as("k"), count(lit(1)).as("n"),
+            count_distinct(col("k_raw")).as("n_variants"))
+          .select(col("k"), col("n"), col("n_variants"))
+          .orderBy("k")
+      },
+      Some("""WITH e AS (
+                SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                            ELSE event_type END AS k_raw
+                FROM events)
+              SELECT min(k_raw) AS k, count(*) AS n,
+                CAST(count(DISTINCT k_raw) AS BIGINT) AS n_variants
+              FROM e GROUP BY lower(k_raw) ORDER BY k"""))
   )
 
   private lazy val LateralSql =

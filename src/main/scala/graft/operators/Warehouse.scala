@@ -1360,6 +1360,154 @@ object Warehouse {
                 array_to_string(list_transform(
                   string_split(text, ' ')[1:3], t -> upper(t)), '-')
                   AS head3
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // Right-to-be-forgotten (GDPR/CCPA erasure) audit — the governance
+    // pass a data platform runs before a deletion batch: given a
+    // deletion cohort (here the deterministic user_id % 97 = 0 stand-in
+    // for an uploaded erasure list), report per event-type how many
+    // rows will be purged vs retained, plus the cohort's user count —
+    // the numbers a DPO signs off on before the actual anti-join
+    // rewrite ships. Shape: the cohort is data-derived but tiny, so the
+    // purge test is a map-only predicate here (a real uploaded list
+    // becomes a broadcast LEFT SEMI join on user_id — same plan shape);
+    // the report is one hash aggregate ∝ events with map-side partials.
+    // The retained relation itself is what q_merge_upsert-style rewrite
+    // jobs consume; the audit never materializes it twice.
+    QueryDef(
+      "q_erasure",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .withColumn("purge", pmod(col("user_id"), lit(97L)) === 0)
+        e.groupBy("event_type").agg(
+            sum(when(col("purge"), 1L).otherwise(0L)).as("n_purged"),
+            sum(when(col("purge"), lit(0L)).otherwise(1L)).as("n_retained"),
+            count_distinct(when(col("purge"), col("user_id"))).as("n_users_purged"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+                CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purged,
+                CAST(sum(CASE WHEN user_id % 97 = 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_retained,
+                CAST(count(DISTINCT CASE WHEN user_id % 97 = 0
+                  THEN user_id END) AS BIGINT) AS n_users_purged
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // k-anonymity audit — the privacy gate run before releasing a
+    // quasi-identifier projection: every equivalence class of
+    // (nation, market segment, account-balance band) smaller than k = 5
+    // re-identifies its members and must be suppressed or generalized.
+    // The report returns each violating class with its size plus the
+    // suppression tally (classes, rows) every class row carries — the
+    // exact artifact an anonymization pipeline consumes to decide which
+    // cells to coarsen. The balance band is integer arithmetic on exact
+    // cents (floor to $1000 bands — engine-portable, no float binning).
+    // Shape: one hash aggregate ∝ customers (map-side combined), then a
+    // 1-row broadcast of the violation totals; nothing data-sized moves
+    // twice, and at 100 TB the class relation is bounded by the
+    // quasi-identifier domain, not the row count.
+    QueryDef(
+      "q_kanon",
+      (s, dir) => {
+        val k = 5L
+        val c = t(s, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"),
+            // +100000 first: balances go to -1000.00, and Spark's div
+            // truncates toward zero while DuckDB's // floors — shifting
+            // the cents nonnegative makes the two agree on every row
+            expr("""((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      + 100000) div 100000) * 1000 - 1000""").as("bal_band"))
+        val classes = c.groupBy("nation", "segment", "bal_band")
+          .agg(count(lit(1)).as("class_size"))
+        val viol = classes.filter(col("class_size") < k)
+        val tot = viol.agg(
+          coalesce(count(lit(1)), lit(0L)).as("n_violating_classes"),
+          coalesce(sum(col("class_size")), lit(0L)).as("n_rows_at_risk"))
+        viol.crossJoin(broadcast(tot))
+          .select(col("nation"), col("segment"), col("bal_band"),
+            col("class_size"), col("n_violating_classes"),
+            col("n_rows_at_risk"))
+          .orderBy("nation", "segment", "bal_band")
+      },
+      Some("""WITH c AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                  c_mktsegment AS segment,
+                  ((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      + 100000) // 100000) * 1000 - 1000 AS bal_band
+                FROM customer),
+              cls AS (
+                SELECT nation, segment, bal_band, count(*) AS class_size
+                FROM c GROUP BY nation, segment, bal_band),
+              v AS (SELECT * FROM cls WHERE class_size < 5),
+              t AS (
+                SELECT count(*) AS n_violating_classes,
+                  CAST(coalesce(sum(class_size), 0) AS BIGINT)
+                    AS n_rows_at_risk
+                FROM v)
+              SELECT nation, segment, bal_band, class_size,
+                n_violating_classes, n_rows_at_risk
+              FROM v CROSS JOIN t
+              ORDER BY nation, segment, bal_band""")),
+
+    // Join-key skew audit — the diagnostic run BEFORE shuffling 100 TB
+    // on a key: per-key count distribution of lineitem.l_partkey as
+    // exact order statistics (max, p50, p99) plus the skew ratio
+    // max·keys/rows (1.0 = perfectly uniform; the number that decides
+    // between a plain shuffle join, AQE skew splitting, and the
+    // q_salted_join treatment). Percentiles of the COUNT distribution
+    // come from the CDF scaffold on the count grain (distinct count
+    // values — bounded, never key-sized): cum·100 ≥ 99·n_keys is an
+    // exact integer gate, no percentile_approx, no global sort of the
+    // keys. Shape: one hash aggregate ∝ rows, one ∝ distinct counts,
+    // one bounded window, a 1-row fold.
+    QueryDef(
+      "q_skew_audit",
+      (s, dir) => {
+        val perKey = t(s, dir, "lineitem")
+          .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        val perCnt = perKey.groupBy("cnt").agg(count(lit(1)).as("freq"))
+        val wc = Window.orderBy("cnt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = perCnt.withColumn("cum", sum(col("freq")).over(wc))
+        val tot = perKey.agg(count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_cnt"),
+          min(col("cnt")).as("min_cnt"))
+        val pct = cum.crossJoin(broadcast(tot))
+          .agg(
+            min(when(col("cum") * 2 >= col("n_keys"), col("cnt")))
+              .as("p50_cnt"),
+            min(when(col("cum") * 100 >= col("n_keys") * 99, col("cnt")))
+              .as("p99_cnt"))
+        tot.crossJoin(broadcast(pct))
+          .select(col("n_keys"), col("n_rows"), col("min_cnt"),
+            col("p50_cnt"), col("p99_cnt"), col("max_cnt"),
+            ((col("max_cnt") * col("n_keys")).cast("double") /
+              col("n_rows").cast("double")).as("skew_ratio"))
+      },
+      Some("""WITH k AS (
+                SELECT l_partkey, count(*) AS cnt
+                FROM lineitem GROUP BY l_partkey),
+              c AS (SELECT cnt, count(*) AS freq FROM k GROUP BY cnt),
+              cc AS (
+                SELECT cnt, sum(freq) OVER (ORDER BY cnt
+                  ROWS UNBOUNDED PRECEDING) AS cum
+                FROM c),
+              tt AS (
+                SELECT count(*) AS n_keys,
+                  CAST(sum(cnt) AS BIGINT) AS n_rows,
+                  max(cnt) AS max_cnt, min(cnt) AS min_cnt
+                FROM k),
+              p AS (
+                SELECT
+                  min(CASE WHEN cum * 2 >= n_keys THEN cnt END) AS p50_cnt,
+                  min(CASE WHEN cum * 100 >= n_keys * 99 THEN cnt END)
+                    AS p99_cnt
+                FROM cc CROSS JOIN tt)
+              SELECT n_keys, n_rows, min_cnt, p50_cnt, p99_cnt, max_cnt,
+                CAST(max_cnt * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                  AS skew_ratio
+              FROM tt CROSS JOIN p"""))
   )
 }

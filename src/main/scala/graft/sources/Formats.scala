@@ -245,6 +245,48 @@ object Formats {
                  min(zval) AS min_z, max(zval) AS max_z
                FROM z WHERE zval < 1000000""")),
 
+    // Hilbert-curve clustered layout — the data-skipping sibling of
+    // q_zorder_layout with strictly better locality: the Hilbert index
+    // never makes the long diagonal jumps Morton interleave does (every
+    // consecutive pair of cells is grid-adjacent), so range predicates
+    // on either column touch fewer, tighter file rectangles — the
+    // layout modern table formats offer as OPTIMIZE ... BY HILBERT.
+    // Implementation is the textbook xy2d transform unrolled to 16
+    // levels of pure integer CASE/AND/subtract steps: the SAME
+    // generated step strings build the Spark plan (withColumn chain —
+    // one codegen'd projection, no UDF) and the DuckDB oracle's CTE
+    // chain, so the two curves cannot drift; the test-side check is an
+    // INDEPENDENT imperative xy2d replay (AggFormatsSpec). Layout =
+    // range partition + in-file sort on the index, as q_zorder_layout.
+    QueryDef(
+      "q_hilbert_layout",
+      (s, dir) => {
+        val scratch = scratchFor("hilbert")
+        var df = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            expr("l_partkey & 65535").as("hx0"),
+            expr("l_suppkey & 65535").as("hy0"),
+            lit(0L).as("hd0"))
+        for (i <- 0 until 16) {
+          val (xN, yN, dN) = hilbertStep(i)
+          df = df.withColumn(s"hx${i + 1}", expr(xN))
+            .withColumn(s"hy${i + 1}", expr(yN))
+            .withColumn(s"hd${i + 1}", expr(dN))
+        }
+        df.select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("hd16").as("hval"))
+          .repartitionByRange(8, col("hval"))
+          .sortWithinPartitions("hval")
+          .write.mode("overwrite").parquet(scratch)
+        s.read.parquet(scratch)
+          .filter(col("hval") < 1000000000L)
+          .agg(count(lit(1)).as("n"), sum(col("hval")).as("sum_h"),
+            min(col("hval")).as("min_h"), max(col("hval")).as("max_h"))
+      },
+      bench = false, // layout pass; scan throughput is covered elsewhere
+      oracle = Some(hilbertOracleSql)),
+
     // Custom DataSourceV2 connector (GenSource.scala): a deterministic
     // generated table read through Spark's connector API with real
     // range-predicate pushdown (the id bounds narrow the GENERATION
@@ -325,6 +367,47 @@ object Formats {
     val d = new java.io.File(path)
     Option(d.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq)
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+  }
+
+  /** One xy2d Hilbert step (s = 2^(15−i)): SQL for (hx, hy, hd) at step
+    * i+1 in terms of the step-i columns — rx/ry tests inlined so no
+    * lateral column aliases are needed. Quadrant code (3·rx) XOR ry is
+    * written as a CASE (DuckDB's ^ is exponentiation, so the XOR is
+    * spelled portably); the rotation is the standard reflect-then-swap.
+    * The SAME strings build the Spark withColumn chain and the oracle's
+    * CTE chain. */
+  private def hilbertStep(i: Int): (String, String, String) = {
+    val s = 1 << (15 - i)
+    val s2 = s.toLong * s
+    val (x, y, d) = (s"hx$i", s"hy$i", s"hd$i")
+    val rx = s"(($x & $s) <> 0)"
+    val ry = s"(($y & $s) <> 0)"
+    val dN = s"$d + $s2 * (CASE WHEN NOT $rx AND NOT $ry THEN 0 " +
+      s"WHEN NOT $rx THEN 1 WHEN $ry THEN 2 ELSE 3 END)"
+    val xN = s"CASE WHEN $ry THEN $x WHEN $rx THEN 65535 - $y ELSE $y END"
+    val yN = s"CASE WHEN $ry THEN $y WHEN $rx THEN 65535 - $x ELSE $x END"
+    (xN, yN, dN)
+  }
+
+  private lazy val hilbertOracleSql: String = {
+    // AS MATERIALIZED is load-bearing: every step's columns reference
+    // the previous step's 3-4 times, so letting DuckDB inline the CTE
+    // chain multiplies the expression tree ~3x per level — 16 levels
+    // deep that is tens of millions of nodes (measured: a 47 GB
+    // planner explosion). Materializing each step keeps it linear.
+    val ctes = (0 until 16).map { i =>
+      val (xN, yN, dN) = hilbertStep(i)
+      s"""h${i + 1} AS MATERIALIZED (SELECT $xN AS hx${i + 1},
+           $yN AS hy${i + 1}, $dN AS hd${i + 1} FROM h$i)"""
+    }.mkString(",\n")
+    s"""WITH h0 AS MATERIALIZED (
+          SELECT (l_partkey & 65535) AS hx0, (l_suppkey & 65535) AS hy0,
+            CAST(0 AS BIGINT) AS hd0
+          FROM lineitem),
+        $ctes
+        SELECT count(*) AS n, CAST(sum(hd16) AS BIGINT) AS sum_h,
+          min(hd16) AS min_h, max(hd16) AS max_h
+        FROM h16 WHERE hd16 < 1000000000"""
   }
 
   /** DuckDB SQL for the 16+16-bit Morton interleave of two int columns

@@ -57,6 +57,53 @@ object StreamOps {
     s.table(sink).orderBy("hour", "event_type")
   }
 
+  /** Streaming drift monitor: q_hist_drift's bucketed purchase-value
+    * histogram runs INCREMENTALLY — the (bucket, arm) counting state is
+    * bounded at 20 rows forever (the bucket domain, not the stream), so
+    * complete mode is the deployable choice — and the total-variation
+    * statistic is finished batch-side on the tiny sink table, exactly
+    * the stream_topk "unbounded part incremental, tiny part batch"
+    * split. Converges to the SAME table as the batch operator: the
+    * oracle is Numerics.HistDriftOracleSql verbatim. */
+  def tvDriftStreaming(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val sink = s"graft_stream_tv_${nameCounter.incrementAndGet()}"
+    val q = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        least(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) div 5000"),
+          lit(9L)).cast("long").as("bucket"),
+        pmod(col("user_id"), lit(2L)).as("arm"))
+      .groupBy("bucket", "arm")
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val b = s.table(sink).groupBy("bucket").agg(
+      sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("c_a"),
+      sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("c_b"))
+    val tot = b.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    val terms = b.crossJoin(broadcast(tot))
+      .withColumn("tv_num",
+        abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")))
+    val tv = terms.agg(sum(col("tv_num")).as("tv_total"))
+    terms.crossJoin(broadcast(tv))
+      .select(col("bucket"), col("c_a"), col("c_b"),
+        col("n_a"), col("n_b"), col("tv_num"),
+        (col("tv_total").cast("double") /
+          (lit(2L) * col("n_a") * col("n_b")).cast("double")).as("tv"))
+      .orderBy("bucket")
+  }
+
   /** Streaming 6-hour OHLC: q_ohlc's one-pass min_by/max_by aggregate as
     * an incremental streaming aggregation (see the stream_ohlc def). */
   def ohlcStreaming(s: SparkSession, dir: String): DataFrame = {
@@ -1506,6 +1553,16 @@ object StreamOps {
                 FROM a)
               SELECT hour, CAST(rk AS BIGINT) AS rk, event_type, n
               FROM r WHERE rk <= 3 ORDER BY hour, rk"""),
+      bench = false),
+
+    // Streaming drift monitor — q_hist_drift run incrementally: the
+    // (bucket, arm) histogram state is domain-bounded (20 rows forever),
+    // the TV statistic finishes batch-side on the sink. Same oracle as
+    // the batch form, so the two alarms can never disagree.
+    QueryDef(
+      "stream_tv_drift",
+      (s, dir) => tvDriftStreaming(s, dir),
+      Some(graft.operators.Numerics.HistDriftOracleSql),
       bench = false),
 
     // Native session windows under Structured Streaming: the SAME

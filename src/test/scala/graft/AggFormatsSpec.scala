@@ -102,6 +102,56 @@ class AggFormatsSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent imperative replay of the textbook xy2d Hilbert
+    * transform (the operator builds the curve from generated SQL
+    * strings — this is the C-loop form, sharing no code with it). */
+  private def xy2d(xIn: Long, yIn: Long): Long = {
+    var x = xIn; var y = yIn; var d = 0L
+    var s = 32768L
+    while (s > 0) {
+      val rx = if ((x & s) != 0) 1L else 0L
+      val ry = if ((y & s) != 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = 65535L - x; y = 65535L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("q_hilbert_layout: the generated SQL curve equals textbook xy2d") {
+    Registry.byName("q_hilbert_layout").run(spark, TestSpark.sf).collect()
+    val laid = spark.read.parquet(sources.Formats.scratchRoot("hilbert"))
+      .select("l_partkey", "l_suppkey", "hval").collect()
+    assert(laid.nonEmpty)
+    laid.foreach { r =>
+      val expect = xy2d(r.getLong(0) & 65535L, r.getLong(1) & 65535L)
+      assert(r.getLong(2) === expect,
+        s"(${r.getLong(0)}, ${r.getLong(1)}) -> ${r.getLong(2)}, want $expect")
+    }
+    // the curve is a bijection: distinct (x, y) cells -> distinct indexes
+    val pairs = laid.map(r => (r.getLong(0) & 65535L, r.getLong(1) & 65535L))
+      .distinct.length
+    assert(laid.map(_.getLong(2)).distinct.length === pairs)
+  }
+
+  test("q_hilbert_layout writes files with disjoint index ranges") {
+    Registry.byName("q_hilbert_layout").run(spark, TestSpark.sf).collect()
+    val files = parquetFiles(sources.Formats.scratchRoot("hilbert"))
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("hval")), max(col("hval"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, "overlapping ranges")
+      case _ =>
+    }
+  }
+
   test("q_scd2_versions: intervals chain per customer with one open current row") {
     val rows = Registry.byName("q_scd2_versions").run(spark, TestSpark.sf)
       .collect()

@@ -192,4 +192,36 @@ class AnalyticsSpec extends AnyFunSuite {
       !row.getAs[Double]("z").isInfinite)
     assert(row.getAs[Double]("p_a") === cA.toDouble / nA.toDouble)
   }
+
+  test("decile lift replays locally and fully cumulates to lift 1.0") {
+    val out = run("q_decile_lift").collect()
+    // local replay: per-user score/conv, exclusive-prefix deciles
+    val users = Tables.load(spark, TestSpark.sf, "events")
+      .groupBy("user_id").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("score"),
+        max(when(col("event_type") === "purchase" &&
+          col("value") >= 99.0, 1L).otherwise(0L)).as("conv"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n = users.length.toLong
+    def decileOf(score: Long): Long =
+      users.count(_._1 < score).toLong * 10L / n
+    val expect = users.groupBy(u => decileOf(u._1)).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    out.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert((r.getAs[Long]("n_users"), r.getAs[Long]("n_conv"))
+        === expect(d), s"decile $d")
+    }
+    assert(out.map(_.getAs[Long]("n_users")).sum === n)
+    // rows come best-decile first; the last row cumulates everyone, so
+    // its lift is exactly (conv_total·n)/(n·conv_total) = 1.0
+    assert(out.last.getAs[Long]("cum_users") === n)
+    assert(out.last.getAs[Double]("cum_lift") === 1.0)
+    // cumulative counts are monotone down the table
+    out.map(_.getAs[Long]("cum_users")).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a < b)
+      case _ =>
+    }
+  }
 }

@@ -48,6 +48,25 @@ class ClusteringSpec extends AnyFunSuite {
     assert(kept === Set(0L, 50L, 100L, 150L), s"kept $kept")
   }
 
+  test("silhouette separates the planted orthogonal groups near-perfectly") {
+    val out = Registry.byName("emb_silhouette").run(spark, dir).collect()
+    // one row per planted cluster, every vector accounted for
+    assert(out.map(_.getAs[Long]("cluster")).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n")).sum === 200L)
+    out.foreach { r =>
+      // orthogonal groups: own-centroid cosine ~1, best-other ~0 ->
+      // s = (cos1-cos2)/(1-cos2) close to 1; and the assignment-argmax
+      // construction bounds s in [0, 1] exactly
+      assert(r.getAs[Long]("s_min_q") >= 0L)
+      assert(r.getAs[Long]("s_max_q") <= 1000000000L)
+      assert(r.getAs[Double]("mean_sil") > 0.9,
+        s"cluster ${r.getAs[Long]("cluster")} mean_sil ${r.getAs[Double]("mean_sil")}")
+      // the mean is the quantized sum with the canonical division order
+      assert(r.getAs[Double]("mean_sil") ===
+        r.getAs[Long]("s_sum_q").toDouble / r.getAs[Long]("n") / 1e9)
+    }
+  }
+
   test("CosineSimilarity accepts double-array centroids and matches the float path") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(0.5, 1.0, -2.0)))
       .toDF("f", "d")

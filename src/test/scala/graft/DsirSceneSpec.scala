@@ -188,4 +188,21 @@ class DsirSceneSpec extends AnyFunSuite {
       .collect().find(_.getAs[Long]("doc_id") == 1L).get
     assert(full.getAs[Long]("sum_sq") === 4 * q)
   }
+
+  test("mm_audio_downsample pair-averages the planted PCM exactly") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_ds").toString
+    // 'a'=97,'b'=98 -> pair mean 97 (floor), centered -31, square 961;
+    // odd-length clip drops its unpaired tail byte
+    Seq((1L, "ab" * 20), (3L, "ab" * 10 + "c"), (2L, "ab" * 20))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Registry.byName("mm_audio_downsample").run(spark, d)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_in"),
+        r.getAs[Long]("n_out"), r.getAs[Long]("sum_sq"))).toSeq
+    // even doc 2 is a png payload -> excluded
+    assert(out === Seq((1L, 40L, 20L, 20L * 961), (3L, 21L, 10L, 10L * 961)))
+  }
 }

@@ -169,4 +169,79 @@ class NumericsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("d_stat") ===
       best._1.toDouble / (a.length.toLong * b.length.toLong).toDouble)
   }
+
+  test("ROC-AUC equals a local pair-counting replay and is bounded") {
+    val row = Registry.byName("q_roc_auc").run(spark, TestSpark.sf).head()
+    val vals = Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select((col("value").cast("decimal(12,2)") * 100).cast("long"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pos = vals.filter(_._2 == 1L).map(_._1)
+    val neg = vals.filter(_._2 == 0L).map(_._1)
+    // U in half-units straight from the definition: 2 per beaten
+    // negative, 1 per tie — no ranks, no CDF, so a prefix-sum bug in
+    // the operator cannot be replicated here
+    var u2 = 0L
+    pos.foreach { p =>
+      u2 += 2L * neg.count(_ < p) + neg.count(_ == p)
+    }
+    assert(row.getAs[Long]("n_pos") === pos.length.toLong)
+    assert(row.getAs[Long]("n_neg") === neg.length.toLong)
+    assert(row.getAs[Long]("u2") === u2)
+    val auc = row.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(auc ===
+      u2.toDouble / (2L * pos.length.toLong * neg.length.toLong).toDouble)
+  }
+
+  test("chi-square replays locally in exact integers") {
+    val row = Registry.byName("q_chisq").run(spark, TestSpark.sf).head()
+    val cells = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("event_type"), pmod(col("user_id"), lit(2L)).as("arm"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = cells.length.toLong
+    val byCell = cells.groupBy(identity).view.mapValues(_.length.toLong)
+    val rowT = cells.groupBy(_._1).view.mapValues(_.length.toLong)
+    val colT = cells.groupBy(_._2).view.mapValues(_.length.toLong)
+    val chi2q = byCell.map { case ((t, a), o) =>
+      val d = BigInt(o) * n - BigInt(rowT(t)) * colT(a)
+      (d * d * 1000000000L / (BigInt(n) * rowT(t) * colT(a))).toLong
+    }.sum
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("n_cells") === byCell.size.toLong)
+    assert(row.getAs[Long]("chi2_q") === chi2q)
+    assert(row.getAs[Double]("chi2") === chi2q.toDouble / 1e9)
+  }
+
+  test("hist drift TV numerator replays and vanishes on identical arms") {
+    val out = Registry.byName("q_hist_drift").run(spark, TestSpark.sf)
+      .collect()
+    val vals = Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select((col("value").cast("decimal(12,2)") * 100).cast("long"),
+        pmod(col("user_id"), lit(2L)))
+      .collect().map(r => (math.min(r.getLong(0) / 5000L, 9L), r.getLong(1)))
+    val nA = vals.count(_._2 == 0L).toLong
+    val nB = vals.count(_._2 == 1L).toLong
+    val tvTotal = out.map(_.getAs[Long]("tv_num")).sum
+    val expected = vals.groupBy(_._1).values.map { g =>
+      val cA = g.count(_._2 == 0L).toLong
+      val cB = g.count(_._2 == 1L).toLong
+      math.abs(cA * nB - cB * nA)
+    }.sum
+    assert(tvTotal === expected)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_a") === nA)
+      assert(r.getAs[Long]("n_b") === nB)
+      assert(r.getAs[Double]("tv") ===
+        tvTotal.toDouble / (2L * nA * nB).toDouble)
+      assert(r.getAs[Double]("tv") >= 0.0 && r.getAs[Double]("tv") <= 1.0)
+    }
+    // identity check: an arm compared against itself has zero TV
+    assert(vals.groupBy(_._1).values.map { g =>
+      val cA = g.count(_._2 == 0L).toLong
+      math.abs(cA * nA - cA * nA)
+    }.sum === 0L)
+  }
 }

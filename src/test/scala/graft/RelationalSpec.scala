@@ -68,4 +68,22 @@ class RelationalSpec extends AnyFunSuite {
     val firsts = out.groupBy("o_custkey").agg(min("rn").as("m"))
     assert(firsts.filter(col("m") =!= 1L).count() === 0)
   }
+
+  test("collation grouping collapses case variants into one class each") {
+    val out = run("q_collation").collect()
+    val types = Tables.load(spark, TestSpark.sf, "events")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    // one output class per distinct lowercase type — the upper-cased
+    // variants must NOT form separate groups under UTF8_LCASE
+    assert(out.map(_.getAs[String]("k").toLowerCase).toSet === types)
+    assert(out.length === types.size)
+    // every class saw both case variants (the corpus has even and odd
+    // event_ids for each type) and the counts cover the whole table
+    out.foreach(r => assert(r.getAs[Long]("n_variants") === 2L))
+    assert(out.map(_.getAs[Long]("n")).sum ===
+      Tables.load(spark, TestSpark.sf, "events").count())
+    // binary-min representative is the UPPER variant (ASCII order)
+    out.foreach(r =>
+      assert(r.getAs[String]("k") === r.getAs[String]("k").toUpperCase))
+  }
 }

@@ -459,4 +459,12 @@ class StreamCancelSpec extends AnyFunSuite {
     // ValueState survived the batch boundary and kept accumulating
     assert(rows.toSet === Set((2L, 9.0, 50L, 100L), (3L, 9.0, 50L, 200L)))
   }
+
+  test("stream_tv_drift converges to the batch histogram bit-for-bit") {
+    val st = Registry.byName("stream_tv_drift")
+      .run(spark, TestSpark.sf).collect().map(_.toSeq).toSeq
+    val ba = Registry.byName("q_hist_drift")
+      .run(spark, TestSpark.sf).collect().map(_.toSeq).toSeq
+    assert(st === ba)
+  }
 }

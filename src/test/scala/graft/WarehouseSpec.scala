@@ -209,4 +209,67 @@ class WarehouseSpec extends AnyFunSuite {
       .filter(col("count") > floor20).count()
     assert(better <= 20)
   }
+
+  test("erasure audit partitions every event exactly once") {
+    val out = run("q_erasure").collect()
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val total = ev.count()
+    val purged = ev.filter(pmod(col("user_id"), lit(97L)) === 0).count()
+    assert(out.map(r =>
+      r.getAs[Long]("n_purged") + r.getAs[Long]("n_retained")).sum === total)
+    assert(out.map(_.getAs[Long]("n_purged")).sum === purged)
+    // the cohort's user count is consistent per type: never more users
+    // than purged rows, and zero users exactly when zero rows
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_users_purged") <= r.getAs[Long]("n_purged"))
+      assert((r.getAs[Long]("n_users_purged") == 0L) ==
+        (r.getAs[Long]("n_purged") == 0L))
+    }
+  }
+
+  test("k-anonymity report lists exactly the sub-k classes") {
+    val out = run("q_kanon").collect()
+    out.foreach(r => assert(r.getAs[Long]("class_size") < 5L))
+    // the totals every row carries equal the report itself
+    if (out.nonEmpty) {
+      assert(out.head.getAs[Long]("n_violating_classes") === out.length.toLong)
+      assert(out.head.getAs[Long]("n_rows_at_risk") ===
+        out.map(_.getAs[Long]("class_size")).sum)
+    }
+    // independent recount of one reported class from the raw table
+    out.headOption.foreach { r =>
+      val cents = expr(
+        """((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+            + 100000) div 100000) * 1000 - 1000""")
+      val n = Tables.load(spark, TestSpark.sf, "customer")
+        .filter(col("c_nationkey").cast("long") === r.getAs[Long]("nation") &&
+          col("c_mktsegment") === r.getAs[String]("segment") &&
+          cents === r.getAs[Long]("bal_band"))
+        .count()
+      assert(n === r.getAs[Long]("class_size"))
+    }
+  }
+
+  test("skew audit equals a local order-statistics replay") {
+    val row = run("q_skew_audit").head()
+    val counts = Tables.load(spark, TestSpark.sf, "lineitem")
+      .groupBy("l_partkey").count()
+      .collect().map(_.getLong(1)).sorted
+    val n = counts.length.toLong
+    def pct(p: Int): Long = {
+      // smallest count c with |{cnt <= c}| * 100 >= p * n_keys —
+      // the operator's exact integer gate, replayed on sorted counts
+      counts.find(c => counts.count(_ <= c).toLong * 100 >= p * n).get
+    }
+    assert(row.getAs[Long]("n_keys") === n)
+    assert(row.getAs[Long]("n_rows") === counts.sum)
+    assert(row.getAs[Long]("min_cnt") === counts.head)
+    assert(row.getAs[Long]("max_cnt") === counts.last)
+    assert(row.getAs[Long]("p50_cnt") ===
+      counts.find(c => counts.count(_ <= c).toLong * 2 >= n).get)
+    assert(row.getAs[Long]("p99_cnt") === pct(99))
+    assert(row.getAs[Double]("skew_ratio") ===
+      (counts.last * n).toDouble / counts.sum.toDouble)
+    assert(row.getAs[Double]("skew_ratio") >= 1.0)
+  }
 }
