@@ -53,7 +53,10 @@ object GrowthBench {
     "dedup_prefix_filter" -> "~linear x prefix collisions (sum prefix-df^2)",
     "graph_hits" -> "~linear x iters (equi-join per half-step)",
     "mm_cdc_match" -> "~linear x chunk collisions (DF-capped chunk join)",
-    "text_winnowing" -> "linear x w (gram stream, one rank window)")
+    "text_winnowing" -> "linear x w (gram stream, one rank window)",
+    "emb_silhouette" -> "~linear x (iters x k) (broadcast-centroid scoring)",
+    "q_roc_auc" -> "~linear (per-score counts + bucket-grain prefix)",
+    "q_decile_lift" -> "~linear (user agg + score-grain prefix)")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
