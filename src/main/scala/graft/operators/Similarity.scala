@@ -469,6 +469,73 @@ object Similarity {
       Some(ivfOracleSql(nprobe = 2)),
       ),
 
+    // Hard-negative mining — the contrastive-training data op: for each
+    // query vector, the most similar vectors with a DIFFERENT label
+    // (the negatives that actually teach an embedding model, vs easy
+    // random ones). Rides the SAME IVF candidate relation as the ANN
+    // serving path (nprobe=2 for recall on near-boundary negatives), so
+    // mining cost is candidates-scanned — never corpus×corpus; labels
+    // attach by one vec_id equi-join on the candidate relation (∝
+    // collisions), the query labels as a NumQueries-row broadcast.
+    // Top-NegK per query by exact cosine, vec_id tie-break.
+    QueryDef(
+      "sample_hardneg",
+      (s, dir) => {
+        val labels = emb(s, dir)
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+        val queries = embParallel(s, dir)
+          .filter(col("vec_id") < NumQueries)
+          .select("vec_id", "embedding")
+        val qLab = broadcast(labels.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label")))
+        val cand = ivfCandidatesFor(s, dir, nprobe = 2, queries)
+          .join(labels.withColumnRenamed("label", "neg_label"), "vec_id")
+          .join(qLab, "q_id")
+          .filter(col("neg_label") =!= col("q_label"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        cand.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+          .select(col("q_id"), col("rank"), col("vec_id"), col("cos"),
+            col("q_label"), col("neg_label"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+                             FROM embeddings WHERE vec_id % 50 = 0),
+               scored AS (SELECT e.vec_id, e.embedding, cent.c_id,
+                            ${cosineSql("e.embedding", "cent.c_emb")} AS c_cos
+                          FROM embeddings e, cent),
+               ranked AS (
+                 SELECT vec_id, embedding, c_id,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY c_cos DESC, c_id) AS arn
+                 FROM scored),
+               assigned AS (
+                 SELECT vec_id, embedding, c_id AS list_id
+                 FROM ranked WHERE arn = 1),
+               q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                       c_id AS list_id
+                     FROM ranked WHERE arn <= 2 AND vec_id < $NumQueries),
+               c AS (SELECT q.q_id, a.vec_id,
+                       ${cosineSql("q.q_emb", "a.embedding")} AS cos
+                     FROM assigned a JOIN q
+                       ON a.list_id = q.list_id AND a.vec_id != q.q_id),
+               lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                       FROM embeddings),
+               f AS (SELECT c.q_id, c.vec_id, c.cos,
+                       ql.label AS q_label, nl.label AS neg_label
+                     FROM c
+                     JOIN lab ql ON ql.vec_id = c.q_id
+                     JOIN lab nl ON nl.vec_id = c.vec_id
+                     WHERE ql.label != nl.label),
+               r AS (SELECT q_id, vec_id, cos, q_label, neg_label,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, vec_id) AS rank
+                     FROM f)
+               SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos,
+                 q_label, neg_label
+               FROM r WHERE rank <= $TopK ORDER BY q_id, rank""")),
+
     // Embedding-cosine near-duplicate pairs — exact baseline (all-pairs
     // broadcast join). Kept as the oracle-checked reference the bucketed
     // scale path below is measured against; usable in production only

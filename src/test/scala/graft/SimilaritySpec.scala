@@ -262,4 +262,33 @@ class SimilaritySpec extends AnyFunSuite {
         assert(t(np)._4 === (exact & ann).size.toDouble / exact.size)
     }
   }
+
+  test("hard negatives differ in label and are the best cross-label candidates") {
+    val out = Registry.byName("sample_hardneg").run(spark, TestSpark.sf)
+      .collect()
+    assert(out.nonEmpty)
+    val labels = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("neg_label") !== r.getAs[Long]("q_label"))
+      assert(r.getAs[Long]("q_label") === labels(r.getAs[Long]("q_id")))
+      assert(r.getAs[Long]("neg_label") === labels(r.getAs[Long]("vec_id")))
+    }
+    // per query: ranks contiguous from 1, cosines non-increasing, and
+    // every mined negative scores <= the best unrestricted ANN hit
+    val annBest = Registry.byName("sim_ann_ivf_nprobe2")
+      .run(spark, TestSpark.sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Double]("cos")).max)
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ===
+        (1L to sorted.length).toSeq)
+      val cs = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cs === cs.sorted.reverse)
+      annBest.get(q).foreach(best => assert(cs.head <= best))
+    }
+  }
 }
