@@ -1366,7 +1366,83 @@ object Analytics {
                 cum_users, cum_conv,
                 CAST(cum_conv * n_total AS DOUBLE)
                   / CAST(cum_users * conv_total AS DOUBLE) AS cum_lift
-              FROM c ORDER BY decile DESC"""))
+              FROM c ORDER BY decile DESC""")),
+
+    // Time-to-convert distribution — the funnel-latency artifact
+    // ("how long from first click to first purchase?") whose deciles
+    // product teams read off dashboards. Another GLOBAL order
+    // statistic built scale-safe: per-user deltas (first purchase at
+    // or after the first click, exact microsecond arithmetic, floored
+    // to seconds), then per-second counts with the q_ks_drift
+    // bucket-offset prefix discipline (the only unpartitioned window
+    // runs on the hour-bucket grain), and all nine decile boundaries
+    // read off ONE pass over the cumulative relation as exact integer
+    // gates cum·10 ≥ k·n — no percentile_approx, no sort of the users.
+    QueryDef(
+      "q_time_to_convert",
+      (s, dir) => {
+        val ev = Tables.loadEvents(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val firstClick = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min(col("us")).as("c_us"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(firstClick, "user_id")
+          .filter(col("us") >= col("c_us"))
+          .groupBy("user_id")
+          .agg(min(col("us") - col("c_us")).as("delta_us"))
+        val perD = conv.select(expr("delta_us div 1000000").as("delta_s"))
+          .groupBy("delta_s").agg(count(lit(1)).as("cnt"))
+        val withB = perD.withColumn("bucket", expr("delta_s div 3600"))
+        val bTot = withB.groupBy("bucket").agg(sum(col("cnt")).as("bc"))
+        val bOff = bTot
+          .withColumn("off",
+            coalesce(sum(col("bc")).over(Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bucket", "off")
+        val wIn = Window.partitionBy("bucket").orderBy("delta_s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = withB.join(broadcast(bOff), Seq("bucket"))
+          .withColumn("cum", col("off") + sum(col("cnt")).over(wIn))
+        val tot = conv.agg(count(lit(1)).as("n_conv"))
+        val aggs = max(col("n_conv")).as("n_conv") +:
+          (1 to 9).map(k =>
+            min(when(col("cum") * 10 >= col("n_conv") * k, col("delta_s")))
+              .as(s"p${k * 10}_s"))
+        cum.crossJoin(broadcast(tot)).agg(aggs.head, aggs.tail: _*)
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                FROM events),
+              fc AS (
+                SELECT user_id, min(us) AS c_us
+                FROM e WHERE event_type = 'click' GROUP BY user_id),
+              cv AS (
+                SELECT p.user_id,
+                  CAST(min(p.us - fc.c_us) AS BIGINT) AS delta_us
+                FROM e p JOIN fc ON p.user_id = fc.user_id
+                WHERE p.event_type = 'purchase' AND p.us >= fc.c_us
+                GROUP BY p.user_id),
+              c AS (
+                SELECT delta_us // 1000000 AS delta_s, count(*) AS cnt
+                FROM cv GROUP BY 1),
+              cc AS (
+                SELECT delta_s, sum(cnt) OVER (ORDER BY delta_s
+                  ROWS UNBOUNDED PRECEDING) AS cum
+                FROM c),
+              tt AS (SELECT count(*) AS n_conv FROM cv)
+              SELECT CAST(max(n_conv) AS BIGINT) AS n_conv,
+                min(CASE WHEN cum * 10 >= n_conv * 1 THEN delta_s END) AS p10_s,
+                min(CASE WHEN cum * 10 >= n_conv * 2 THEN delta_s END) AS p20_s,
+                min(CASE WHEN cum * 10 >= n_conv * 3 THEN delta_s END) AS p30_s,
+                min(CASE WHEN cum * 10 >= n_conv * 4 THEN delta_s END) AS p40_s,
+                min(CASE WHEN cum * 10 >= n_conv * 5 THEN delta_s END) AS p50_s,
+                min(CASE WHEN cum * 10 >= n_conv * 6 THEN delta_s END) AS p60_s,
+                min(CASE WHEN cum * 10 >= n_conv * 7 THEN delta_s END) AS p70_s,
+                min(CASE WHEN cum * 10 >= n_conv * 8 THEN delta_s END) AS p80_s,
+                min(CASE WHEN cum * 10 >= n_conv * 9 THEN delta_s END) AS p90_s
+              FROM cc CROSS JOIN tt"""))
   )
 
   /** Count-min sketch geometry: 4 rows x 1024 counters = 32 KB. With

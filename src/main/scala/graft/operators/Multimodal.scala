@@ -916,6 +916,79 @@ object Multimodal {
                 END AS mean_sq
               FROM d ORDER BY doc_id""")),
 
+    // Corpus normalization statistics — the per-channel mean/std every
+    // vision/audio pipeline computes ONCE over the training corpus and
+    // bakes into preprocessing (the ImageNet-mean-std step): exact
+    // integer byte sums and sums-of-squares per format from one
+    // map-only parse, mean/std as pinned-order closing arithmetic
+    // (sqrt IS IEEE-exactly-rounded, so unlike ln it is engine-portable
+    // — variance numerator kept integer until the one division).
+    // Shape: mapPartitions byte fold, one |formats|-row hash aggregate.
+    QueryDef(
+      "mm_norm_stats",
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select(col("doc_id"), payloadCol.as("payload"))
+          .as[MediaIn]
+          .mapPartitions(_.map { in =>
+            val b = in.payload
+            var sum = 0L; var ssq = 0L
+            var i = 16
+            while (i < b.length) {
+              val v = (b(i) & 0xff).toLong
+              sum += v; ssq += v * v
+              i += 1
+            }
+            (if (in.doc_id % 2 == 0) "png" else "wav",
+              (b.length - 16).toLong, sum, ssq)
+          })
+          .toDF("format", "n_b", "sum_b", "ssq_b")
+          .groupBy("format").agg(
+            sum(col("n_b")).as("n_bytes"),
+            sum(col("sum_b")).as("sum_bytes"),
+            sum(col("ssq_b")).as("sum_sq_bytes"))
+          .select(col("format"), col("n_bytes"), col("sum_bytes"),
+            col("sum_sq_bytes"),
+            (col("sum_bytes").cast("double") / col("n_bytes").cast("double"))
+              .as("mean"),
+            // variance numerator in DECIMAL(38,0)/HUGEINT: ssq·n − s²
+            // is ~N²·var and wraps a BIGINT near 10^8 corpus bytes
+            sqrt((col("sum_sq_bytes").cast("decimal(38,0)") * col("n_bytes")
+              - col("sum_bytes").cast("decimal(38,0)") * col("sum_bytes"))
+              .cast("double") /
+              (col("n_bytes").cast("decimal(38,0)") * col("n_bytes"))
+                .cast("double")).as("std"))
+          .orderBy("format")
+      },
+      Some("""WITH b AS (
+                SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END
+                    AS format,
+                  CAST(length(text) AS BIGINT) AS n_b,
+                  CAST(coalesce(list_sum(list_transform(
+                    range(1, length(text) + 1),
+                    i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1))
+                         AS BIGINT))), 0) AS BIGINT) AS sum_b,
+                  CAST(coalesce(list_sum(list_transform(
+                    range(1, length(text) + 1),
+                    i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1))
+                         AS BIGINT)
+                       * CAST(ord(substr(text, CAST(i AS INTEGER), 1))
+                         AS BIGINT))), 0) AS BIGINT) AS ssq_b
+                FROM documents),
+              g AS (
+                SELECT format, CAST(sum(n_b) AS BIGINT) AS n_bytes,
+                  CAST(sum(sum_b) AS BIGINT) AS sum_bytes,
+                  CAST(sum(ssq_b) AS BIGINT) AS sum_sq_bytes
+                FROM b GROUP BY format)
+              SELECT format, n_bytes, sum_bytes, sum_sq_bytes,
+                CAST(sum_bytes AS DOUBLE) / CAST(n_bytes AS DOUBLE) AS mean,
+                sqrt(CAST(CAST(sum_sq_bytes AS HUGEINT) * n_bytes
+                        - CAST(sum_bytes AS HUGEINT) * sum_bytes AS DOUBLE)
+                     / CAST(CAST(n_bytes AS HUGEINT) * n_bytes AS DOUBLE))
+                  AS std
+              FROM g ORDER BY format""")),
+
     // Multimodal training-sample assembly: one manifest row per sample
     // joining the text record (documents) with its embedding row
     // (vec_id = doc_id) and the media payload's typed metadata — the

@@ -854,7 +854,74 @@ object Numerics {
               (lit(2L) * col("n_a") * col("n_b")).cast("double")).as("tv"))
           .orderBy("bucket")
       },
-      Some(HistDriftOracleSql))
+      Some(HistDriftOracleSql)),
+
+    // Changepoint detection — "when did this metric shift?": the daily
+    // purchase-count series split at the day maximizing the scaled
+    // mean-difference |S_d·N_days − S_total·d| (the CUSUM argmax in the
+    // same cross-multiplied exact-integer discipline as q_ks_drift — no
+    // per-day division, no floats until the closing statistic). d
+    // indexes days in order, S_d is the prefix sum of counts — built on
+    // the DAY grain (bounded: the calendar, not the events), so the
+    // one full-order window is over ~tens of rows at any corpus size.
+    // Output: the argmax day, its before/after exact means as one
+    // closing division each, and the normalized shift statistic.
+    QueryDef(
+      "q_changepoint",
+      (s, dir) => {
+        val DayUs = 86400000000L
+        val daily = Tables.loadEvents(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(unix_micros(col("ts")).as("us"))
+          .select(expr(s"us div $DayUs").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n"))
+        val wd = Window.orderBy("day")
+        val idx = daily
+          .withColumn("d", row_number().over(wd).cast("long"))
+          .withColumn("s_d", sum(col("n")).over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = daily.agg(count(lit(1)).as("n_days"),
+          sum(col("n")).as("s_total"))
+        idx.crossJoin(broadcast(tot))
+          .filter(col("d") < col("n_days")) // a split needs both sides
+          .withColumn("stat_num",
+            abs(col("s_d") * col("n_days") - col("s_total") * col("d")))
+          .orderBy(col("stat_num").desc, col("day").asc)
+          .limit(1)
+          .select(col("day").as("split_day"), col("d").as("split_idx"),
+            col("n_days"), col("s_total"), col("stat_num"),
+            (col("s_d").cast("double") / col("d").cast("double"))
+              .as("mean_before"),
+            ((col("s_total") - col("s_d")).cast("double") /
+              (col("n_days") - col("d")).cast("double")).as("mean_after"),
+            (col("stat_num").cast("double") /
+              (col("n_days") * col("s_total")).cast("double"))
+              .as("shift_stat"))
+      },
+      Some("""WITH daily AS (
+                SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                    AS day,
+                  count(*) AS n
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              idx AS (
+                SELECT day, n,
+                  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS d,
+                  CAST(sum(n) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_d
+                FROM daily),
+              tt AS (
+                SELECT count(*) AS n_days, CAST(sum(n) AS BIGINT) AS s_total
+                FROM daily)
+              SELECT day AS split_day, d AS split_idx, n_days, s_total,
+                CAST(abs(s_d * n_days - s_total * d) AS BIGINT) AS stat_num,
+                CAST(s_d AS DOUBLE) / CAST(d AS DOUBLE) AS mean_before,
+                CAST(s_total - s_d AS DOUBLE)
+                  / CAST(n_days - d AS DOUBLE) AS mean_after,
+                CAST(abs(s_d * n_days - s_total * d) AS DOUBLE)
+                  / CAST(n_days * s_total AS DOUBLE) AS shift_stat
+              FROM idx CROSS JOIN tt
+              WHERE d < n_days
+              ORDER BY stat_num DESC, day ASC LIMIT 1"""))
   )
 
   /** q_hist_drift's oracle — shared VERBATIM with stream_tv_drift, whose

@@ -1612,7 +1612,52 @@ object TextAnalysis {
                     ORDER BY h ASC, pos ASC) AS rk
                 FROM e)
               SELECT DISTINCT doc_id, pos, h FROM r WHERE rk = 1
-              ORDER BY doc_id, pos"""))
+              ORDER BY doc_id, pos""")),
+
+    // Sequence-length histogram + padding-waste profile — the report
+    // that decides context length and whether packing (text_pack) is
+    // worth running: token counts bucketed by 64, and per bucket the
+    // exact tokens a naive pad-to-512 batching would burn as padding
+    // ((512 − len mod 512) mod 512 per doc — pure integer arithmetic).
+    // waste_share is the number an engineer reads: >30% says pack.
+    // Shape: map-only length arithmetic + one bounded hash aggregate
+    // (bucket domain ≤ max_len/64), broadcast-free.
+    QueryDef(
+      "text_seqlen_hist",
+      (s, dir) => {
+        val toks = size(split(col("text"), " ")).cast("long")
+        Tables.load(s, dir, "documents")
+          .select(toks.as("len"))
+          .select(col("len"), expr("len div 64").as("bucket"),
+            expr("(512 - len % 512) % 512").as("waste"))
+          .groupBy("bucket").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("len")).as("sum_tokens"),
+            sum(col("waste")).as("sum_pad_waste"))
+          .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+            col("sum_pad_waste"),
+            (col("sum_pad_waste").cast("double") /
+              (col("sum_tokens") + col("sum_pad_waste")).cast("double"))
+              .as("waste_share"))
+          .orderBy("bucket")
+      },
+      Some("""WITH d AS (
+                SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+                FROM documents),
+              b AS (
+                SELECT len, len // 64 AS bucket,
+                  (512 - len % 512) % 512 AS waste
+                FROM d),
+              g AS (
+                SELECT bucket, count(*) AS n_docs,
+                  CAST(sum(len) AS BIGINT) AS sum_tokens,
+                  CAST(sum(waste) AS BIGINT) AS sum_pad_waste
+                FROM b GROUP BY bucket)
+              SELECT bucket, n_docs, sum_tokens, sum_pad_waste,
+                CAST(sum_pad_waste AS DOUBLE)
+                  / CAST(sum_tokens + sum_pad_waste AS DOUBLE)
+                  AS waste_share
+              FROM g ORDER BY bucket"""))
   )
 
   /** Run the BPE merge-training rounds corpus-parallel; returns the

@@ -224,4 +224,26 @@ class AnalyticsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("time-to-convert deciles replay from raw per-user deltas") {
+    val row = run("q_time_to_convert").head()
+    val ev = Tables.loadEvents(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstClick = ev.filter(_._2 == "click").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min)
+    val deltas = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, us) =>
+        firstClick.get(u).filter(us >= _).map(c => (u, us - c))
+      }
+      .groupBy(_._1).values.map(_.map(_._2).min / 1000000L).toSeq.sorted
+    val n = deltas.length.toLong
+    assert(row.getAs[Long]("n_conv") === n)
+    (1 to 9).foreach { k =>
+      val expect = deltas.find(d =>
+        deltas.count(_ <= d).toLong * 10 >= k * n).get
+      assert(row.getAs[Long](s"p${k * 10}_s") === expect, s"decile $k")
+    }
+  }
 }

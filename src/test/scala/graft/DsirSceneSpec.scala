@@ -205,4 +205,21 @@ class DsirSceneSpec extends AnyFunSuite {
     // even doc 2 is a png payload -> excluded
     assert(out === Seq((1L, 40L, 20L, 20L * 961), (3L, 21L, 10L, 10L * 961)))
   }
+
+  test("mm_norm_stats computes the planted byte moments exactly") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_norm").toString
+    // doc 1 (wav): 40x 'a' (97); doc 2 (png): 20x 'b' (98)
+    Seq((1L, "a" * 40), (2L, "b" * 20))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Registry.byName("mm_norm_stats").run(spark, d).collect()
+      .map(r => (r.getAs[String]("format"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("sum_bytes"), r.getAs[Long]("sum_sq_bytes"),
+        r.getAs[Double]("mean"), r.getAs[Double]("std"))).toSeq
+    assert(out === Seq(
+      ("png", 20L, 20L * 98, 20L * 98 * 98, 98.0, 0.0),
+      ("wav", 40L, 40L * 97, 40L * 97 * 97, 97.0, 0.0)))
+  }
 }

@@ -244,4 +244,26 @@ class NumericsSpec extends AnyFunSuite {
       math.abs(cA * nA - cA * nA)
     }.sum === 0L)
   }
+
+  test("changepoint equals a local argmax over every split") {
+    val row = Registry.byName("q_changepoint").run(spark, TestSpark.sf).head()
+    val daily = Tables.loadEvents(spark, TestSpark.sf)
+      .filter(col("event_type") === "purchase")
+      .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long"))
+      .collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val total = daily.map(_._2).sum
+    val nDays = daily.length.toLong
+    val splits = daily.zipWithIndex.dropRight(1).map { case ((day, _), i) =>
+      val sD = daily.take(i + 1).map(_._2).sum
+      (math.abs(sD * nDays - total * (i + 1)), day, i + 1L, sD)
+    }
+    val best = splits.minBy { case (num, day, _, _) => (-num, day) }
+    assert(row.getAs[Long]("split_day") === best._2)
+    assert(row.getAs[Long]("split_idx") === best._3)
+    assert(row.getAs[Long]("stat_num") === best._1)
+    assert(row.getAs[Double]("mean_before") ===
+      best._4.toDouble / best._3.toDouble)
+  }
 }

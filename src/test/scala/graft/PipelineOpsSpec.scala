@@ -489,4 +489,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(chunkDocs === Set(1L, 3L, 5L))
   }
+
+  test("seq-len histogram accounts every doc and its exact pad waste") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("text_seqlen_hist").run(spark, TestSpark.sf)
+      .collect()
+    val lens = Tables.load(spark, TestSpark.sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(out.map(_.getAs[Long]("n_docs")).sum === lens.length.toLong)
+    assert(out.map(_.getAs[Long]("sum_tokens")).sum === lens.sum)
+    assert(out.map(_.getAs[Long]("sum_pad_waste")).sum ===
+      lens.map(l => (512L - l % 512L) % 512L).sum)
+    out.foreach { r =>
+      // bucket b holds exactly the docs with len in [64b, 64b+64)
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("n_docs") ===
+        lens.count(l => l / 64 == b).toLong)
+      val ws = r.getAs[Double]("waste_share")
+      assert(ws >= 0.0 && ws < 1.0)
+    }
+  }
 }
