@@ -713,4 +713,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!phys.contains("BroadcastHashJoin"),
       s"join broadcast despite disabled threshold:\n$phys")
   }
+
+  test("ROC-AUC never globally sorts the raw score relation") {
+    // the CDF scaffold aggregates per-cents FIRST; a rangepartitioning
+    // on cents would mean the scale-killing global sort crept back in,
+    // and the one full-order window must run on the bucket grain
+    val p = plan("q_roc_auc")
+    assert(!p.contains("rangepartitioning(cents"),
+      s"global sort of the score relation:\n$p")
+    assert(p.contains("windowspecdefinition(bucket"),
+      s"within-bucket prefix window missing its bucket partition key:\n$p")
+    assert(p.contains("BroadcastExchange"), s"totals should broadcast:\n$p")
+  }
+
+  test("skew audit and changepoint hash-aggregate the data-sized relation") {
+    // the key/day aggregate is the only data-sized exchange; the grain
+    // windows and scalar folds run above it on bounded relations
+    val skew = plan("q_skew_audit")
+    assert(skew.contains("hashpartitioning(l_partkey"),
+      s"per-key count aggregate missing:\n$skew")
+    assert(!skew.contains("rangepartitioning(l_partkey"),
+      s"key-sized sort in the audit:\n$skew")
+    val cp = plan("q_changepoint")
+    assert(cp.contains("hashpartitioning(day"),
+      s"daily aggregate missing:\n$cp")
+  }
+
+  test("mm_norm_stats plans no join and exactly one data-sized exchange") {
+    val p = plan("mm_norm_stats")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"unexpected join in a fold-and-aggregate plan:\n$p")
+    assert(p.contains("hashpartitioning(format"),
+      s"format aggregate exchange missing:\n$p")
+  }
 }
