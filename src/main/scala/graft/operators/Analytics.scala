@@ -1442,7 +1442,132 @@ object Analytics {
                 min(CASE WHEN cum * 10 >= n_conv * 7 THEN delta_s END) AS p70_s,
                 min(CASE WHEN cum * 10 >= n_conv * 8 THEN delta_s END) AS p80_s,
                 min(CASE WHEN cum * 10 >= n_conv * 9 THEN delta_s END) AS p90_s
-              FROM cc CROSS JOIN tt"""))
+              FROM cc CROSS JOIN tt""")),
+
+    // RFM segmentation — the classic customer-value grid (recency ×
+    // frequency × monetary, each coded into tertiles): per purchasing
+    // user, last-purchase time / purchase count / exact cents total,
+    // each dimension coded 1-3 by the SAME distributed-CDF discipline
+    // as q_decile_lift (exclusive prefix counts on the VALUE grain,
+    // code = (below·3) div n + 1 — ties share a code, no ntile()
+    // funnel). Codes join back by value (hash joins ∝ users — the
+    // value→code maps are value-grain relations, deliberately NOT
+    // broadcast: monetary is near-unique per user). Output is the ≤27-
+    // cell segment table with exact user counts and monetary totals.
+    QueryDef(
+      "q_rfm_segmentation",
+      (s, dir) => {
+        val p = Tables.loadEvents(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            (col("value").cast("decimal(12,2)") * 100).cast("long")
+              .as("cents"))
+        val rfm = p.groupBy("user_id").agg(
+          max(col("us")).as("r_us"),
+          count(lit(1)).as("f_n"),
+          sum(col("cents")).as("m_cents"))
+        val tot = rfm.agg(count(lit(1)).as("n_users"))
+        def codeOf(dim: String): DataFrame = {
+          val perV = rfm.groupBy(dim).agg(count(lit(1)).as("cnt"))
+          val w = Window.orderBy(dim)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          perV.withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+            .crossJoin(broadcast(tot))
+            .select(col(dim),
+              (expr("(below * 3) div n_users") + 1L).as(s"${dim.head}_code"))
+        }
+        rfm.join(codeOf("r_us"), "r_us")
+          .join(codeOf("f_n"), "f_n")
+          .join(codeOf("m_cents"), "m_cents")
+          .groupBy("r_code", "f_code", "m_code")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("m_cents")).as("segment_cents"))
+          .orderBy("r_code", "f_code", "m_code")
+      },
+      Some("""WITH p AS (
+                SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    AS cents
+                FROM events WHERE event_type = 'purchase'),
+              rfm AS (
+                SELECT user_id, max(us) AS r_us, count(*) AS f_n,
+                  CAST(sum(cents) AS BIGINT) AS m_cents
+                FROM p GROUP BY user_id),
+              tt AS (SELECT count(*) AS n_users FROM rfm),
+              rc AS (
+                SELECT r_us,
+                  (coalesce(sum(cnt) OVER (ORDER BY r_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   * 3) // n_users + 1 AS r_code
+                FROM (SELECT r_us, count(*) AS cnt FROM rfm GROUP BY r_us)
+                CROSS JOIN tt),
+              fc AS (
+                SELECT f_n,
+                  (coalesce(sum(cnt) OVER (ORDER BY f_n
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   * 3) // n_users + 1 AS f_code
+                FROM (SELECT f_n, count(*) AS cnt FROM rfm GROUP BY f_n)
+                CROSS JOIN tt),
+              mc AS (
+                SELECT m_cents,
+                  (coalesce(sum(cnt) OVER (ORDER BY m_cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   * 3) // n_users + 1 AS m_code
+                FROM (SELECT m_cents, count(*) AS cnt FROM rfm GROUP BY m_cents)
+                CROSS JOIN tt)
+              SELECT CAST(r_code AS BIGINT) AS r_code,
+                CAST(f_code AS BIGINT) AS f_code,
+                CAST(m_code AS BIGINT) AS m_code,
+                count(*) AS n_users,
+                CAST(sum(m_cents) AS BIGINT) AS segment_cents
+              FROM rfm
+              JOIN rc USING (r_us) JOIN fc USING (f_n) JOIN mc USING (m_cents)
+              GROUP BY r_code, f_code, m_code
+              ORDER BY r_code, f_code, m_code""")),
+
+    // Top user journeys — the Sankey/path-analysis feed: each user's
+    // first three events (total event-time order, event_id tie-break)
+    // concatenated into a path string, counted across users. The pivot
+    // is three conditional max() columns off ONE rank window on the
+    // same (user_id; ts, event_id) shuffle every sequence operator
+    // pays; the path aggregate is at most |types|³ rows. Top-20 by
+    // count with a total path tie-break.
+    QueryDef(
+      "q_funnel_paths",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val firsts = Tables.loadEvents(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+        val paths = firsts.groupBy("user_id").agg(
+            max(when(col("rn") === 1, col("event_type"))).as("e1"),
+            max(when(col("rn") === 2, col("event_type"))).as("e2"),
+            max(when(col("rn") === 3, col("event_type"))).as("e3"))
+          .select(concat_ws(">", col("e1"), col("e2"), col("e3"))
+            .as("path"))
+        paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path").asc)
+          .limit(20)
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+                FROM events),
+              u AS (
+                SELECT user_id,
+                  max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+                  max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+                  max(CASE WHEN rn = 3 THEN event_type END) AS e3
+                FROM e WHERE rn <= 3 GROUP BY user_id),
+              p AS (
+                SELECT concat_ws('>', e1, e2, e3) AS path FROM u)
+              SELECT path, count(*) AS n_users
+              FROM p GROUP BY path
+              ORDER BY n_users DESC, path ASC LIMIT 20"""))
   )
 
   /** Count-min sketch geometry: 4 rows x 1024 counters = 32 KB. With

@@ -875,54 +875,68 @@ object Numerics {
           .select(unix_micros(col("ts")).as("us"))
           .select(expr(s"us div $DayUs").as("day"))
           .groupBy("day").agg(count(lit(1)).as("n"))
-        val wd = Window.orderBy("day")
-        val idx = daily
-          .withColumn("d", row_number().over(wd).cast("long"))
-          .withColumn("s_d", sum(col("n")).over(
-            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val tot = daily.agg(count(lit(1)).as("n_days"),
-          sum(col("n")).as("s_total"))
-        idx.crossJoin(broadcast(tot))
-          .filter(col("d") < col("n_days")) // a split needs both sides
-          .withColumn("stat_num",
-            abs(col("s_d") * col("n_days") - col("s_total") * col("d")))
-          .orderBy(col("stat_num").desc, col("day").asc)
-          .limit(1)
-          .select(col("day").as("split_day"), col("d").as("split_idx"),
-            col("n_days"), col("s_total"), col("stat_num"),
-            (col("s_d").cast("double") / col("d").cast("double"))
-              .as("mean_before"),
-            ((col("s_total") - col("s_d")).cast("double") /
-              (col("n_days") - col("d")).cast("double")).as("mean_after"),
-            (col("stat_num").cast("double") /
-              (col("n_days") * col("s_total")).cast("double"))
-              .as("shift_stat"))
+        changepointFinish(daily)
       },
-      Some("""WITH daily AS (
-                SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
-                    AS day,
-                  count(*) AS n
-                FROM events WHERE event_type = 'purchase' GROUP BY 1),
-              idx AS (
-                SELECT day, n,
-                  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS d,
-                  CAST(sum(n) OVER (ORDER BY day
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_d
-                FROM daily),
-              tt AS (
-                SELECT count(*) AS n_days, CAST(sum(n) AS BIGINT) AS s_total
-                FROM daily)
-              SELECT day AS split_day, d AS split_idx, n_days, s_total,
-                CAST(abs(s_d * n_days - s_total * d) AS BIGINT) AS stat_num,
-                CAST(s_d AS DOUBLE) / CAST(d AS DOUBLE) AS mean_before,
-                CAST(s_total - s_d AS DOUBLE)
-                  / CAST(n_days - d AS DOUBLE) AS mean_after,
-                CAST(abs(s_d * n_days - s_total * d) AS DOUBLE)
-                  / CAST(n_days * s_total AS DOUBLE) AS shift_stat
-              FROM idx CROSS JOIN tt
-              WHERE d < n_days
-              ORDER BY stat_num DESC, day ASC LIMIT 1"""))
+      Some(ChangepointOracleSql))
   )
+
+  /** The CUSUM argmax finisher over a (day, n) relation — shared by
+    * q_changepoint and the incremental stream_changepoint so the batch
+    * and streaming alarms compute the identical split. The relation is
+    * calendar-bounded, so its full-order window is safe at any scale. */
+  private[graft] def changepointFinish(daily: DataFrame): DataFrame = {
+    val wd = Window.orderBy("day")
+    val idx = daily
+      .withColumn("d", row_number().over(wd).cast("long"))
+      .withColumn("s_d", sum(col("n")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("n")).as("s_total"))
+    idx.crossJoin(broadcast(tot))
+      .filter(col("d") < col("n_days")) // a split needs both sides
+      .withColumn("stat_num",
+        abs(col("s_d") * col("n_days") - col("s_total") * col("d")))
+      .orderBy(col("stat_num").desc, col("day").asc)
+      .limit(1)
+      .select(col("day").as("split_day"), col("d").as("split_idx"),
+        col("n_days"), col("s_total"), col("stat_num"),
+        (col("s_d").cast("double") / col("d").cast("double"))
+          .as("mean_before"),
+        ((col("s_total") - col("s_d")).cast("double") /
+          (col("n_days") - col("d")).cast("double")).as("mean_after"),
+        (col("stat_num").cast("double") /
+          (col("n_days") * col("s_total")).cast("double"))
+          .as("shift_stat"))
+  }
+
+  /** q_changepoint's oracle — shared VERBATIM with stream_changepoint,
+    * whose incremental daily counts must converge to the identical
+    * split. lazy: declared below `defs`. */
+  lazy val ChangepointOracleSql: String =
+    """WITH daily AS (
+         SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+             AS day,
+           count(*) AS n
+         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       idx AS (
+         SELECT day, n,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS d,
+           CAST(sum(n) OVER (ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_d
+         FROM daily),
+       tt AS (
+         SELECT count(*) AS n_days, CAST(sum(n) AS BIGINT) AS s_total
+         FROM daily)
+       SELECT day AS split_day, d AS split_idx, n_days, s_total,
+         CAST(abs(s_d * n_days - s_total * d) AS BIGINT) AS stat_num,
+         CAST(s_d AS DOUBLE) / CAST(d AS DOUBLE) AS mean_before,
+         CAST(s_total - s_d AS DOUBLE)
+           / CAST(n_days - d AS DOUBLE) AS mean_after,
+         CAST(abs(s_d * n_days - s_total * d) AS DOUBLE)
+           / CAST(n_days * s_total AS DOUBLE) AS shift_stat
+       FROM idx CROSS JOIN tt
+       WHERE d < n_days
+       ORDER BY stat_num DESC, day ASC LIMIT 1"""
 
   /** q_hist_drift's oracle — shared VERBATIM with stream_tv_drift, whose
     * incremental bucket counts must converge to the identical table.

@@ -104,6 +104,36 @@ object StreamOps {
       .orderBy("bucket")
   }
 
+  /** Streaming changepoint monitor: the daily purchase counts run
+    * incrementally (state = the calendar-bounded day domain, complete
+    * mode deployable), and the CUSUM argmax finishes batch-side through
+    * the SAME Numerics.changepointFinish the batch operator uses — one
+    * detector, two execution modes. */
+  def changepointStreaming(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val sink = s"graft_stream_cp_${nameCounter.incrementAndGet()}"
+    val DayUs = 86400000000L
+    val q = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", graft.Tables.normTsCol(schema))
+      .filter(col("event_type") === "purchase")
+      .select(expr(s"unix_micros(ts) div $DayUs").as("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.operators.Numerics.changepointFinish(s.table(sink))
+  }
+
   /** Streaming 6-hour OHLC: q_ohlc's one-pass min_by/max_by aggregate as
     * an incremental streaming aggregation (see the stream_ohlc def). */
   def ohlcStreaming(s: SparkSession, dir: String): DataFrame = {
@@ -1563,6 +1593,15 @@ object StreamOps {
       "stream_tv_drift",
       (s, dir) => tvDriftStreaming(s, dir),
       Some(graft.operators.Numerics.HistDriftOracleSql),
+      bench = false),
+
+    // Streaming changepoint — q_changepoint's daily series maintained
+    // incrementally (calendar-bounded state), argmax finished by the
+    // SAME shared builder; oracle shared verbatim with the batch form.
+    QueryDef(
+      "stream_changepoint",
+      (s, dir) => changepointStreaming(s, dir),
+      Some(graft.operators.Numerics.ChangepointOracleSql),
       bench = false),
 
     // Native session windows under Structured Streaming: the SAME

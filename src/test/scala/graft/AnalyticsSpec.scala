@@ -246,4 +246,49 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(row.getAs[Long](s"p${k * 10}_s") === expect, s"decile $k")
     }
   }
+
+  test("RFM segments cover every purchasing user and all the money") {
+    val out = run("q_rfm_segmentation").collect()
+    val p = Tables.loadEvents(spark, TestSpark.sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_.getAs[Long]("n_users")).sum ===
+      p.map(_._1).distinct.length.toLong)
+    assert(out.map(_.getAs[Long]("segment_cents")).sum === p.map(_._2).sum)
+    out.foreach { r =>
+      Seq("r_code", "f_code", "m_code").foreach { c =>
+        assert(r.getAs[Long](c) >= 1L && r.getAs[Long](c) <= 3L, c)
+      }
+      assert(r.getAs[Long]("n_users") > 0L)
+    }
+    // tertile balance: each code of each dimension holds ~n/3 users
+    // (exact thirds are impossible with ties; allow a wide margin)
+    val n = out.map(_.getAs[Long]("n_users")).sum
+    Seq("r_code", "f_code", "m_code").foreach { c =>
+      val byCode = out.groupBy(_.getAs[Long](c)).view
+        .mapValues(_.map(_.getAs[Long]("n_users")).sum)
+      byCode.foreach { case (_, cnt) =>
+        assert(cnt >= n / 6 && cnt <= n * 2 / 3, s"$c lopsided: $byCode")
+      }
+    }
+  }
+
+  test("funnel paths are valid event-type chains covering <= all users") {
+    val out = run("q_funnel_paths").collect()
+    val types = Tables.load(spark, TestSpark.sf, "events")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    val nUsers = Tables.load(spark, TestSpark.sf, "events")
+      .select("user_id").distinct().count()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      r.getAs[String]("path").split('>').foreach(t =>
+        assert(types.contains(t), s"unknown type in ${r.getAs[String]("path")}"))
+    }
+    assert(out.map(_.getAs[Long]("n_users")).sum <= nUsers)
+    // ordering: counts non-increasing
+    val cs = out.map(_.getAs[Long]("n_users")).toSeq
+    assert(cs === cs.sorted.reverse)
+  }
 }

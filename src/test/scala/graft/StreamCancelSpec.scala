@@ -467,4 +467,12 @@ class StreamCancelSpec extends AnyFunSuite {
       .run(spark, TestSpark.sf).collect().map(_.toSeq).toSeq
     assert(st === ba)
   }
+
+  test("stream_changepoint finds the batch operator's split bit-for-bit") {
+    val st = Registry.byName("stream_changepoint")
+      .run(spark, TestSpark.sf).collect().map(_.toSeq).toSeq
+    val ba = Registry.byName("q_changepoint")
+      .run(spark, TestSpark.sf).collect().map(_.toSeq).toSeq
+    assert(st === ba)
+  }
 }
