@@ -1567,7 +1567,83 @@ object Analytics {
                 SELECT concat_ws('>', e1, e2, e3) AS path FROM u)
               SELECT path, count(*) AS n_users
               FROM p GROUP BY path
-              ORDER BY n_users DESC, path ASC LIMIT 20"""))
+              ORDER BY n_users DESC, path ASC LIMIT 20""")),
+
+    // Cohort LTV curves — the finance-side sibling of q_retention: per
+    // signup-week cohort, cumulative purchase revenue by account age in
+    // weeks, normalized to exact-cents LTV per cohort user (the curve a
+    // payback-period model is fit to). Age arithmetic is pure integer
+    // microseconds; revenue accumulates as exact cents; the cumulative
+    // window runs per cohort over the AGE grid (calendar-bounded), and
+    // cohort sizes attach by a calendar-sized broadcast. One user-keyed
+    // join (purchases × signups), everything after is cohort-grain.
+    QueryDef(
+      "q_cohort_ltv",
+      (s, dir) => {
+        val WeekUs = 604800000000L
+        val ev = Tables.loadEvents(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"),
+            (col("value").cast("decimal(12,2)") * 100).cast("long")
+              .as("cents"))
+        val signup = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("us")).as("s_us"))
+        val cohortSize = signup
+          .select(expr(s"s_us div $WeekUs").as("cohort_week"))
+          .groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+        val cells = ev.filter(col("event_type") === "purchase")
+          .join(signup, "user_id")
+          .filter(col("us") >= col("s_us"))
+          .select(expr(s"s_us div $WeekUs").as("cohort_week"),
+            expr(s"(us - s_us) div $WeekUs").as("age_week"), col("cents"))
+          .groupBy("cohort_week", "age_week")
+          .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+        val wc = Window.partitionBy("cohort_week").orderBy("age_week")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells
+          .withColumn("cum_cents", sum(col("cents")).over(wc))
+          .join(broadcast(cohortSize), "cohort_week")
+          .select(col("cohort_week"), col("age_week"), col("n_purchases"),
+            col("cents"), col("cum_cents"), col("cohort_users"),
+            (col("cum_cents").cast("double") /
+              (col("cohort_users") * lit(100L)).cast("double"))
+              .as("ltv_per_user"))
+          .orderBy("cohort_week", "age_week")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    AS cents
+                FROM events),
+              su AS (
+                SELECT user_id, min(us) AS s_us
+                FROM e WHERE event_type = 'signup' GROUP BY user_id),
+              cs AS (
+                SELECT s_us // 604800000000 AS cohort_week,
+                  count(*) AS cohort_users
+                FROM su GROUP BY 1),
+              cells AS (
+                SELECT su.s_us // 604800000000 AS cohort_week,
+                  (p.us - su.s_us) // 604800000000 AS age_week,
+                  count(*) AS n_purchases,
+                  CAST(sum(p.cents) AS BIGINT) AS cents
+                FROM e p JOIN su ON p.user_id = su.user_id
+                WHERE p.event_type = 'purchase' AND p.us >= su.s_us
+                GROUP BY 1, 2),
+              cum AS (
+                SELECT cohort_week, age_week, n_purchases, cents,
+                  CAST(sum(cents) OVER (PARTITION BY cohort_week
+                    ORDER BY age_week ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS cum_cents
+                FROM cells)
+              SELECT c.cohort_week, c.age_week, c.n_purchases, c.cents,
+                c.cum_cents, CAST(cs.cohort_users AS BIGINT)
+                  AS cohort_users,
+                CAST(c.cum_cents AS DOUBLE)
+                  / CAST(cs.cohort_users * 100 AS DOUBLE) AS ltv_per_user
+              FROM cum c JOIN cs ON cs.cohort_week = c.cohort_week
+              ORDER BY c.cohort_week, c.age_week"""))
   )
 
   /** Count-min sketch geometry: 4 rows x 1024 counters = 32 KB. With

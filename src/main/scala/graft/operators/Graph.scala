@@ -726,7 +726,58 @@ object Graph {
                       / (4.0D * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))""")
               .as("modularity"))
       },
-      Some(ModularityOracleSql))
+      Some(ModularityOracleSql)),
+
+    // Per-community conductance — the LOCAL cluster-quality score that
+    // complements graph_modularity's single global number: for each LPA
+    // community, cut edges / min(volume, 2m − volume) — low conductance
+    // = a well-separated community, the score sweep-cut partitioners
+    // optimize. Runs the SAME shared lpaLabels rounds (and oracle CTE)
+    // as labelprop/modularity so the scores can never drift from the
+    // reported communities. All inputs exact integers (cut counts,
+    // degree volumes); conductance is one closing division, guarded to
+    // NULL when a community holds the whole volume. Shape: beyond the
+    // LPA rounds, one pairs×labels join, a per-community aggregate, a
+    // 1-row volume broadcast — community-sized relations throughout.
+    QueryDef(
+      "graph_conductance",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select("a_id", "b_id").localCheckpoint()
+        val edges = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("u", "v")
+        val docs = Tables.load(s, dir, "documents").select("doc_id")
+        val lbl = lpaLabels(docs, edges).localCheckpoint()
+        val labeled = pairs
+          .join(lbl.select(col("doc_id").as("a_id"), col("label").as("la")),
+            "a_id")
+          .join(lbl.select(col("doc_id").as("b_id"), col("label").as("lb")),
+            "b_id")
+          .filter(col("la") =!= col("lb"))
+        val cut = labeled.select(col("la").as("community"))
+          .union(labeled.select(col("lb").as("community")))
+          .groupBy("community").agg(count(lit(1)).as("cut_edges"))
+        val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        val vol = deg
+          .join(lbl.select(col("doc_id").as("u"), col("label")), "u")
+          .groupBy("label").agg(sum(col("deg")).as("volume"))
+          .withColumnRenamed("label", "community")
+        val tot = vol.agg(sum(col("volume")).as("vol_total"))
+        vol.join(cut, Seq("community"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("community"), col("volume"),
+            coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+            col("vol_total"))
+          .withColumn("conductance",
+            expr("""CASE WHEN least(volume, vol_total - volume) > 0
+                    THEN CAST(cut_edges AS DOUBLE)
+                         / CAST(least(volume, vol_total - volume) AS DOUBLE)
+                    END"""))
+          .orderBy("community")
+      },
+      Some(ConductanceOracleSql))
   )
 
   /** DuckDB replay of the synchronous LPA rounds — generated like
@@ -777,6 +828,43 @@ object Graph {
               / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
             AS modularity
         FROM mm, intra, s2"""
+
+  /** DuckDB replay of the conductance scorecard over the SAME LPA
+    * rounds CTE — labels, cut, volume, and the guarded closing division
+    * in the identical operand order. */
+  private lazy val ConductanceOracleSql: String =
+    s"""WITH ${Dedup.JaccardPairsCte},
+          e AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+          $LpaRoundsCte,
+          lab AS (
+            SELECT p.a_id, p.b_id, x.label AS la, y.label AS lb
+            FROM pairs p
+            JOIN l$Iters x ON x.doc_id = p.a_id
+            JOIN l$Iters y ON y.doc_id = p.b_id
+            WHERE x.label != y.label),
+          cut AS (
+            SELECT community, CAST(count(*) AS BIGINT) AS cut_edges
+            FROM (SELECT la AS community FROM lab
+                  UNION ALL SELECT lb FROM lab)
+            GROUP BY community),
+          deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+          vol AS (
+            SELECT l.label AS community,
+              CAST(sum(d.deg) AS BIGINT) AS volume
+            FROM deg d JOIN l$Iters l ON l.doc_id = d.u
+            GROUP BY l.label),
+          tot AS (SELECT CAST(sum(volume) AS BIGINT) AS vol_total FROM vol)
+        SELECT v.community, v.volume,
+          COALESCE(c.cut_edges, 0) AS cut_edges, tot.vol_total,
+          CASE WHEN least(v.volume, tot.vol_total - v.volume) > 0
+            THEN CAST(COALESCE(c.cut_edges, 0) AS DOUBLE)
+                 / CAST(least(v.volume, tot.vol_total - v.volume) AS DOUBLE)
+          END AS conductance
+        FROM vol v LEFT JOIN cut c ON c.community = v.community
+        CROSS JOIN tot
+        ORDER BY v.community"""
 
   /** DuckDB replay of the quantized iterations — generated so iteration
     * count and arithmetic can never drift from the Spark loop. `//` and

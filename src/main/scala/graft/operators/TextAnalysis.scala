@@ -723,6 +723,42 @@ object TextAnalysis {
               SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
               FROM r WHERE rk <= 50 ORDER BY lang, rk""")),
 
+    // Class-balanced downsampling — the classifier-training prep that
+    // equalizes label populations: every label keeps exactly
+    // min(label count) rows (the data-derived target — a 1-row
+    // broadcast), chosen by the same deterministic md5-rank gate as
+    // sample_fixed_k so the kept set is identical on any engine,
+    // partitioning, or rerun. One label-keyed window shuffle; the
+    // target never returns to the driver.
+    QueryDef(
+      "sample_class_balanced",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+        val target = e.groupBy("label").agg(count(lit(1)).as("n"))
+          .agg(min(col("n")).as("k_target"))
+        val u = hash31(concat_ws("|", lit("bal"), col("vec_id").cast("string")))
+        val w = Window.partitionBy("label").orderBy(u.asc, col("vec_id").asc)
+        e.withColumn("rk", row_number().over(w).cast("long"))
+          .crossJoin(broadcast(target))
+          .filter(col("rk") <= col("k_target"))
+          .select(col("vec_id"), col("label"), col("rk"), col("k_target"))
+          .orderBy("label", "rk")
+      },
+      Some("""WITH t AS (
+                SELECT CAST(min(n) AS BIGINT) AS k_target FROM (
+                  SELECT label, count(*) AS n FROM embeddings GROUP BY label)),
+              r AS (
+                SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  row_number() OVER (PARTITION BY label ORDER BY
+                    (CAST(concat('0x', substr(md5(concat('bal', '|',
+                        CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                      % 2147483647) ASC, vec_id ASC) AS rk
+                FROM embeddings)
+              SELECT vec_id, label, CAST(rk AS BIGINT) AS rk, t.k_target
+              FROM r CROSS JOIN t WHERE rk <= t.k_target
+              ORDER BY label, rk""")),
+
     // Token-rarity scoring: each document's mean corpus collection-
     // frequency (how common its tokens are corpus-wide) — the cheap
     // unigram stand-in for LM perplexity filtering (rare-token docs ~

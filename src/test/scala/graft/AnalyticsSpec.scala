@@ -291,4 +291,33 @@ class AnalyticsSpec extends AnyFunSuite {
     val cs = out.map(_.getAs[Long]("n_users")).toSeq
     assert(cs === cs.sorted.reverse)
   }
+
+  test("cohort LTV accumulates exactly the post-signup purchase cents") {
+    val out = run("q_cohort_ltv").collect()
+    val ev = Tables.loadEvents(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val signup = ev.filter(_._2 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min)
+    val postSignupCents = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, us, c) =>
+        signup.get(u).filter(us >= _).map(_ => c)
+      }.sum
+    assert(out.map(_.getAs[Long]("cents")).sum === postSignupCents)
+    // per cohort: cum_cents is the running sum over age and the final
+    // row carries the cohort's whole revenue; ltv = cum/(users*100)
+    out.groupBy(_.getAs[Long]("cohort_week")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("age_week"))
+      val runs = sorted.scanLeft(0L)(_ + _.getAs[Long]("cents")).tail
+      assert(sorted.map(_.getAs[Long]("cum_cents")).toSeq === runs.toSeq)
+      sorted.foreach { r =>
+        assert(r.getAs[Double]("ltv_per_user") ===
+          r.getAs[Long]("cum_cents").toDouble /
+            (r.getAs[Long]("cohort_users") * 100L).toDouble)
+      }
+    }
+  }
 }

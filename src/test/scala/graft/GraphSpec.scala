@@ -231,4 +231,32 @@ class GraphSpec extends AnyFunSuite {
     assert(out(3L) === ((4L, 1L)))
     assert(out(4L) === ((3L, 1L)))
   }
+
+  test("conductance scores reconcile with the labelprop communities") {
+    import org.apache.spark.sql.functions._
+    val cond = Registry.byName("graph_conductance")
+      .run(spark, TestSpark.sf).collect()
+    assume(cond.nonEmpty)
+    val volTotal = cond.head.getAs[Long]("vol_total")
+    // volume accounting: every edge endpoint is in exactly one community
+    assert(cond.map(_.getAs[Long]("volume")).sum === volTotal)
+    // each cross-community pair contributes one cut to BOTH sides
+    assert(cond.map(_.getAs[Long]("cut_edges")).sum % 2 === 0L)
+    cond.foreach { r =>
+      val vol = r.getAs[Long]("volume")
+      val cut = r.getAs[Long]("cut_edges")
+      assert(cut <= vol, "a community cannot cut more than its volume")
+      val den = math.min(vol, volTotal - vol)
+      if (den > 0)
+        assert(r.getAs[Double]("conductance") === cut.toDouble / den.toDouble)
+      else assert(r.isNullAt(r.fieldIndex("conductance")))
+    }
+    // community ids and sizes line up with graph_labelprop's report:
+    // volume is degree mass, so every conductance community must exist
+    // in the labelprop output
+    val lpa = Registry.byName("graph_labelprop").run(spark, TestSpark.sf)
+      .select("community").distinct()
+      .collect().map(_.getLong(0)).toSet
+    cond.foreach(r => assert(lpa.contains(r.getAs[Long]("community"))))
+  }
 }

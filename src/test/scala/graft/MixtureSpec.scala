@@ -63,4 +63,23 @@ class MixtureSpec extends AnyFunSuite {
     val again = Registry.byName("text_shard_pack").run(spark, TestSpark.sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("class-balanced sample keeps exactly min-label-count per label") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("sample_class_balanced")
+      .run(spark, TestSpark.sf).collect()
+    val counts = Tables.load(spark, TestSpark.sf, "embeddings")
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val k = counts.values.min
+    assert(out.forall(_.getAs[Long]("k_target") == k))
+    val byLabel = out.groupBy(_.getAs[Long]("label"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(byLabel.keySet === counts.keySet)
+    byLabel.foreach { case (l, n) => assert(n === k, s"label $l kept $n") }
+    // determinism: rerun keeps the identical rows
+    val again = Registry.byName("sample_class_balanced")
+      .run(spark, TestSpark.sf).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
