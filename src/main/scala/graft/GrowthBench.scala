@@ -56,7 +56,10 @@ object GrowthBench {
     "text_winnowing" -> "linear x w (gram stream, one rank window)",
     "emb_silhouette" -> "~linear x (iters x k) (broadcast-centroid scoring)",
     "q_roc_auc" -> "~linear (per-score counts + bucket-grain prefix)",
-    "q_decile_lift" -> "~linear (user agg + score-grain prefix)")
+    "q_decile_lift" -> "~linear (user agg + score-grain prefix)",
+    "graph_conductance" -> "~linear x LPA iters (shares lpaLabels rounds)",
+    "q_rfm_segmentation" -> "~linear (user agg + 3 value-grain prefixes)",
+    "q_time_to_convert" -> "~linear (user join + delta-grain prefix)")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
