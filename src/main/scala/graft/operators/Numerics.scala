@@ -877,7 +877,77 @@ object Numerics {
           .groupBy("day").agg(count(lit(1)).as("n"))
         changepointFinish(daily)
       },
-      Some(ChangepointOracleSql))
+      Some(ChangepointOracleSql)),
+
+    // Forecast-baseline backtest — the scorecard every demand-forecast
+    // model must beat before shipping: the seasonal-naive (lag-7) and
+    // persistence (lag-1) baselines replayed over the daily purchase
+    // series with EXACT integer errors and one closing division per
+    // MAE. All windows run on the calendar-bounded day grain; a day
+    // without the needed history contributes no error row (both
+    // engines: lag returns NULL, the conditional sums skip it). The
+    // per-day rows carry both baselines so a dashboard can plot them;
+    // the attached MAEs are the numbers a model's backtest compares to.
+    QueryDef(
+      "q_forecast_backtest",
+      (s, dir) => {
+        val DayUs = 86400000000L
+        val daily = Tables.loadEvents(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(unix_micros(col("ts")).as("us"))
+          .select(expr(s"us div $DayUs").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n"))
+        val wd = Window.orderBy("day")
+        val withF = daily
+          .withColumn("f7", lag(col("n"), 7).over(wd))
+          .withColumn("f1", lag(col("n"), 1).over(wd))
+          .withColumn("err7",
+            when(col("f7").isNotNull, abs(col("n") - col("f7"))))
+          .withColumn("err1",
+            when(col("f1").isNotNull, abs(col("n") - col("f1"))))
+        val totals = withF.agg(
+          sum(when(col("err7").isNotNull, 1L).otherwise(0L)).as("n_eval7"),
+          sum(col("err7")).as("sae7"),
+          sum(when(col("err1").isNotNull, 1L).otherwise(0L)).as("n_eval1"),
+          sum(col("err1")).as("sae1"))
+        withF.crossJoin(broadcast(totals))
+          .select(col("day"), col("n"), col("f7"), col("f1"),
+            col("err7"), col("err1"),
+            (col("sae7").cast("double") / col("n_eval7").cast("double"))
+              .as("mae7"),
+            (col("sae1").cast("double") / col("n_eval1").cast("double"))
+              .as("mae1"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+                SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                    AS day,
+                  count(*) AS n
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              f AS (
+                SELECT day, n,
+                  lag(n, 7) OVER (ORDER BY day) AS f7,
+                  lag(n, 1) OVER (ORDER BY day) AS f1
+                FROM daily),
+              e AS (
+                SELECT day, n, f7, f1,
+                  CASE WHEN f7 IS NOT NULL THEN abs(n - f7) END AS err7,
+                  CASE WHEN f1 IS NOT NULL THEN abs(n - f1) END AS err1
+                FROM f),
+              t AS (
+                SELECT
+                  CAST(sum(CASE WHEN err7 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_eval7,
+                  CAST(sum(err7) AS BIGINT) AS sae7,
+                  CAST(sum(CASE WHEN err1 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_eval1,
+                  CAST(sum(err1) AS BIGINT) AS sae1
+                FROM e)
+              SELECT day, n, f7, f1, CAST(err7 AS BIGINT) AS err7,
+                CAST(err1 AS BIGINT) AS err1,
+                CAST(sae7 AS DOUBLE) / CAST(n_eval7 AS DOUBLE) AS mae7,
+                CAST(sae1 AS DOUBLE) / CAST(n_eval1 AS DOUBLE) AS mae1
+              FROM e CROSS JOIN t ORDER BY day"""))
   )
 
   /** The CUSUM argmax finisher over a (day, n) relation — shared by

@@ -266,4 +266,33 @@ class NumericsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("mean_before") ===
       best._4.toDouble / best._3.toDouble)
   }
+
+  test("forecast backtest replays the lag baselines exactly") {
+    val out = Registry.byName("q_forecast_backtest")
+      .run(spark, TestSpark.sf).collect()
+    val daily = Tables.loadEvents(spark, TestSpark.sf)
+      .filter(col("event_type") === "purchase")
+      .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long"))
+      .collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val byIdx = daily.map(_._2).toIndexedSeq
+    var sae7 = 0L; var n7 = 0L; var sae1 = 0L; var n1 = 0L
+    daily.indices.foreach { i =>
+      if (i >= 7) { sae7 += math.abs(byIdx(i) - byIdx(i - 7)); n7 += 1 }
+      if (i >= 1) { sae1 += math.abs(byIdx(i) - byIdx(i - 1)); n1 += 1 }
+    }
+    assert(out.length === daily.length)
+    out.zip(daily).foreach { case (r, (day, n)) =>
+      assert(r.getAs[Long]("day") === day)
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Double]("mae7") === sae7.toDouble / n7.toDouble)
+      assert(r.getAs[Double]("mae1") === sae1.toDouble / n1.toDouble)
+    }
+    // spot-check one lag-7 row
+    val late = out.drop(7).head
+    val i = out.indexOf(late)
+    assert(late.getAs[Long]("f7") === byIdx(i - 7))
+    assert(late.getAs[Long]("err7") === math.abs(byIdx(i) - byIdx(i - 7)))
+  }
 }
