@@ -1643,7 +1643,56 @@ object Analytics {
                 CAST(c.cum_cents AS DOUBLE)
                   / CAST(cs.cohort_users * 100 AS DOUBLE) AS ltv_per_user
               FROM cum c JOIN cs ON cs.cohort_week = c.cohort_week
-              ORDER BY c.cohort_week, c.age_week"""))
+              ORDER BY c.cohort_week, c.age_week""")),
+
+    // DAU/MAU stickiness — the product-health ratio every growth team
+    // tracks: per active day, distinct daily actives over distinct
+    // 28-day-trailing actives, exactly. The trailing-window distinct is
+    // the scale trap (a naive 28-day sliding COUNT DISTINCT re-scans
+    // events); here the (user, day)-distinct relation is built ONCE
+    // (shuffle ∝ active pairs), and the trailing window is a bounded
+    // range join of that relation against the day spine (≤28 candidate
+    // days per pair — calendar-bounded fan-out, the q_hopping_window
+    // expansion discipline; at petabyte scale the same shape feeds
+    // per-day HLL sketches merged over the window, q_hll_union). One
+    // closing division per day.
+    QueryDef(
+      "q_dau_mau",
+      (s, dir) => {
+        val DayUs = 86400000000L
+        val ud = Tables.loadEvents(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .select(col("user_id"), expr(s"us div $DayUs").as("day"))
+          .distinct()
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        val days = ud.select("day").distinct()
+        val mau = ud.toDF("user_id", "a_day")
+          .join(days, col("a_day").between(col("day") - 27, col("day")))
+          .groupBy("day")
+          .agg(count_distinct(col("user_id")).as("mau"))
+        dau.join(mau, "day")
+          .select(col("day"), col("dau"), col("mau"),
+            (col("dau").cast("double") / col("mau").cast("double"))
+              .as("stickiness"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (
+                SELECT DISTINCT user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+                FROM events),
+              dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+              days AS (SELECT DISTINCT day FROM ud),
+              mau AS (
+                SELECT d.day,
+                  CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+                FROM days d JOIN ud u
+                  ON u.day BETWEEN d.day - 27 AND d.day
+                GROUP BY d.day)
+              SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau, mau.mau,
+                CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE)
+                  AS stickiness
+              FROM dau JOIN mau ON mau.day = dau.day
+              ORDER BY dau.day"""))
   )
 
   /** Count-min sketch geometry: 4 rows x 1024 counters = 32 KB. With

@@ -1508,6 +1508,62 @@ object Warehouse {
               SELECT n_keys, n_rows, min_cnt, p50_cnt, p99_cnt, max_cnt,
                 CAST(max_cnt * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
                   AS skew_ratio
-              FROM tt CROSS JOIN p"""))
+              FROM tt CROSS JOIN p""")),
+
+    // Order-to-ship latency aging — the fulfillment-ops report: days
+    // from order date to FIRST shipment per order (exact integer date
+    // arithmetic — datediff/date_diff agree on calendar days), bucketed
+    // into the standard aging bands, plus the never-shipped backlog as
+    // its own band via a left join. Revenue carried in exact cents.
+    // Shape: one per-order min aggregate on the lineitem side, one
+    // orderkey join, a 5-row aging aggregate — shuffle ∝ lineitem once.
+    QueryDef(
+      "q_ship_latency_aging",
+      (s, dir) => {
+        val firstShip = t(s, dir, "lineitem")
+          .groupBy("l_orderkey").agg(min(col("l_shipdate")).as("ship"))
+        val aged = t(s, dir, "orders")
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+              .as("cents"),
+            datediff(col("ship"), col("o_orderdate")).cast("long")
+              .as("lat_days"))
+          .withColumn("bucket",
+            when(col("lat_days").isNull, "5_never_shipped")
+              .when(col("lat_days") <= 7, "1_week")
+              .when(col("lat_days") <= 30, "2_month")
+              .when(col("lat_days") <= 90, "3_quarter")
+              .otherwise("4_older"))
+        aged.groupBy("bucket").agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("cents")).as("revenue_cents"),
+            min(col("lat_days")).as("min_days"),
+            max(col("lat_days")).as("max_days"))
+          .orderBy("bucket")
+      },
+      Some("""WITH fs AS (
+                SELECT l_orderkey, min(l_shipdate) AS ship
+                FROM lineitem GROUP BY l_orderkey),
+              aged AS (
+                SELECT o.o_orderkey,
+                  CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT) AS cents,
+                  CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(fs.ship AS DATE)) AS BIGINT) AS lat_days
+                FROM orders o
+                LEFT JOIN fs ON fs.l_orderkey = o.o_orderkey),
+              b AS (
+                SELECT *,
+                  CASE WHEN lat_days IS NULL THEN '5_never_shipped'
+                       WHEN lat_days <= 7 THEN '1_week'
+                       WHEN lat_days <= 30 THEN '2_month'
+                       WHEN lat_days <= 90 THEN '3_quarter'
+                       ELSE '4_older' END AS bucket
+                FROM aged)
+              SELECT bucket, count(*) AS n_orders,
+                CAST(sum(cents) AS BIGINT) AS revenue_cents,
+                min(lat_days) AS min_days, max(lat_days) AS max_days
+              FROM b GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -320,4 +320,25 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("DAU/MAU replays locally and stickiness is bounded by 1") {
+    val out = run("q_dau_mau").collect()
+    val ud = Tables.loadEvents(spark, TestSpark.sf)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = ud.map(_._2).distinct.sorted
+    assert(out.map(_.getAs[Long]("day")).toSeq === days.toSeq)
+    out.foreach { r =>
+      val d = r.getAs[Long]("day")
+      val dau = ud.filter(_._2 == d).map(_._1).distinct.length.toLong
+      val mau = ud.filter(p => p._2 >= d - 27 && p._2 <= d)
+        .map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("dau") === dau)
+      assert(r.getAs[Long]("mau") === mau)
+      assert(r.getAs[Double]("stickiness") === dau.toDouble / mau.toDouble)
+      assert(r.getAs[Double]("stickiness") <= 1.0)
+    }
+  }
 }

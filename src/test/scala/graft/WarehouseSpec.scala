@@ -272,4 +272,31 @@ class WarehouseSpec extends AnyFunSuite {
       (counts.last * n).toDouble / counts.sum.toDouble)
     assert(row.getAs[Double]("skew_ratio") >= 1.0)
   }
+
+  test("ship-latency aging partitions every order and all its revenue") {
+    val out = run("q_ship_latency_aging").collect()
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+    assert(out.map(_.getAs[Long]("n_orders")).sum === orders.count())
+    val cents = orders
+      .select((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(out.map(_.getAs[Long]("revenue_cents")).sum === cents)
+    // the never-shipped band is exactly the orders with no line items
+    val shippedKeys = Tables.load(spark, TestSpark.sf, "lineitem")
+      .select(col("l_orderkey")).distinct()
+    val neverShipped = orders
+      .join(shippedKeys, col("o_orderkey") === col("l_orderkey"),
+        "left_anti").count()
+    val nsRow = out.find(_.getAs[String]("bucket") == "5_never_shipped")
+    assert(nsRow.map(_.getAs[Long]("n_orders")).getOrElse(0L) === neverShipped)
+    // band edges hold
+    out.foreach { r =>
+      (r.getAs[String]("bucket"), Option(r.getAs[Any]("max_days"))) match {
+        case ("1_week", Some(mx)) => assert(mx.asInstanceOf[Long] <= 7L)
+        case ("2_month", Some(mx)) => assert(mx.asInstanceOf[Long] <= 30L)
+        case ("3_quarter", Some(mx)) => assert(mx.asInstanceOf[Long] <= 90L)
+        case _ =>
+      }
+    }
+  }
 }
