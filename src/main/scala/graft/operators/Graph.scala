@@ -750,12 +750,17 @@ object Graph {
           .toDF("u", "v")
         val docs = Tables.load(s, dir, "documents").select("doc_id")
         val lbl = lpaLabels(docs, edges).localCheckpoint()
+        // localCheckpoint: the union below references this relation
+        // TWICE (la side + lb side), and Spark's subtree reuse does not
+        // fire across a self-union — without the checkpoint the
+        // pairs×labels×labels join runs twice (plan-audited)
         val labeled = pairs
           .join(lbl.select(col("doc_id").as("a_id"), col("label").as("la")),
             "a_id")
           .join(lbl.select(col("doc_id").as("b_id"), col("label").as("lb")),
             "b_id")
           .filter(col("la") =!= col("lb"))
+          .localCheckpoint()
         val cut = labeled.select(col("la").as("community"))
           .union(labeled.select(col("lb").as("community")))
           .groupBy("community").agg(count(lit(1)).as("cut_edges"))
