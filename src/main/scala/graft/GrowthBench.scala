@@ -59,7 +59,9 @@ object GrowthBench {
     "q_decile_lift" -> "~linear (user agg + score-grain prefix)",
     "graph_conductance" -> "~linear x LPA iters (shares lpaLabels rounds)",
     "q_rfm_segmentation" -> "~linear (user agg + 3 value-grain prefixes)",
-    "q_time_to_convert" -> "~linear (user join + delta-grain prefix)")
+    "q_time_to_convert" -> "~linear (user join + delta-grain prefix)",
+    "q_dau_mau" -> "~linear x 28 (bounded range-join fan-out)",
+    "q_ship_latency_aging" -> "~linear (per-order min + one join)")
 
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
