@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver json-parses the LAST stdout line of `sbt runMain` bench
+// runs. sbt's default LoggedOutput strategy prefixes every forked-
+// process stdout line with "[info] " and appends a "[success] Total
+// time" trailer — both defeated the parse for three rounds (BENCH_r05..
+// r07 "parsed": null). StdoutOutput passes the child's stdout through
+// verbatim; showSuccess drops the trailer, so the bench summary line is
+// genuinely the last bare line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by a task —
+// silence the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

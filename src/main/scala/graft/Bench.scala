@@ -29,6 +29,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Single source of truth for the per-query artifact's location — the
+    * warm-pass reader, the regression reader, and the writer all resolve
+    * THIS path (round-7 advice: two hardcoded literals could drift, and
+    * a checkout outside /root/repo silently disabled the warm pass). */
+  private[graft] def benchLastPath: java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "BENCH_LAST.json")
+
   /** Accumulates per-stage totals across the whole app; per-query deltas
     * are taken by snapshotting before/after each run. */
   private final class StageMeter extends SparkListener {
@@ -191,13 +199,18 @@ object Bench {
     // anyway — the burn just stops landing in the measured samples.
     val prevPassHist: Map[String, List[Double]] =
       try {
-        val lp = java.nio.file.Paths.get("/root/repo/BENCH_LAST.json")
+        val lp = benchLastPath
         if (java.nio.file.Files.exists(lp)) {
           val txt = java.nio.file.Files.readString(lp)
           val ps = txt.indexOf("\"passes\":{")
-          if (ps < 0) Map.empty
+          // bound the scan to the passes OBJECT: values are flat arrays,
+          // so the first '}' after the opening brace closes it — without
+          // the bound, any later key holding a numeric array would be
+          // misread as pass history (round-7 advice)
+          val pe = if (ps < 0) -1 else txt.indexOf('}', ps)
+          if (ps < 0 || pe < 0) Map.empty
           else "\"([A-Za-z0-9_]+)\":\\[([0-9.eE+,-]+)\\]".r
-            .findAllMatchIn(txt.substring(ps))
+            .findAllMatchIn(txt.substring(ps, pe + 1))
             .map(m => m.group(1) -> m.group(2).split(',').map(_.toDouble).toList)
             .toMap
         } else Map.empty
@@ -301,7 +314,6 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfShort = sfDir.split('/').last
-    val failedPart = if (failed.isEmpty) "" else s""","failed":$failedJson"""
 
     // capture-proof artifacts: the full-precision result (with per-pass
     // history) goes to a repo file the driver's tail window can never
@@ -336,7 +348,7 @@ object Bench {
       // inside total noise (round-3 advice: q_fmt_csv 1.36->2.32 s was
       // only visible by manual diff). Parse the old per-query map
       // before overwriting and print the top-5 slowdowns.
-      val lastPath = java.nio.file.Paths.get("/root/repo/BENCH_LAST.json")
+      val lastPath = benchLastPath
       val prev: Map[String, Double] =
         if (java.nio.file.Files.exists(lastPath)) {
           val txt = java.nio.file.Files.readString(lastPath)
@@ -393,7 +405,7 @@ object Bench {
       // one compact-precision line per run, so any two rounds diff
       // per-query without needing the driver's artifacts
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/root/repo/BENCH_HISTORY.jsonl"),
+        benchLastPath.resolveSibling("BENCH_HISTORY.jsonl"),
         s"""{"total":${fmt(total)},"n_queries":${best.size},""" +
           s""""failures":$failures,"best_of":$bestOf,"sf":"$sfDir",""" +
           s""""corpus":"$fp","queries":$qs}""" + "\n",
@@ -408,20 +420,21 @@ object Bench {
     // ONLY the compact summary below
     System.err.println(s"[bench] queries: $qs")
 
-    // The driver captures a BOUNDED stdout tail and json-parses it: the
-    // old per-query line (~8 KB at 238 queries) outgrew the window and
-    // BOTH round-5 and round-6 driver artifacts degraded to a truncated
-    // string ("parsed": null). The durable per-query record lives in the
-    // committed BENCH_LAST.json; stdout gets one COMPACT line — totals,
-    // failure list, per-family subtotals, corpus fingerprint — sized to
-    // survive any plausible tail window (round-6 verdict task #3).
+    // The driver json-parses the LAST stdout line. Three rounds of
+    // "parsed": null taught: (a) the line must be SHORT (~150 bytes —
+    // the round-7 line carried the families map and could truncate);
+    // (b) it must be BARE (build.sbt now forks with StdoutOutput and
+    // showSuccess=false, so no "[info] " prefix / "[success]" trailer);
+    // (c) it must be LAST — printed after spark.stop(), whose shutdown
+    // logging otherwise lands after it. Everything dropped here
+    // (families, failed list, per-query map) lives in BENCH_LAST.json.
     val summary =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""n_queries":${best.size},"failures":$failures$failedPart,""" +
-        s""""families":$familiesJson,"best_of":$bestOf,"sf":"$sfShort",""" +
-        s""""corpus":"$fp","queries_file":"BENCH_LAST.json"}"""
-    println(summary)
+        s""""n_queries":${best.size},"failures":$failures,""" +
+        s""""best_of":$bestOf,"sf":"$sfShort","corpus":"$fp"}"""
+    System.err.println(s"[bench] families: $familiesJson failed: $failedJson")
     spark.stop()
+    println(summary)
     if (failures > 0) sys.exit(1)
   }
 }

@@ -337,9 +337,14 @@ object Graph {
     // Candidate generators use exactly this cap (a viral hub's full
     // adjacency adds no precision to "do a and b share a neighbor?").
     // The RA weight keeps the TRUE degree of the shared neighbor
-    // (1/deg(z) is z's property, a cheap broadcast-joined lookup);
-    // the Jaccard denominator uses CAPPED degrees so the score stays a
-    // real similarity in [0,1] over the capped neighbor sets. Exact
+    // (1/deg(z) is z's property, a cheap broadcast-joined lookup).
+    // The Jaccard is taken over the REVERSE-cap sets R(x) = {z : x in
+    // cap(z)} — exactly the sets the wedge join intersects (a wedge at z
+    // with a,b in cap(z) IS one element of R(a) ∩ R(b)), so
+    // common/(rdeg_a + rdeg_b - common) = |R(a)∩R(b)| / |R(a)∪R(b)| is a
+    // true Jaccard in (0,1]. (Using the forward capped degrees |cap(a)|
+    // here would mismatch the numerator's set — cap membership is not
+    // symmetric — and could exceed 1; round-7 advice finding.) Exact
     // integers throughout; the oracle replays the identical cap.
     QueryDef(
       "graph_neighbor_sim_capped",
@@ -350,27 +355,7 @@ object Graph {
         val edges = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
           .toDF("u", "v").localCheckpoint()
-        val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-        val capW = Window.partitionBy("u").orderBy("v")
-        val cap = edges.withColumn("rn", row_number().over(capW))
-          .filter(col("rn") <= NbrCapF).select("u", "v")
-        val degc = cap.groupBy("u").agg(count(lit(1)).as("degc"))
-        val wedges = cap.toDF("z", "a")
-          .join(deg.select(col("u").as("z"), col("deg").as("deg_z")), "z")
-          .join(cap.toDF("z", "b"), "z")
-          .filter(col("a") < col("b"))
-        val scored = wedges.groupBy("a", "b").agg(
-          count(lit(1)).as("common_neighbors"),
-          sum(expr("1000000000 div deg_z")).as("ra_index_q"))
-        scored
-          .join(degc.select(col("u").as("a"), col("degc").as("degc_a")), "a")
-          .join(degc.select(col("u").as("b"), col("degc").as("degc_b")), "b")
-          .select(col("a").as("a_id"), col("b").as("b_id"),
-            col("common_neighbors"), col("ra_index_q"),
-            (col("common_neighbors").cast("double") /
-              (col("degc_a") + col("degc_b") - col("common_neighbors"))
-                .cast("double")).as("nbr_jaccard"))
-          .orderBy("a_id", "b_id")
+        neighborSimCapped(edges)
       },
       Some(s"""WITH ${Dedup.JaccardPairsCte},
                  e AS (
@@ -383,7 +368,7 @@ object Graph {
                        row_number() OVER (PARTITION BY u ORDER BY v) AS rn
                      FROM e) t
                    WHERE rn <= $NbrCapF),
-                 degc AS (SELECT u, count(*) AS degc FROM cap GROUP BY u),
+                 rdeg AS (SELECT v, count(*) AS rdeg FROM cap GROUP BY v),
                  w AS (
                    SELECT e1.v AS a, e2.v AS b, d.deg AS deg_z
                    FROM cap e1 JOIN cap e2 ON e1.u = e2.u AND e1.v < e2.v
@@ -395,10 +380,10 @@ object Graph {
                SELECT sc.a AS a_id, sc.b AS b_id,
                  sc.common_neighbors, sc.ra_index_q,
                  CAST(sc.common_neighbors AS DOUBLE)
-                   / CAST(da.degc + db.degc - sc.common_neighbors AS DOUBLE)
+                   / CAST(da.rdeg + db.rdeg - sc.common_neighbors AS DOUBLE)
                    AS nbr_jaccard
-               FROM sc JOIN degc da ON da.u = sc.a
-                       JOIN degc db ON db.u = sc.b
+               FROM sc JOIN rdeg da ON da.v = sc.a
+                       JOIN rdeg db ON db.v = sc.b
                ORDER BY a_id, b_id""")),
 
     // Deterministic random walks over the near-dup graph — the
@@ -906,6 +891,36 @@ object Graph {
     * graph_labelprop and graph_modularity so the communities scored are
     * exactly the communities reported. One edges×labels equi-join, one
     * (v,label) count, one per-v argmax window per round. */
+  /** Core of graph_neighbor_sim_capped over an undirected (u,v) edge
+    * frame — extracted so fixture tests can drive it on hand-built dense
+    * graphs where the cap actually bites. See the QueryDef comment for
+    * the reverse-cap Jaccard semantics and the [0,1] argument. */
+  private[graft] def neighborSimCapped(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    val capW = Window.partitionBy("u").orderBy("v")
+    val cap = edges.withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= NbrCapF).select("u", "v")
+    // reverse-capped degree: in how many capped adjacency lists does v
+    // appear — |R(v)| — the set the wedge numerator intersects
+    val rdeg = cap.groupBy("v").agg(count(lit(1)).as("rdeg"))
+    val wedges = cap.toDF("z", "a")
+      .join(deg.select(col("u").as("z"), col("deg").as("deg_z")), "z")
+      .join(cap.toDF("z", "b"), "z")
+      .filter(col("a") < col("b"))
+    val scored = wedges.groupBy("a", "b").agg(
+      count(lit(1)).as("common_neighbors"),
+      sum(expr("1000000000 div deg_z")).as("ra_index_q"))
+    scored
+      .join(rdeg.select(col("v").as("a"), col("rdeg").as("rdeg_a")), "a")
+      .join(rdeg.select(col("v").as("b"), col("rdeg").as("rdeg_b")), "b")
+      .select(col("a").as("a_id"), col("b").as("b_id"),
+        col("common_neighbors"), col("ra_index_q"),
+        (col("common_neighbors").cast("double") /
+          (col("rdeg_a") + col("rdeg_b") - col("common_neighbors"))
+            .cast("double")).as("nbr_jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
   private def lpaLabels(docs: DataFrame, edges: DataFrame): DataFrame = {
     var lbl = docs.select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 0 until Iters) {

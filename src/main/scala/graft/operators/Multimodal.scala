@@ -1263,15 +1263,22 @@ object Multimodal {
         txt.join(med, Seq("doc_id", "bench_id"))
           .orderBy("doc_id", "bench_id")
       },
-      Some(s"""WITH p AS (
+      // the window DF cap is replayed (keptw) exactly like the chunk
+      // cap (keptc) — both caps must fire in the oracle too, or a
+      // corpus with a viral window would diverge (round-7 advice)
+      Some(s"""WITH p AS MATERIALIZED (
                  SELECT DISTINCT doc_id,
                    array_to_string(string_split(text, ' ')[i:i+7], ' ') AS w
                  FROM documents, LATERAL (SELECT unnest(range(1,
                    len(string_split(text, ' ')) - 6)) AS i) ix),
+               keptw AS MATERIALIZED (
+                 SELECT doc_id, w FROM p
+                 WHERE w NOT IN (SELECT w FROM p
+                   GROUP BY w HAVING count(*) > 10000)),
                txt AS (
                  SELECT t.doc_id AS doc_id, b.doc_id AS bench_id,
                    CAST(count(*) AS BIGINT) AS n_shared_windows
-                 FROM p t JOIN p b ON t.w = b.w
+                 FROM keptw t JOIN keptw b ON t.w = b.w
                  WHERE t.doc_id % 11 != 0 AND b.doc_id % 11 = 0
                  GROUP BY t.doc_id, b.doc_id),
                pos AS (

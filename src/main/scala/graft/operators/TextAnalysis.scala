@@ -1535,14 +1535,21 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n_shared_windows"))
           .orderBy("doc_id", "bench_id")
       },
-      Some("""WITH p AS (
+      // the window DF cap is REPLAYED (keptw) so the check stays exact
+      // even on a corpus where a window's df exceeds the cap — the same
+      // discipline mm_contamination's chunk cap uses (round-7 advice)
+      Some("""WITH p AS MATERIALIZED (
                 SELECT DISTINCT doc_id,
                   array_to_string(string_split(text, ' ')[i:i+7], ' ') AS w
                 FROM documents, LATERAL (SELECT unnest(range(1,
-                  len(string_split(text, ' ')) - 6)) AS i) ix)
+                  len(string_split(text, ' ')) - 6)) AS i) ix),
+              keptw AS MATERIALIZED (
+                SELECT doc_id, w FROM p
+                WHERE w NOT IN (SELECT w FROM p
+                  GROUP BY w HAVING count(*) > 10000))
               SELECT t.doc_id AS doc_id, b.doc_id AS bench_id,
                 CAST(count(*) AS BIGINT) AS n_shared_windows
-              FROM p t JOIN p b ON t.w = b.w
+              FROM keptw t JOIN keptw b ON t.w = b.w
               WHERE t.doc_id % 11 != 0 AND b.doc_id % 11 = 0
               GROUP BY t.doc_id, b.doc_id
               ORDER BY t.doc_id, bench_id""")),

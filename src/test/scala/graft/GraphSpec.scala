@@ -232,6 +232,32 @@ class GraphSpec extends AnyFunSuite {
     assert(out(4L) === ((3L, 1L)))
   }
 
+  test("capped neighbor-sim stays in (0,1] on a dense graph where the cap bites") {
+    // 12-clique: every degree is 11 > NbrCapF=8, so cap(u) keeps u's 8
+    // smallest-id neighbors. Reverse-cap sets R(x) = {z : x in cap(z)}:
+    // R(0)=R(1)={all 11 others}; R(8)={0..7}; R(9)=R(10)=R(11)=∅ (high
+    // ids are never among anyone's 8 smallest neighbors). The ROUND-7
+    // ADVICE bug (forward capped degrees in the denominator) would give
+    // pair (0,1) jaccard 10/(8+8-10) = 1.67 > 1 here; the reverse-cap
+    // Jaccard gives |R0∩R1|/|R0∪R1| = 10/12.
+    val n = 12L
+    val cliqueEdges = (for {
+      a <- 0L until n; b <- 0L until n; if a != b
+    } yield (a, b)).toDF("u", "v")
+    val out = operators.Graph.neighborSimCapped(cliqueEdges).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        (r.getAs[Long]("common_neighbors"), r.getAs[Double]("nbr_jaccard")))
+      .toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (_, j) =>
+      assert(j > 0.0 && j <= 1.0, s"nbr_jaccard $j outside (0,1]")
+    }
+    assert(out((0L, 1L)) === ((10L, 10.0 / 12.0)))
+    assert(out((0L, 8L)) === ((7L, 7.0 / 12.0)))
+    // nodes with an empty reverse-cap set never appear as pair endpoints
+    out.keys.foreach { case (a, b) => assert(a <= 8L && b <= 8L) }
+  }
+
   test("conductance scores reconcile with the labelprop communities") {
     import org.apache.spark.sql.functions._
     val cond = Registry.byName("graph_conductance")
