@@ -72,6 +72,46 @@ object Cancel {
     Result(waitMs, (System.nanoTime() - t0) / 1000000L)
   }
 
+  final case class IsolationResult(victim: Result, othersOk: Seq[Boolean],
+    otherWallMs: Seq[Long])
+
+  /** Multi-tenant isolation (round-7 verdict task #7): the reference
+    * cancels the ONLY running query; a shared 100 TB cluster cancels one
+    * tenant's job while others run. Launch `nOthers` concurrent queries
+    * each under its OWN job tag (tags are thread-local to the submitting
+    * thread, so each worker's jobs carry only its tag), plus one victim
+    * under the cancel tag; cancel the victim after `waitMs` and assert
+    * the blast radius: the victim's latency is measured as usual, the
+    * others run to completion and report success + wall time. */
+  def runConcurrentCancel(spark: SparkSession, waitMs: Long,
+      query: SparkSession => Unit, nOthers: Int = 3,
+      neighbor: SparkSession => Unit = null): IsolationResult = {
+    val sc = spark.sparkContext
+    val neighborQ = if (neighbor != null) neighbor else query
+    val ok = Array.fill(nOthers)(false)
+    val wall = Array.fill(nOthers)(0L)
+    val done = new CountDownLatch(nOthers)
+    val others = (0 until nOthers).map { i =>
+      val t = new Thread(() => {
+        sc.addJobTag(s"graft-other-$i")
+        val t0 = System.nanoTime()
+        try { neighborQ(spark); ok(i) = true }
+        catch { case _: Throwable => ok(i) = false }
+        finally {
+          wall(i) = (System.nanoTime() - t0) / 1000000L
+          sc.clearJobTags()
+          done.countDown()
+        }
+      }, s"graft-other-$i")
+      t.setDaemon(true)
+      t
+    }
+    others.foreach(_.start())
+    val victim = runWithCancel(spark, waitMs, query, tag = "graft-victim")
+    done.await()
+    IsolationResult(victim, ok.toSeq, wall.toSeq)
+  }
+
   /** Reference main.rs:34-54: sweep wait times, emit the markdown table. */
   def sweep(spark: SparkSession, waits: Seq[Long],
       query: SparkSession => Unit): Seq[Result] =

@@ -46,6 +46,31 @@ object CancelBench {
     val results = Cancel.sweep(spark, 10L to maxWait,
       s => { DataGen.distinctQuery(s).collect(); () })
     println(Cancel.markdownTable(results))
+
+    // Concurrent-cancellation isolation sweep (round-7 verdict task #7):
+    // GRAFT_CONCURRENT_N > 0 runs N neighbor queries (own job tags) to
+    // completion while a victim is cancelled mid-flight — the
+    // multi-tenant property job-tag cancellation must provide. The
+    // neighbors run the same distinct query ONCE (noop sink, not
+    // collect: a completed 35M-row collect would blow maxResultSize at
+    // reference scale, and the sink choice doesn't change what's
+    // measured — task completion under a concurrent kill).
+    val nOthers = sys.env.getOrElse("GRAFT_CONCURRENT_N", "0").toInt
+    if (nOthers > 0) {
+      val waits = Seq(10L, 20L, 30L, 40L, 50L, 60L)
+      println(s"\n| Wait (ms) | Victim cancel (ms) | Neighbors ok | Neighbor walls (ms) |")
+      println("| --- | --- | --- | --- |")
+      waits.foreach { w =>
+        val r = Cancel.runConcurrentCancel(spark, w,
+          s => { DataGen.distinctQuery(s).collect(); () }, nOthers,
+          neighbor =
+            s => DataGen.distinctQuery(s).write.format("noop")
+              .mode("overwrite").save())
+        println(s"| $w | ${r.victim.cancelMs} " +
+          s"| ${r.othersOk.count(identity)}/$nOthers " +
+          s"| ${r.otherWallMs.mkString(" ")} |")
+      }
+    }
     spark.stop()
   }
 }

@@ -61,10 +61,26 @@ object GrowthBench {
     "q_rfm_segmentation" -> "~linear (user agg + 3 value-grain prefixes)",
     "q_time_to_convert" -> "~linear (user join + delta-grain prefix)",
     "q_dau_mau" -> "~linear x 28 (bounded range-join fan-out)",
-    "q_ship_latency_aging" -> "~linear (per-order min + one join)")
+    "q_ship_latency_aging" -> "~linear (per-order min + one join)",
+    // round-8: the remaining top-10-heaviest, added for the sf0.1->sf1
+    // decade measurement (round-7 verdict task #1)
+    "dedup_cluster_multi" -> "~linear x log(diameter) (multi-sig union + pointer doubling)",
+    "dedup_eval" -> "~linear (candidate join + bounded truth join)",
+    "dedup_lsh_tune" -> "~linear x bands (shared shingle frame, banding self-joins)",
+    "graph_labelprop" -> "~linear x LPA rounds (equi-join per round)",
+    "dedup_weighting" -> "~linear (cluster sizes + one doc join)",
+    "mm_phash_cluster" -> "~linear x collisions (phash chunk buckets + CC)")
 
-  private val sfDirs = Seq(
-    "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+  /** sf dirs to measure, smallest first. Overridable so the 0.1->1
+    * decade can run on generated same-seed corpora (round-7 verdict
+    * task #1: the 0.01->0.1 fits sit inside the JVM overhead floor,
+    * which biases exponents DOWN; one more decade takes them out). */
+  private def sfDirs: Seq[String] =
+    sys.env.get("SPARK_GRAFT_SF_DIRS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(
+        "/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1"))
 
   private def clearPersisted(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values
@@ -94,9 +110,13 @@ object GrowthBench {
 
     // C2 warm-up (see Bench.scala: sf0.001 never tiers the generated
     // loops past the interpreter; an un-warmed first sf0.1 pass burns
-    // 30x steady-state CPU and would fake a superlinear slope)
+    // 30x steady-state CPU and would fake a superlinear slope).
+    // Overridable: a 0.1->1 run warms at its own smallest dir so the
+    // AQE plan shapes it compiles are the ones the measured passes run.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.01")
     defs.foreach { case (d, _) =>
-      try d.run(spark, "/root/testdata/sf0.01")
+      try d.run(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[growth] WARMUP FAILED ${d.name}: $e")
@@ -121,26 +141,31 @@ object GrowthBench {
       for (ta <- wall.get((n, a)); tb <- wall.get((n, b)))
         yield math.log10(tb / ta)
 
-    println("| query | sf0.001 s | sf0.01 s | sf0.1 s | e(0.001->0.01) | e(0.01->0.1) | claimed shape | verdict |")
-    println("|---|---|---|---|---|---|---|---|")
+    // dynamic header: one wall column per sf dir, one exponent column
+    // per consecutive decade; the LAST decade is the verdict signal
+    // (both points largest -> least overhead-floor bias)
+    val labels = sfDirs.map(_.split('/').last)
+    val pairCols = labels.sliding(2).map(p => s"e(${p(0)}->${p(1)})").toSeq
+    println("| query | " + labels.map(_ + " s").mkString(" | ") + " | " +
+      pairCols.mkString(" | ") + " | claimed shape | verdict |")
+    println("|" + Seq.fill(labels.size + pairCols.size + 3)("---").mkString("|") + "|")
     defs.foreach { case (d, claim) =>
       val t = sfDirs.map(sf => wall.get((d.name, sf)))
-      val e01 = slope(d.name, sfDirs(0), sfDirs(1))
-      val e12 = slope(d.name, sfDirs(1), sfDirs(2))
+      val es = sfDirs.sliding(2).map(p => slope(d.name, p(0), p(1))).toSeq
       def f(o: Option[Double]) = o.map(v => f"$v%.2f").getOrElse("FAIL")
-      // verdict keys off the 0.01->0.1 decade: <=1.3 rides the claimed
+      // verdict keys off the LAST decade: <=1.3 rides the claimed
       // near-linear shapes (AQE/scheduling overhead amortizes, slope
       // can even exceed 1 slightly as spill/shuffle kick in); the only
       // operators allowed past 1.3 are the ones whose claim says so
-      val verdict = e12 match {
+      val verdict = es.lastOption.flatten match {
         case None => "FAILED"
         case Some(e) if e <= 1.3 => "linear-ish: ok"
         case Some(e) if claim.contains("superlinear") ||
           claim.contains("^1.5") => f"$e%.2f, within claimed shape"
         case Some(e) => f"INVESTIGATE: $e%.2f vs claimed $claim"
       }
-      println(s"| ${d.name} | ${f(t(0))} | ${f(t(1))} | ${f(t(2))} " +
-        s"| ${f(e01)} | ${f(e12)} | $claim | $verdict |")
+      println(s"| ${d.name} | " + t.map(f).mkString(" | ") + " | " +
+        es.map(f).mkString(" | ") + s" | $claim | $verdict |")
     }
     spark.stop()
   }

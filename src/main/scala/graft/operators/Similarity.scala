@@ -469,6 +469,24 @@ object Similarity {
       Some(ivfOracleSql(nprobe = 2)),
       ),
 
+    // IVF SERVING path — searches the PERSISTED index (build-once /
+    // save / load; see ivfIndexDir): centroids and list_id-partitioned
+    // inverted lists load from parquet, only query routing runs at
+    // serve time. Result is bit-identical to the inline sim_ann_ivf
+    // (same oracle; equality asserted in SimilaritySpec), but the cost
+    // model is the real pipeline's: the corpus-side assignment is paid
+    // once at build, and each probe's scan prunes to its own lists'
+    // files via the partition key. Bench note: the first (warm-up)
+    // execution builds+saves the index, so the measured passes price
+    // pure serving — exactly the quantity a serving fleet cares about.
+    QueryDef(
+      "sim_ann_ivf_served",
+      (s, dir) => ivfServedTopK(s, dir, nprobe = 1,
+        embParallel(s, dir).filter(col("vec_id") < NumQueries)
+          .select("vec_id", "embedding")),
+      Some(ivfOracleSql(nprobe = 1)),
+      ),
+
     // Hard-negative mining — the contrastive-training data op: for each
     // query vector, the most similar vectors with a DIFFERENT label
     // (the negatives that actually teach an embedding model, vs easy
@@ -1007,28 +1025,103 @@ object Similarity {
     * count — everything ivfSearchFor does except the closing top-k, so
     * the tradeoff scorecard can count the TRUE cost (candidates scanned)
     * of each nprobe setting from the identical plan. */
-  private[graft] def ivfCandidatesFor(s: SparkSession, dir: String,
-      nprobe: Int, queries: DataFrame): DataFrame = {
-    val e = embParallel(s, dir)
-    val centroids = broadcast(
-      e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+  /** Centroid assignment with rank: every caller (inline build, saved-
+    * index build, query routing at serve time) runs THESE expressions,
+    * so an index built-and-saved is bit-identical to the inline
+    * computation by construction. */
+  private def ivfAssign(s: SparkSession, df: DataFrame,
+      centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
-    def assign(df: DataFrame): DataFrame = df.join(centroids)
+    df.join(centroids)
       .select(col("vec_id"), col("embedding"),
         col("c_id"), CosineSimilarity(s, col("embedding"), col("c_emb")).as("c_cos"))
       .withColumn("arn", row_number().over(wAssign))
-    val assigned = assign(e).filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("list_id"))
+  }
+
+  /** The deterministic centroid sample (c_id, c_emb) — the index's
+    * coarse quantizer. */
+  private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    embParallel(s, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+
+  /** Search given a (possibly LOADED) index: corpus-side inverted lists
+    * (vec_id, embedding, list_id) + centroids for query routing. Query
+    * assignment always runs at serve time — the index persists corpus
+    * state, never query state. */
+  private def ivfCandidatesOn(s: SparkSession, nprobe: Int,
+      queries: DataFrame, centroids: DataFrame,
+      assigned: DataFrame): DataFrame = {
     val q = broadcast(
-      assign(queries).filter(col("arn") <= nprobe)
+      ivfAssign(s, queries, broadcast(centroids)).filter(col("arn") <= nprobe)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("c_id").as("list_id")))
     assigned.join(q, Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("list_id").cast("long"),
         CosineSimilarity(s, col("q_emb"), col("embedding")).as("cos"))
+  }
+
+  private[graft] def ivfCandidatesFor(s: SparkSession, dir: String,
+      nprobe: Int, queries: DataFrame): DataFrame = {
+    val centroids = ivfCentroids(s, dir)
+    val assigned = ivfAssign(s, embParallel(s, dir), broadcast(centroids))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("list_id"))
+    ivfCandidatesOn(s, nprobe, queries, centroids, assigned)
+  }
+
+  /** Build-once/save/load lifecycle for the IVF index (round-7 verdict
+    * task #5): a real serving pipeline builds the index ONE time,
+    * persists it, and answers every query from the saved artifact — the
+    * inline registry entries above recompute it per query, which is the
+    * one place the ANN family's cost model diverged from serving. The
+    * index is two parquet relations (the q_zorder_layout write-then-read
+    * discipline): centroids/ (k rows — the coarse quantizer) and
+    * lists/ (corpus rows keyed by list_id — the inverted lists, written
+    * PARTITIONED BY list_id so a served probe reads only its own
+    * lists' files, the on-disk analog of the list-keyed equi-join). At
+    * 100 TB the build is one assignment pass; refresh = rebuild into a
+    * new dir and swap the path, exactly what this keyed cache does. */
+  private val ivfIndexDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private[graft] def ivfIndexDir(s: SparkSession, dir: String): String =
+    ivfIndexDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        if (Files.exists(p)) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      }
+      val centroids = ivfCentroids(s, dir)
+      centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$p/centroids")
+      ivfAssign(s, embParallel(s, dir), broadcast(centroids))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("list_id"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$p/lists")
+      p.toString
+    })
+
+  /** Search the SAVED index: loads centroids + inverted lists from
+    * parquet (first call per corpus builds and saves them) and routes
+    * the queries against the loaded frames — no corpus-side recompute. */
+  private[graft] def ivfServedTopK(s: SparkSession, dir: String,
+      nprobe: Int, queries: DataFrame): DataFrame = {
+    val idx = ivfIndexDir(s, dir)
+    val centroids = s.read.parquet(s"$idx/centroids")
+    // partitionBy writes list_id as a directory key; restore the long
+    // type and column order the search expects
+    val assigned = s.read.parquet(s"$idx/lists")
+      .select(col("vec_id"), col("embedding"),
+        col("list_id").cast("long").as("list_id"))
+    ivfTopKOf(ivfCandidatesOn(s, nprobe, queries, centroids, assigned))
   }
 
   /** Per-query cosine top-k over a candidate relation. */

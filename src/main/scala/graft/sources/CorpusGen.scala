@@ -30,6 +30,7 @@ import org.apache.spark.sql.functions._
   * is per-partition and would not be).
   *
   * Usage: runMain graft.sources.CorpusGen <outDir> [scale=0.01] [seed=7]
+  *        [mode=healthy|minimal|skew]   (degenerate modes: see below)
   */
 object CorpusGen {
 
@@ -176,11 +177,77 @@ object CorpusGen {
       "documents" -> documents, "embeddings" -> embeddings)
   }
 
+  /** Degenerate corpora (round-7 verdict task #2): every green to date
+    * is a healthy-distribution green — these two modes exercise the
+    * boundaries production data actually hits (guarded divisions,
+    * empty-relation windows, viral-key caps, min/argmax tie-breaks).
+    *
+    * `minimal`: documents/events/embeddings EMPTY (schema preserved),
+    * the TPC-H facts/dims single-row, region/nation intact — empty
+    * scans, empty windows, 0-denominator aggregates.
+    *
+    * `skew`: every document the SAME text (one corpus-wide dup cluster;
+    * every shingle's DF = corpus size, so DF caps all fire), one user
+    * holding ~50% of events (hot-key aggregates/sessions), ~50% of
+    * lineitems on one (orderkey, partkey) and ~50% of orders on one
+    * custkey (max-skew join keys), and half of all embeddings the
+    * IDENTICAL unit vector (zero-distance ANN ties). Invariants the
+    * operators document are preserved: events.ts stays globally
+    * strictly increasing so (user_id, ts) is unique. */
+  def degenerate(spark: SparkSession, mode: String, scale: Double,
+      seed: Long): Seq[(String, DataFrame)] = {
+    val base = tables(spark, scale, seed)
+    mode match {
+      case "minimal" => base.map {
+        case (n @ ("documents" | "events" | "embeddings"), df) =>
+          n -> df.limit(0)
+        case (n @ ("customer" | "supplier" | "part" | "orders" |
+            "lineitem"), df) => n -> df.limit(1)
+        case other => other
+      }
+      case "skew" =>
+        val dupText = ("the big hash join " * 12).trim // 48 words, shared
+        base.map {
+          case ("documents", df) => "documents" ->
+            df.withColumn("text", lit(dupText))
+              .withColumn("n_chars", length(col("text")).cast("long"))
+          case ("events", df) => "events" ->
+            df.withColumn("user_id",
+              when(pmod(xxhash64(col("event_id"), lit("hotuser")), lit(2)) === 0,
+                lit(0L)).otherwise(col("user_id")))
+          case ("orders", df) => "orders" ->
+            df.withColumn("o_custkey",
+              when(pmod(xxhash64(col("o_orderkey"), lit("hotcust")), lit(2)) === 0,
+                lit(0L)).otherwise(col("o_custkey")))
+          case ("lineitem", df) => "lineitem" ->
+            df.withColumn("hot",
+              pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
+                lit("hotkey")), lit(2)) === 0)
+              .withColumn("l_orderkey",
+                when(col("hot"), lit(0L)).otherwise(col("l_orderkey")))
+              .withColumn("l_partkey",
+                when(col("hot"), lit(0L)).otherwise(col("l_partkey")))
+              .drop("hot")
+          case ("embeddings", df) => "embeddings" ->
+            df.withColumn("embedding",
+              when(col("vec_id") % 2 === 0,
+                expr("transform(sequence(0, 63), i -> float(if(i = 0, 1.0, 0.0)))"))
+                .otherwise(col("embedding")))
+          case other => other
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown degenerate mode $other")
+    }
+  }
+
   /** Write each table as a SINGLE parquet file `<out>/<name>.parquet`
     * (the driver corpus layout — DuckDB's oracle reads plain files). */
-  def write(spark: SparkSession, out: String, scale: Double, seed: Long): Unit = {
+  def write(spark: SparkSession, out: String, scale: Double, seed: Long,
+      mode: String = "healthy"): Unit = {
     Files.createDirectories(Paths.get(out))
-    tables(spark, scale, seed).foreach { case (name, df) =>
+    val ts = if (mode == "healthy") tables(spark, scale, seed)
+             else degenerate(spark, mode, scale, seed)
+    ts.foreach { case (name, df) =>
       val tmp = s"$out/.tmp_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = Files.list(Paths.get(tmp)).iterator()
@@ -202,6 +269,7 @@ object CorpusGen {
     val out = if (args.nonEmpty) args(0) else "target/testdata_seed7/sf0.01"
     val scale = if (args.length > 1) args(1).toDouble else 0.01
     val seed = if (args.length > 2) args(2).toLong else 7L
+    val mode = if (args.length > 3) args(3) else "healthy"
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-corpusgen")
@@ -211,9 +279,9 @@ object CorpusGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    write(spark, out, scale, seed)
+    write(spark, out, scale, seed, mode)
     println(s"[corpusgen] wrote ${Tablesn.mkString(",")} to $out " +
-      s"(scale=$scale seed=$seed)")
+      s"(scale=$scale seed=$seed mode=$mode)")
     spark.stop()
   }
 

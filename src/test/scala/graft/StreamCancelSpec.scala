@@ -73,6 +73,27 @@ class StreamCancelSpec extends AnyFunSuite {
       s"cancel took ${r.cancelMs} ms")
   }
 
+  test("cancelling one tag leaves concurrent queries unperturbed") {
+    // the multi-tenant isolation property (round-7 verdict task #7):
+    // 3 neighbor queries run under their own job tags while the victim
+    // is cancelled mid-flight — neighbors must COMPLETE successfully
+    // and the victim's cancel latency must stay bounded
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+    li.persist(); li.count()
+    val r = Cancel.runConcurrentCancel(spark, waitMs = 30,
+      q => { li.distinct().count(); () }, nOthers = 3,
+      neighbor = q => {
+        val n = li.groupBy("l_returnflag").count().count()
+        assert(n > 0)
+      })
+    li.unpersist()
+    assert(r.victim.cancelMs >= 0 && r.victim.cancelMs < 30000,
+      s"victim cancel took ${r.victim.cancelMs} ms")
+    assert(r.othersOk === Seq(true, true, true),
+      s"neighbors must complete despite the victim's cancellation: $r")
+    r.otherWallMs.foreach(w => assert(w < 60000, s"neighbor wall $w ms"))
+  }
+
   test("markdown report renders the reference's table shape") {
     val table = Cancel.markdownTable(Seq(Cancel.Result(10, 17), Cancel.Result(11, 317)))
     assert(table.startsWith("| Wait time (ms) | Cancel duration (ms) |"))
