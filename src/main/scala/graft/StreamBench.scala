@@ -28,17 +28,15 @@ import org.apache.spark.sql.streaming.StreamingQueryListener.{
   */
 object StreamBench {
 
-  private final class BatchMeter extends StreamingQueryListener {
+  /** Static event sink for [[StreamBenchListener]]. The listener is
+    * registered through the `spark.sql.streaming.streamingQueryListeners`
+    * conf rather than `spark.streams.addListener` because several
+    * operators (the transformWithState family) run on `newSession()`
+    * clones with their OWN StreamingQueryManager — a manager-level
+    * listener on the outer session never sees their batches; the conf
+    * applies to every session built from the same SparkConf. */
+  private object BatchSink {
     val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
-    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-    override def onQueryProgress(e: QueryProgressEvent): Unit = {
-      val d = e.progress.durationMs
-      val ms = if (d != null && d.containsKey("triggerExecution"))
-        d.get("triggerExecution").longValue() else 0L
-      batches.add((ms, e.progress.numInputRows))
-    }
-    override def onQueryIdle(e: QueryIdleEvent): Unit = ()
-    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     /** Drain: wait until no new events for ~300 ms (the listener bus is
       * async; attribution by run order needs a quiet point). */
     def drain(): Seq[(Long, Long)] = {
@@ -54,6 +52,18 @@ object StreamBench {
       batches.clear()
       out
     }
+  }
+
+  final class StreamBenchListener extends StreamingQueryListener {
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val d = e.progress.durationMs
+      val ms = if (d != null && d.containsKey("triggerExecution"))
+        d.get("triggerExecution").longValue() else 0L
+      BatchSink.batches.add((ms, e.progress.numInputRows))
+    }
+    override def onQueryIdle(e: QueryIdleEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
   }
 
   private def pct(sorted: Seq[Long], p: Double): Long =
@@ -72,10 +82,10 @@ object StreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft_spark")
+      .config("spark.sql.streaming.streamingQueryListeners",
+        "graft.StreamBench$StreamBenchListener")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val meter = new BatchMeter
-    spark.streams.addListener(meter)
 
     val defs = Registry.all.filter(_.name.startsWith("stream_"))
       .filter(d => only.forall(_.contains(d.name)))
@@ -84,14 +94,14 @@ object StreamBench {
       p50: Long, p95: Long, max: Long, rows: Long)
     var report = Vector.empty[Row]
     for (pass <- 1 to 2; d <- defs) {
-      meter.drain() // discard anything left from the previous op
+      BatchSink.drain() // discard anything left from the previous op
       val t0 = System.nanoTime()
       val ok =
         try { d.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[streambench] FAILED ${d.name}: $e"); false }
       val wall = (System.nanoTime() - t0) / 1e9
-      val evs = meter.drain()
+      val evs = BatchSink.drain()
       val durs = evs.map(_._1).sorted
       System.err.println(f"[streambench] p$pass ${d.name}: $wall%.2f s " +
         f"ok=$ok batches=${evs.size} p50=${pct(durs, 0.5)}ms " +
