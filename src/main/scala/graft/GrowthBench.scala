@@ -69,7 +69,10 @@ object GrowthBench {
     "dedup_lsh_tune" -> "~linear x bands (shared shingle frame, banding self-joins)",
     "graph_labelprop" -> "~linear x LPA rounds (equi-join per round)",
     "dedup_weighting" -> "~linear (cluster sizes + one doc join)",
-    "mm_phash_cluster" -> "~linear x collisions (phash chunk buckets + CC)")
+    "mm_phash_cluster" -> "~linear x collisions (phash chunk buckets + CC)",
+    // dedup_cluster_multi leg isolation (the r8 e=1.99 diagnosis)
+    "dedup_simhash_wide_pairs" -> "~linear (4x15-bit chunk pigeonhole)",
+    "sim_embed_neardup" -> "~linear x collisions (banded emb-LSH + verify)")
 
   /** sf dirs to measure, smallest first. Overridable so the 0.1->1
     * decade can run on generated same-seed corpora (round-7 verdict

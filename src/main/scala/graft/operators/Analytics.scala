@@ -492,15 +492,20 @@ object Analytics {
         val dsxy = col("sxy").cast("double")
         val dsx2 = col("sx2").cast("double")
         val dsy2 = col("sy2").cast("double")
-        val varX = (dsx2 - dsx * dsx / dn) / (dn - 1.0)
-        val varY = (dsy2 - dsy * dsy / dn) / (dn - 1.0)
-        val cov = (dsxy - dsx * dsy / dn) / (dn - 1.0)
+        // nullif guards: n=1 groups zero the (n-1) sample denominator,
+        // and constant columns zero the variance product — Spark-4 ANSI
+        // throws on double /0 where DuckDB returns NULL (degenerate
+        // sweep, r8); healthy groups pass through bit-identically
+        val dn1 = nullif(dn - 1.0, lit(0.0))
+        val varX = (dsx2 - dsx * dsx / dn) / dn1
+        val varY = (dsy2 - dsy * dsy / dn) / dn1
+        val cov = (dsxy - dsx * dsy / dn) / dn1
         m.select(
             col("l_returnflag"), col("n"),
             cov.as("covar_xy"),
             sqrt(varX).as("stddev_x"),
             sqrt(varY).as("stddev_y"),
-            (cov / sqrt(varX * varY)).as("corr_xy"))
+            (cov / nullif(sqrt(varX * varY), lit(0.0))).as("corr_xy"))
           .orderBy("l_returnflag")
       },
       Some("""WITH m AS (

@@ -102,10 +102,17 @@ object Clustering {
               col("vec_id") < SeedStride.toLong * K)
             .orderBy("vec_id").collect()
             .map(r => r.getSeq[Float](1).map(_.toDouble).toArray).toIndexedSeq
-        for (_ <- 0 until Iters) cents = update(s, e, cents)
-        assign(s, e, cents)
-          .select(col("vec_id"), col("c").cast("long").as("cluster"), col("cos"))
-          .orderBy("vec_id")
+        // empty corpus -> no seeds: clustering of nothing is the empty
+        // assignment (degenerate-corpus sweep, r8) — the driver-side
+        // centroid arrays would otherwise index out of bounds
+        if (cents.isEmpty)
+          e.select(col("vec_id"), lit(0L).as("cluster"), lit(0.0).as("cos"))
+        else {
+          for (_ <- 0 until Iters) cents = update(s, e, cents)
+          assign(s, e, cents)
+            .select(col("vec_id"), col("c").cast("long").as("cluster"), col("cos"))
+            .orderBy("vec_id")
+        }
       },
       Some(KmeansOracleSql)),
 
@@ -129,19 +136,25 @@ object Clustering {
               col("vec_id") < SeedStride.toLong * K)
             .orderBy("vec_id").collect()
             .map(r => r.getSeq[Float](1).map(_.toDouble).toArray).toIndexedSeq
-        for (_ <- 0 until Iters) cents = update(s, e, cents)
-        val a = assign(s, e, cents)
-          .select(col("c"), col("vec_id"), col("embedding"))
-        val dropped = a.as("x").join(a.as("y"),
-            col("x.c") === col("y.c") && col("y.vec_id") < col("x.vec_id"))
-          .filter(CosineSimilarity(s,
-            col("x.embedding"), col("y.embedding")) >= SemThreshold)
-          .select(col("x.vec_id")).distinct()
-          .withColumn("drop", lit(true))
-        a.join(dropped, Seq("vec_id"), "left")
-          .select(col("vec_id"), col("c").cast("long").as("cluster"),
-            coalesce(!col("drop"), lit(true)).as("keep"))
-          .orderBy("vec_id")
+        // empty corpus -> no seeds: empty result (degenerate sweep, r8)
+        if (cents.isEmpty)
+          e.select(col("vec_id"), lit(0L).as("cluster"),
+            lit(true).as("keep"))
+        else {
+          for (_ <- 0 until Iters) cents = update(s, e, cents)
+          val a = assign(s, e, cents)
+            .select(col("c"), col("vec_id"), col("embedding"))
+          val dropped = a.as("x").join(a.as("y"),
+              col("x.c") === col("y.c") && col("y.vec_id") < col("x.vec_id"))
+            .filter(CosineSimilarity(s,
+              col("x.embedding"), col("y.embedding")) >= SemThreshold)
+            .select(col("x.vec_id")).distinct()
+            .withColumn("drop", lit(true))
+          a.join(dropped, Seq("vec_id"), "left")
+            .select(col("vec_id"), col("c").cast("long").as("cluster"),
+              coalesce(!col("drop"), lit(true)).as("keep"))
+            .orderBy("vec_id")
+        }
       },
       Some(SemDedupOracleSql)),
 
@@ -169,6 +182,12 @@ object Clustering {
               col("vec_id") < SeedStride.toLong * K)
             .orderBy("vec_id").collect()
             .map(r => r.getSeq[Float](1).map(_.toDouble).toArray).toIndexedSeq
+        // empty corpus -> no seeds: empty scorecard (degenerate sweep, r8)
+        if (cents.isEmpty)
+          e.select(col("vec_id").as("cluster"), lit(0L).as("n"),
+            lit(0L).as("s_sum_q"), lit(0L).as("s_min_q"),
+            lit(0L).as("s_max_q"), lit(0.0).as("mean_sil"))
+        else {
         for (_ <- 0 until Iters) cents = update(s, e, cents)
         val scored = e.select(
           col("vec_id"),
@@ -184,8 +203,12 @@ object Clustering {
             max(when(col("rn") === 1, col("cos"))).as("cos1"),
             max(when(col("rn") === 2, col("cos"))).as("cos2"))
         piv
+          // nullif: identical vectors can make cos2 exactly 1.0 (the
+          // all-dup skew corpus) — NULL silhouette matches DuckDB's /0
+          // where Spark-4 ANSI would throw (degenerate sweep, r8)
           .withColumn("s_q",
-            floor(((col("cos1") - col("cos2")) / (lit(1.0) - col("cos2")))
+            floor(((col("cos1") - col("cos2")) /
+              nullif(lit(1.0) - col("cos2"), lit(0.0)))
               * lit(1e9)).cast("long"))
           .groupBy("cluster").agg(
             count(lit(1)).as("n"),
@@ -197,6 +220,7 @@ object Clustering {
             (col("s_sum_q").cast("double") / col("n") / lit(1e9))
               .as("mean_sil"))
           .orderBy("cluster")
+        }
       },
       Some(SilhouetteOracleSql))
   ) ++ pqDefs
@@ -205,7 +229,11 @@ object Clustering {
     * ordering, same quantized decimal sums, same division order) — built
     * programmatically so the Spark loop and the SQL can never disagree on
     * iteration count. cent<i> relations are (c, v: list ordered by k);
-    * the chain ends at a$Iters, the final assignment. */
+    * the chain ends at a$Iters, the final assignment. A cluster that
+    * lost every member keeps its previous centroid via the cent$i
+    * UNION ALL branch — replaying update()'s documented rule; without
+    * it an all-identical-seed corpus (the skew degenerate sweep) made
+    * the oracle silently DROP emptied clusters while Spark kept them. */
   private lazy val KmeansCtePrefix: String = {
     def assignCte(i: Int, centRel: String) =
       s"""sc$i AS (
@@ -224,7 +252,10 @@ object Clustering {
             FROM a${i - 1} a JOIN dims d ON a.vec_id = d.vec_id AND a.rn = 1
             GROUP BY a.c, d.k),
           cent$i AS (
-            SELECT c, list(v ORDER BY k) AS v FROM u$i GROUP BY c)"""
+            SELECT c, list(v ORDER BY k) AS v FROM u$i GROUP BY c
+            UNION ALL
+            SELECT c, v FROM cent${i - 1}
+            WHERE c NOT IN (SELECT c FROM u$i))"""
     s"""WITH dims AS (
           SELECT vec_id, i - 1 AS k,
             CAST(floor(CAST(embedding[i] AS DOUBLE) * 262144.0 + 0.5) AS BIGINT) AS xi
@@ -308,6 +339,11 @@ object Clustering {
             col("vec_id") < SeedStride.toLong * PqK)
           .orderBy("vec_id").collect()
           .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        // empty corpus -> no codebook: empty encode (degenerate sweep, r8)
+        if (seeds.isEmpty)
+          e.select(col("vec_id"), lit(0L).as("sub"), lit(0L).as("code"),
+            lit(0.0).as("dist2"))
+        else {
         val subStructs = (0 until PqM).map { j =>
           val sv = slice(col("embedding"), j * PqSubDim + 1, PqSubDim)
           val dists = array((0 until PqK).map { c =>
@@ -326,6 +362,7 @@ object Clustering {
               .cast("long").as("code"),
             array_min(col("s.dists")).as("dist2"))
           .orderBy("vec_id", "sub")
+        }
       },
       Some(s"""WITH seeds AS (
                  SELECT CAST(vec_id // $SeedStride AS INTEGER) AS c, embedding
@@ -372,6 +409,11 @@ object Clustering {
             col("vec_id") < SeedStride.toLong * PqK)
           .orderBy("vec_id").collect()
           .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        // empty corpus -> no codebook: empty result (degenerate sweep, r8)
+        if (seeds.isEmpty)
+          e.select(col("vec_id").as("q_id"), lit(0L).as("rank"),
+            col("vec_id"), lit(0.0).as("adist2"))
+        else {
         def l2(sub: Column, cb: Array[Double]): Column =
           aggregate(
             zip_with(sub, array(cb.map(lit): _*), (x, y) =>
@@ -407,6 +449,7 @@ object Clustering {
           .filter(col("rank") <= PqTopK)
           .select(col("q_id"), col("rank"), col("vec_id"), col("adist2"))
           .orderBy("q_id", "rank")
+        }
       },
       Some(s"""WITH seeds AS (
                  SELECT CAST(vec_id // $SeedStride AS INTEGER) AS c, embedding

@@ -499,7 +499,8 @@ object Dedup {
         val pre = d.agg(count(lit(1)).as("n"),
           max(size(toks)).cast("long").as("mt")).head()
         val nDocs = pre.getLong(0)
-        val maxToks = pre.getLong(1)
+        // max over an empty corpus is NULL (degenerate sweep, r8)
+        val maxToks = if (pre.isNullAt(1)) 0L else pre.getLong(1)
         val maxW = BigInt(1000) * (2 * BigInt(nDocs) - 1) / 3
         require(maxW * maxToks < BigInt("3162277660168379331"),
           s"dedup_tfidf_nn: idf-weight bound maxW*maxTokens = " +
@@ -543,11 +544,16 @@ object Dedup {
             "src")
           .join(norms.select(col("doc_id").as("dst"), col("n2").as("d_n2")),
             "dst")
+          // nullif: an all-duplicate corpus drives every idf weight to
+          // 0 (df = n_docs makes the quantized idf 1000 div (2n+1) = 0),
+          // zeroing the norms — Spark-4 ANSI throws on double /0 where
+          // DuckDB returns NULL; ranks then fall to the dst tie-break
+          // on BOTH engines (degenerate-corpus sweep, r8)
           .withColumn("cos2",
             expr("""CAST(CAST(dot AS DECIMAL(19,0)) *
                          CAST(dot AS DECIMAL(19,0)) AS DOUBLE) /
-                    CAST(CAST(s_n2 AS DECIMAL(19,0)) *
-                         CAST(d_n2 AS DECIMAL(19,0)) AS DOUBLE)"""))
+                    nullif(CAST(CAST(s_n2 AS DECIMAL(19,0)) *
+                         CAST(d_n2 AS DECIMAL(19,0)) AS DOUBLE), 0.0D)"""))
           .withColumn("rk", row_number().over(wv))
           .filter(col("rk") === 1)
           .select(col("src").as("doc_id"), col("dst").as("nn_id"),

@@ -74,14 +74,19 @@ object Numerics {
         val sxyC = dn * dsxy - dsx * dsy
         val sxxC = dn * dsx2 - dsx * dsx
         val syyC = dn * dsy2 - dsy * dsy
-        val slope = sxyC / sxxC
+        // nullif guards: an n=1 group (or constant x) zeroes the
+        // centered moments; Spark-4 ANSI throws on 0.0/0.0 where DuckDB
+        // returns NULL — nullif makes both engines emit NULL, and on
+        // healthy groups the doubles pass through bit-identically
+        // (degenerate-corpus sweep, r8)
+        val slope = sxyC / nullif(sxxC, lit(0.0))
         m.select(
             col("l_returnflag"), col("n"),
             (dsx / dn).as("avg_x"),
             (dsy / dn).as("avg_y"),
             slope.as("slope"),
             ((dsy - slope * dsx) / dn).as("intercept"),
-            ((sxyC * sxyC) / (sxxC * syyC)).as("r2"))
+            ((sxyC * sxyC) / nullif(sxxC * syyC, lit(0.0))).as("r2"))
           .orderBy("l_returnflag")
       },
       Some("""WITH m AS (
@@ -727,14 +732,21 @@ object Numerics {
         val tot = p.agg(
           sum(col("pos")).as("n_pos"),
           sum(lit(1L) - col("pos")).as("n_neg"))
+        // GROUP BY the totals (mirroring the oracle's GROUP BY n_pos,
+        // n_neg) instead of a global agg: an empty corpus then yields 0
+        // rows on both engines, where a global agg would fabricate one
+        // all-NULL Spark row the oracle doesn't have (degenerate r8);
+        // nullif guards the one-class corpus (n_pos or n_neg = 0)
         cum
           .select((col("np_c") *
             (lit(2L) * (col("cn") - col("nn_c")) + col("nn_c"))).as("u2_c"))
-          .agg(sum(col("u2_c")).as("u2"))
           .crossJoin(broadcast(tot))
+          .groupBy("n_pos", "n_neg")
+          .agg(sum(col("u2_c")).as("u2"))
           .select(col("n_pos"), col("n_neg"), col("u2"),
             (col("u2").cast("double") /
-              (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+              nullif((lit(2L) * col("n_pos") * col("n_neg")).cast("double"),
+                lit(0.0)))
               .as("auc"))
       },
       Some("""WITH p AS (

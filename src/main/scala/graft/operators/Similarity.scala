@@ -167,10 +167,18 @@ object Similarity {
           .select("vec_id", "embedding").collect()
           .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
           .sortBy(_._1).toSeq
-        graft.plans.CosineTopKOp
-          .topK(s, e.select("vec_id", "embedding"), queries, TopK)
-          .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
-          .orderBy("q_id", "rank")
+        // empty corpus -> no probe vectors: searching for nothing finds
+        // nothing (degenerate sweep, r8). The OPERATOR keeps its loud
+        // nonEmpty contract (SimilaritySpec); the registry entry decides
+        // the no-input policy.
+        if (queries.isEmpty)
+          e.select(col("vec_id").as("q_id"), col("vec_id"),
+            lit(0.0).as("cos"), lit(0L).as("rank"))
+        else
+          graft.plans.CosineTopKOp
+            .topK(s, e.select("vec_id", "embedding"), queries, TopK)
+            .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+            .orderBy("q_id", "rank")
       },
       Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
                           FROM embeddings WHERE vec_id < $NumQueries),
@@ -602,7 +610,7 @@ object Similarity {
       Some(s"""WITH ${bandKeysSql()},
                cand AS (
                  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-                 FROM bandvals x JOIN bandvals y
+                 FROM bandkept x JOIN bandkept y
                    ON x.band = y.band AND x.band_val = y.band_val
                     AND x.vec_id < y.vec_id)
                SELECT c.a_id, c.b_id,
@@ -780,7 +788,7 @@ object Similarity {
     QueryDef(
       "sim_knn_graph",
       (s, dir) => {
-        val bands = bandKeys(embParallel(s, dir))
+        val bands = cappedBands(bandKeys(embParallel(s, dir)))
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") &&
               col("x.band_val") === col("y.band_val") &&
@@ -804,7 +812,7 @@ object Similarity {
       Some(s"""WITH ${bandKeysSql()},
                cand AS (
                  SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS nbr_id
-                 FROM bandvals x JOIN bandvals y
+                 FROM bandkept x JOIN bandkept y
                    ON x.band = y.band AND x.band_val = y.band_val
                     AND x.vec_id != y.vec_id),
                scored AS (
@@ -891,7 +899,10 @@ object Similarity {
             .crossJoin(broadcast(hits)).crossJoin(broadcast(nCand))
             .select(lit(nprobe.toLong).as("nprobe"), col("n_exact"),
               col("n_hit"), col("n_candidates"),
-              (col("n_hit").cast("double") / col("n_exact").cast("double"))
+              // nullif: empty corpus -> n_exact=0; NULL recall matches
+              // DuckDB's /0 (Spark-4 ANSI would throw; degenerate r8)
+              (col("n_hit").cast("double") /
+                nullif(col("n_exact").cast("double"), lit(0.0)))
                 .as("recall"))
         }
         Nprobes.map(leg).reduce(_ union _).orderBy("nprobe")
@@ -1115,10 +1126,17 @@ object Similarity {
   private[graft] def ivfServedTopK(s: SparkSession, dir: String,
       nprobe: Int, queries: DataFrame): DataFrame = {
     val idx = ivfIndexDir(s, dir)
-    val centroids = s.read.parquet(s"$idx/centroids")
+    // explicit schemas: the index layout is OURS, so serving never
+    // depends on footer inference — and an index built from an EMPTY
+    // corpus (no part files at all under the partitioned lists/) still
+    // reads back as a typed empty relation (degenerate sweep, r8)
+    val centroids = s.read.schema("c_id BIGINT, c_emb ARRAY<FLOAT>")
+      .parquet(s"$idx/centroids")
     // partitionBy writes list_id as a directory key; restore the long
     // type and column order the search expects
-    val assigned = s.read.parquet(s"$idx/lists")
+    val assigned = s.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, list_id BIGINT")
+      .parquet(s"$idx/lists")
       .select(col("vec_id"), col("embedding"),
         col("list_id").cast("long").as("list_id"))
     ivfTopKOf(ivfCandidatesOn(s, nprobe, queries, centroids, assigned))
@@ -1169,8 +1187,34 @@ object Similarity {
     * verification — the body of sim_embed_neardup, exposed so the
     * multi-generator cluster collapse (Dedup.dedup_cluster_multi) can
     * union these pairs with the text-based candidate generators. */
+  /** Viral-bucket cap for the banded-LSH SELF-join paths (near-dup
+    * candidates, knn graph). The r8 sf1 growth run measured the uncapped
+    * band join at e≈2.0: with 4-bit bands (16 bucket values) a uniform
+    * corpus puts N/16 vectors in EVERY bucket, so the self-join is
+    * N²/16 coincidence pairs — none of which survive the exact-cosine
+    * verify. A bucket beyond the cap carries ~zero discrimination
+    * signal (the same argument as MaxShingleDF / CdcMaxChunkDf, the
+    * suite's other generators' caps); true near-dup pairs lost with a
+    * dropped bucket re-collide in another band when buckets are sized
+    * sanely — and production sizes them by raising numPlanes (the
+    * bandKeys knob). Cap = 1000: far above every healthy bucket at the
+    * gate/bench scales (~31 at sf0.01, ~312 at sf0.1 — hashes
+    * unchanged), below the sf1 coincidence floor (~3125). The oracle
+    * replays the cap (bandkept CTE). `final val` (compile-time
+    * constant): this object initializes `defs` FIRST, so a plain val
+    * declared here would still be 0 when the oracle strings interpolate
+    * it — the round-7 "lazy val below defs" gotcha, Int edition. */
+  private[graft] final val BandBucketCap = 1000
+
+  private def cappedBands(bands: DataFrame): DataFrame = {
+    val viral = bands.groupBy("band", "band_val")
+      .agg(count(lit(1)).as("df")).filter(col("df") > BandBucketCap)
+      .select("band", "band_val")
+    bands.join(broadcast(viral), Seq("band", "band_val"), "left_anti")
+  }
+
   private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandKeys(embParallel(s, dir))
+    val bands = cappedBands(bandKeys(embParallel(s, dir)))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_val") === col("y.band_val") &&
@@ -1193,7 +1237,7 @@ object Similarity {
     s"""${bandKeysSql()},
         ecand AS (
           SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-          FROM bandvals x JOIN bandvals y
+          FROM bandkept x JOIN bandkept y
             ON x.band = y.band AND x.band_val = y.band_val
              AND x.vec_id < y.vec_id),
         epairs AS (
@@ -1262,5 +1306,13 @@ object Similarity {
         bandvals AS (
           SELECT vec_id, CAST(j // $bitsPerBand AS INTEGER) AS band,
             CAST(sum(CASE WHEN dot > 0 THEN (1 << CAST(j % $bitsPerBand AS INTEGER)) ELSE 0 END) AS BIGINT) AS band_val
-          FROM dots GROUP BY vec_id, j // $bitsPerBand)"""
+          FROM dots GROUP BY vec_id, j // $bitsPerBand),
+        viralbands AS (
+          SELECT band, band_val FROM bandvals
+          GROUP BY band, band_val HAVING count(*) > $BandBucketCap),
+        bandkept AS (
+          SELECT v.vec_id, v.band, v.band_val
+          FROM bandvals v LEFT JOIN viralbands w
+            ON w.band = v.band AND w.band_val = v.band_val
+          WHERE w.band IS NULL)"""
 }

@@ -1722,7 +1722,11 @@ object TextAnalysis {
         .localCheckpoint()
     }
     val learned = Seq.newBuilder[(Long, String, String, Long)]
-    for (iter <- 1 to BpeMergeRounds) {
+    // empty corpus: no pairs to count, nothing to learn or rewrite —
+    // skip the rounds (the argmax head() would fail) and return the
+    // empty corpus with zero rules (degenerate sweep, r8)
+    val rounds = if (docs.isEmpty) 0 else BpeMergeRounds
+    for (iter <- 1 to rounds) {
       // adjacent-pair extraction stays inside whole-stage codegen:
       // slice+arrays_zip are codegen'd collection expressions, unlike a
       // transform() lambda (interpreted, and it re-evaluates the split
@@ -1733,17 +1737,22 @@ object TextAnalysis {
           slice(toks, lit(1), size(toks) - 1).as("a"),
           slice(toks, lit(2), size(toks) - 1).as("b")))
         .otherwise(expr("cast(array() as array<struct<a:string,b:string>>)"))
-      val best = docs.select(explode(pairCol).as("p"))
+      val bestRows = docs.select(explode(pairCol).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()(0)
-      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      learned += ((iter.toLong, a, b, cnt))
-      docs = docs.select(col("doc_id"),
-          expr(s"trim(replace(replace(concat('  ', replace(text, ' ', '  '), '  '), " +
-            s"' $a  $b ', ' $a~$b '), '  ', ' '))").as("text"))
-        .localCheckpoint()
+        .limit(1).collect()
+      // a corpus with no adjacent pair anywhere (all docs <= 1 token)
+      // has nothing left to merge; stop learning (degenerate-safe)
+      if (bestRows.nonEmpty) {
+        val best = bestRows(0)
+        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        learned += ((iter.toLong, a, b, cnt))
+        docs = docs.select(col("doc_id"),
+            expr(s"trim(replace(replace(concat('  ', replace(text, ' ', '  '), '  '), " +
+              s"' $a  $b ', ' $a~$b '), '  ', ' '))").as("text"))
+          .localCheckpoint()
+      }
     }
     (docs, learned.result())
   }

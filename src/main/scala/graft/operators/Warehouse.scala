@@ -1081,16 +1081,22 @@ object Warehouse {
         val sxxD = col("sxx").cast("double")
         val syyD = col("syy").cast("double")
         val sxyD = col("sxy").cast("double")
+        // nullif guards (degenerate sweep, r8): n=1 groups and constant
+        // columns zero these denominators; Spark-4 ANSI throws on
+        // double /0 where DuckDB returns NULL — nullif aligns both, and
+        // nonzero denominators pass through bit-identically
+        val dn1 = nullif(nD * (nD - 1), lit(0.0))
         g.select(
             col("l_returnflag"), col("n"),
             round((nD * sxyD - sxD * syD) /
-              sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD)), 6)
+              nullif(sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD)),
+                lit(0.0)), 6)
               .as("corr_qty_price"),
-            round((sxyD - sxD * syD / nD) / (nD - 1), 6)
+            round((sxyD - sxD * syD / nD) / nullif(nD - 1, lit(0.0)), 6)
               .as("covar_qty_price"),
-            round(sqrt((nD * sxxD - sxD * sxD) / (nD * (nD - 1))), 6)
+            round(sqrt((nD * sxxD - sxD * sxD) / dn1), 6)
               .as("stddev_qty"),
-            round(sqrt((nD * syyD - syD * syD) / (nD * (nD - 1))), 6)
+            round(sqrt((nD * syyD - syD * syD) / dn1), 6)
               .as("stddev_price"))
           .orderBy("l_returnflag")
       },

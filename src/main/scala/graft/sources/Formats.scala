@@ -119,7 +119,13 @@ object Formats {
         Tables.load(s, dir, "events")
           .select("event_id", "user_id", "event_type", "value")
           .write.mode("overwrite").partitionBy("event_type").parquet(scratch)
-        s.read.parquet(scratch)
+        // explicit schema: a partitioned write of an EMPTY table leaves
+        // no part files, and footer inference would fail on read-back
+        // (degenerate-corpus sweep, r8); the layout is ours, so the
+        // schema is known — pruning behavior is unchanged
+        s.read
+          .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING")
+          .parquet(scratch)
           .filter(col("event_type") === "purchase")
           .groupBy("user_id")
           .agg(

@@ -729,8 +729,12 @@ object StreamOps {
       java.nio.file.Paths.get(s"$stage/00_events.parquet"))
 
     def addSentinel(eventTypes: String*): Unit = {
-      val maxUs = src.withColumn("ts", graft.Tables.normTsCol(schema))
-        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val maxRow = src.withColumn("ts", graft.Tables.normTsCol(schema))
+        .agg(max(unix_micros(col("ts")))).head()
+      // empty corpus: max(ts) is NULL — any base works, the sentinel
+      // only exists to push watermarks past (nonexistent) real data
+      // (degenerate-corpus sweep, r8)
+      val maxUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val sentUs = maxUs + 10L * 3600L * 1000000L
       // The sentinel must round-trip through the CORPUS's physical ts
       // type. When the corpus ships ts as int64 NANOS, a
