@@ -321,6 +321,33 @@ object Dedup {
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
 
+  /** Build-once/save cache for dedup_minhash_served's band index: the
+    * EXISTING corpus's (doc_id, band_key, band_id) relation persisted as
+    * parquet partitioned by band_id (a served probe reads only its own
+    * band's files). Keyed by corpus dir; refresh = rebuild into a new
+    * dir and swap — the same lifecycle as Similarity.ivfIndexDir. */
+  private val minhashIndexDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private[graft] def minhashIndexDir(s: SparkSession, dir: String): String =
+    minhashIndexDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_minhash_index")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        if (Files.exists(p)) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      }
+      bandsOf(signatures(s, dir))
+        .filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .write.mode("overwrite").partitionBy("band_id")
+        .parquet(s"$p/bands")
+      p.toString
+    })
+
   /** (doc_id, simhash): 16-bit SimHash on the whole-stage-codegen path —
     * explode tokens, hash with the scalar md5 expression, take the 16
     * bit-votes as conditional sum aggregates, assemble bits in the final
@@ -1292,6 +1319,67 @@ object Dedup {
          WHERE doc_id % 5 = 0
            AND doc_id NOT IN (SELECT doc_id FROM coll)
          ORDER BY doc_id""")),
+
+    // SERVED incremental dedup — dedup_incremental's probe against a
+    // PERSISTED band index (the sim_ann_ivf_served lifecycle applied to
+    // text dedup): the existing corpus's (doc_id, band_id, band_key)
+    // relation is built ONCE and saved as parquet partitioned by
+    // band_id; each incoming batch (doc_id % 13 == 0 stands in for the
+    // new shard) computes only ITS OWN signatures, probes the loaded
+    // index by band-key equi-join, and exact-Jaccard-verifies the
+    // collisions — emitting the (batch doc, existing dup, jaccard)
+    // evidence an ingest gate acts on. Index build cost is paid once
+    // per corpus version (refresh = rebuild + path swap, same as the
+    // IVF index); per-batch cost ∝ batch bands + collisions. The
+    // exact-verify join re-reads only MATCHED docs' shingles (point
+    // lookups at serving time). Oracle replays index+probe+verify.
+    QueryDef(
+      "dedup_minhash_served",
+      (s, dir) => {
+        val idx = minhashIndexDir(s, dir)
+        val index = s.read
+          .schema("doc_id BIGINT, band_key STRING, band_id BIGINT")
+          .parquet(s"$idx/bands")
+          .select(col("doc_id").as("corpus_id"), col("band_id"),
+            col("band_key"))
+        val sh = shingled(s, dir).localCheckpoint() // verify legs x2
+        val batchBands =
+          bandsOf(signaturesFrom(sh.filter(pmod(col("doc_id"), lit(13)) === 0)))
+            .select(col("doc_id").as("batch_id"), col("band_id"),
+              col("band_key"))
+        val cand = index.join(broadcast(batchBands), Seq("band_id", "band_key"))
+          .select(col("batch_id"), col("corpus_id")).distinct()
+        cand
+          .join(sh.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
+            Seq("batch_id"))
+          .join(sh.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+            Seq("corpus_id"))
+          .select(col("batch_id"), col("corpus_id").as("dup_of"),
+            (size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+              (size(col("sh_b")) + size(col("sh_c")) -
+                size(array_intersect(col("sh_b"), col("sh_c"))))
+                .cast("double")).as("jaccard"))
+          .filter(col("jaccard") >= JaccardThreshold)
+          .orderBy("batch_id", "dup_of")
+      },
+      Some(MinhashBandsCte + s""",
+         probe AS (
+           SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS dup_of
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.band_key = y.band_key
+           WHERE x.doc_id % 13 = 0 AND y.doc_id % 13 <> 0)
+         SELECT p.batch_id, p.dup_of,
+           CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+             / CAST(len(da.sh) + len(db.sh)
+                    - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard
+         FROM probe p
+         JOIN d da ON da.doc_id = p.batch_id
+         JOIN d db ON db.doc_id = p.dup_of
+         WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+             / CAST(len(da.sh) + len(db.sh)
+                    - len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+             >= $JaccardThreshold
+         ORDER BY batch_id, dup_of""")),
 
     // Verbatim-substring dedup (the Lee-et-al. "duplicated training
     // substring" signal): doc pairs sharing >= 1 exact 8-token window,

@@ -878,6 +878,78 @@ object Numerics {
     // one full-order window is over ~tens of rows at any corpus size.
     // Output: the argmax day, its before/after exact means as one
     // closing division each, and the normalized shift statistic.
+    // Robust outlier audit (Tukey fences on exact order statistics) —
+    // the data-quality gate that flags anomalous event values without
+    // assuming normality: per event type, the exact q1/q3 value-cents
+    // (k-th order statistics, ties included) and how many events fall
+    // beyond 1.5×IQR. Quartiles come from the house VALUE-GRAIN prefix
+    // pattern (per-(type, cents) counts + one cumulative window over the
+    // bounded cents domain — never a full-order sort of the event
+    // relation), and the fences stay in integers by comparing 2·cents
+    // against 2·q ± 3·iqr (1.5×iqr is a half-integer; doubling both
+    // sides keeps the test exact on both engines). All positive
+    // operands, so Spark's truncating div == DuckDB's floor //.
+    QueryDef(
+      "q_iqr_outliers",
+      (s, dir) => {
+        val g = Tables.loadEvents(s, dir)
+          .select(col("event_type"),
+            (col("value").cast("decimal(12,2)") * 100).cast("long")
+              .as("cents"))
+          .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // feeds the quartile scan AND the fence count
+        val w = Window.partitionBy("event_type").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = g.withColumn("cum", sum(col("cnt")).over(w))
+        val tot = g.groupBy("event_type").agg(sum(col("cnt")).as("n"))
+        val j = cum.join(tot, "event_type")
+        val q1 = j.filter(col("cum") >= expr("(n + 3) div 4"))
+          .groupBy("event_type").agg(min(col("cents")).as("q1_cents"))
+        val q3 = j.filter(col("cum") >= expr("(3 * n + 3) div 4"))
+          .groupBy("event_type").agg(min(col("cents")).as("q3_cents"))
+        val fences = broadcast(q1.join(q3, "event_type")
+          .withColumn("iqr_cents", col("q3_cents") - col("q1_cents")))
+        g.join(fences, "event_type")
+          .groupBy("event_type", "q1_cents", "q3_cents", "iqr_cents")
+          .agg(sum(col("cnt")).as("n"),
+            sum(when(
+              col("cents") * 2 < col("q1_cents") * 2 - col("iqr_cents") * 3 ||
+              col("cents") * 2 > col("q3_cents") * 2 + col("iqr_cents") * 3,
+              col("cnt")).otherwise(0L)).as("n_outliers"))
+          .select(col("event_type"), col("n"), col("q1_cents"),
+            col("q3_cents"), col("iqr_cents"), col("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (
+                SELECT event_type,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY event_type, cents),
+              c AS (
+                SELECT event_type, cents, cnt,
+                  sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                    ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM g),
+              q1 AS (
+                SELECT event_type, min(cents) AS q1_cents FROM c
+                WHERE cum >= (n + 3) // 4 GROUP BY event_type),
+              q3 AS (
+                SELECT event_type, min(cents) AS q3_cents FROM c
+                WHERE cum >= (3 * n + 3) // 4 GROUP BY event_type),
+              f AS (
+                SELECT q1.event_type, q1_cents, q3_cents,
+                  q3_cents - q1_cents AS iqr_cents
+                FROM q1 JOIN q3 ON q1.event_type = q3.event_type)
+              SELECT g.event_type, CAST(sum(g.cnt) AS BIGINT) AS n,
+                f.q1_cents, f.q3_cents, f.iqr_cents,
+                CAST(sum(CASE WHEN g.cents * 2 < f.q1_cents * 2 - f.iqr_cents * 3
+                            OR g.cents * 2 > f.q3_cents * 2 + f.iqr_cents * 3
+                          THEN g.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+              FROM g JOIN f ON g.event_type = f.event_type
+              GROUP BY g.event_type, f.q1_cents, f.q3_cents, f.iqr_cents
+              ORDER BY g.event_type""")),
+
     QueryDef(
       "q_changepoint",
       (s, dir) => {

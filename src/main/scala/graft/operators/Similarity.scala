@@ -495,6 +495,51 @@ object Similarity {
       Some(ivfOracleSql(nprobe = 1)),
       ),
 
+    // IVF index-health scorecard — the inspection leg of the index
+    // lifecycle (build/save/serve above): per inverted list, its
+    // population and corpus share, read from the SAVED index files.
+    // Serving fleets alert on exactly this relation (an empty or
+    // hot list means the coarse quantizer no longer fits the corpus
+    // and the index needs a refresh/rebuild). Output is k rows (one
+    // per nonempty list); shares are one closing division off exact
+    // counts. Scale shape: one map-side-combined count over the
+    // list-partitioned index files + a 1-row broadcast total.
+    QueryDef(
+      "sim_ann_ivf_index_stats",
+      (s, dir) => {
+        val idx = ivfIndexDir(s, dir)
+        val lists = s.read
+          .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, list_id BIGINT")
+          .parquet(s"$idx/lists")
+        val counts = lists.groupBy(col("list_id").cast("long").as("list_id"))
+          .agg(count(lit(1)).as("n_vectors"))
+        val tot = counts.agg(sum(col("n_vectors")).as("total"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("list_id"), col("n_vectors"),
+            (col("n_vectors").cast("double") /
+              nullif(col("total").cast("double"), lit(0.0))).as("share"))
+          .orderBy("list_id")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+                             FROM embeddings WHERE vec_id % 50 = 0),
+               scored AS (SELECT e.vec_id, cent.c_id,
+                            ${cosineSql("e.embedding", "cent.c_emb")} AS c_cos
+                          FROM embeddings e, cent),
+               ranked AS (
+                 SELECT vec_id, c_id,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY c_cos DESC, c_id) AS arn
+                 FROM scored),
+               counts AS (
+                 SELECT c_id AS list_id, CAST(count(*) AS BIGINT) AS n_vectors
+                 FROM ranked WHERE arn = 1 GROUP BY c_id),
+               tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total
+                       FROM counts)
+               SELECT list_id, n_vectors,
+                 CAST(n_vectors AS DOUBLE) / CAST(total AS DOUBLE) AS share
+               FROM counts, tot ORDER BY list_id"""),
+      ),
+
     // Hard-negative mining — the contrastive-training data op: for each
     // query vector, the most similar vectors with a DIFFERENT label
     // (the negatives that actually teach an embedding model, vs easy
@@ -663,6 +708,96 @@ object Similarity {
               FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx
               GROUP BY label, i
               ORDER BY label, dim""")),
+
+    // Out-of-distribution score per embedding — the mislabeled/outlier
+    // flag a training-data curation loop runs before contrastive
+    // training: each vector's cosine to its OWN label's centroid, with
+    // the bottom ~5% per label (lowest cosine, vec_id tie-break)
+    // flagged. Centroids use emb_centroid's proven bit-exact decimal
+    // recipe; the cosine then runs on 2^18-quantized integers (the
+    // kmeans discipline) so every aggregate is an exact long sum and
+    // the one double division closes it — deterministic under any
+    // partitioning, NULL (not a throw) on a zero-norm vector via
+    // nullif, asc_nulls_last matching DuckDB's default NULLS LAST.
+    // Shape: one (label, dim) centroid aggregate, one (label, dim)
+    // equi-join back, one per-vector aggregate, a label-sized broadcast
+    // of centroid norms, one per-label rank window.
+    QueryDef(
+      "emb_ood_score",
+      (s, dir) => {
+        val dims = embParallel(s, dir).select(col("vec_id"),
+          col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("k", "v")))
+        val cent = dims.groupBy("label", "k").agg(
+          (sum(col("v").cast("double").cast("decimal(38,25)")).cast("double") /
+            count(lit(1)).cast("double")).as("c"))
+        val q = dims.join(cent, Seq("label", "k"))
+          .select(col("vec_id"), col("label"),
+            floor(col("v").cast("double") * 262144.0 + 0.5).cast("long")
+              .as("xi"),
+            floor(col("c") * 262144.0 + 0.5).cast("long").as("ci"))
+        val per = q.groupBy("vec_id", "label").agg(
+          sum(col("xi") * col("ci")).as("dot_q"),
+          sum(col("xi") * col("xi")).as("nv_q"))
+        val nc = broadcast(cent.select(col("label"),
+            floor(col("c") * 262144.0 + 0.5).cast("long").as("ci"))
+          .groupBy("label").agg(sum(col("ci") * col("ci")).as("nc_q")))
+        val sc = per.join(nc, "label")
+          .select(col("vec_id"), col("label"),
+            (col("dot_q").cast("double") /
+              nullif(sqrt(col("nv_q").cast("double") *
+                col("nc_q").cast("double")), lit(0.0))).as("cos_centroid"))
+        val w = Window.partitionBy("label")
+          .orderBy(col("cos_centroid").asc_nulls_last, col("vec_id"))
+        val wn = Window.partitionBy("label")
+        sc.withColumn("rn", row_number().over(w))
+          .withColumn("nl", count(lit(1)).over(wn))
+          .select(col("vec_id"), col("label"), col("cos_centroid"),
+            (col("rn") <= expr("(nl + 19) div 20")).as("ood"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH dims AS (
+                SELECT vec_id, CAST(label AS BIGINT) AS label, i - 1 AS k,
+                  CAST(embedding[i] AS DOUBLE) AS v
+                FROM embeddings,
+                     (SELECT unnest(generate_series(1, 64)) AS i) ix),
+              cent AS (
+                SELECT label, k,
+                  CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,25))) AS VARCHAR) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS c
+                FROM dims GROUP BY label, k),
+              q AS (
+                SELECT d.vec_id, d.label,
+                  CAST(floor(d.v * 262144.0 + 0.5) AS BIGINT) AS xi,
+                  CAST(floor(c.c * 262144.0 + 0.5) AS BIGINT) AS ci
+                FROM dims d JOIN cent c ON c.label = d.label AND c.k = d.k),
+              per AS (
+                SELECT vec_id, label,
+                  CAST(sum(xi * ci) AS BIGINT) AS dot_q,
+                  CAST(sum(xi * xi) AS BIGINT) AS nv_q
+                FROM q GROUP BY vec_id, label),
+              nc AS (
+                SELECT label,
+                  CAST(sum(CAST(floor(c * 262144.0 + 0.5) AS BIGINT)
+                         * CAST(floor(c * 262144.0 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS nc_q
+                FROM cent GROUP BY label),
+              sc AS (
+                SELECT p.vec_id, p.label,
+                  CAST(p.dot_q AS DOUBLE)
+                    / nullif(sqrt(CAST(p.nv_q AS DOUBLE)
+                                  * CAST(n.nc_q AS DOUBLE)), 0.0)
+                    AS cos_centroid
+                FROM per p JOIN nc n ON n.label = p.label),
+              r AS (
+                SELECT vec_id, label, cos_centroid,
+                  row_number() OVER (PARTITION BY label
+                    ORDER BY cos_centroid ASC, vec_id) AS rn,
+                  count(*) OVER (PARTITION BY label) AS nl
+                FROM sc)
+              SELECT vec_id, label, cos_centroid,
+                rn <= (nl + 19) // 20 AS ood
+              FROM r ORDER BY vec_id""")),
 
     // L2-normalize + int8 quantization, flattened to (vec_id, dim, q) —
     // the storage/transfer compression step in front of ANN serving.

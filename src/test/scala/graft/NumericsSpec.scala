@@ -170,6 +170,31 @@ class NumericsSpec extends AnyFunSuite {
       best._1.toDouble / (a.length.toLong * b.length.toLong).toDouble)
   }
 
+  test("IQR outliers equal a local order-statistic replay") {
+    val rows = run("q_iqr_outliers").collect()
+    val byType = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, v) => t -> v.map(_._2).sorted }
+    assert(rows.map(_.getAs[String]("event_type")).toSet === byType.keySet)
+    rows.foreach { r =>
+      val vals = byType(r.getAs[String]("event_type"))
+      val n = vals.length
+      // k-th order statistic, k = ceil(n/4) / ceil(3n/4), 1-indexed
+      val q1 = vals(((n + 3) / 4) - 1)
+      val q3 = vals(((3 * n + 3) / 4) - 1)
+      val iqr = q3 - q1
+      val out = vals.count(c => 2 * c < 2 * q1 - 3 * iqr ||
+        2 * c > 2 * q3 + 3 * iqr)
+      assert(r.getAs[Long]("n") === n.toLong)
+      assert(r.getAs[Long]("q1_cents") === q1)
+      assert(r.getAs[Long]("q3_cents") === q3)
+      assert(r.getAs[Long]("iqr_cents") === iqr)
+      assert(r.getAs[Long]("n_outliers") === out.toLong)
+    }
+  }
+
   test("ROC-AUC equals a local pair-counting replay and is bounded") {
     val row = Registry.byName("q_roc_auc").run(spark, TestSpark.sf).head()
     val vals = Tables.load(spark, TestSpark.sf, "events")

@@ -193,6 +193,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(servedAgain.toSeq === served.toSeq)
   }
 
+  test("IVF index stats account for every vector and shares sum to 1") {
+    val corpus = TestSpark.sf
+    val nVecs = Tables.load(spark, corpus, "embeddings").count()
+    val rows = Registry.byName("sim_ann_ivf_index_stats")
+      .run(spark, corpus).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum === nVecs,
+      "inverted lists must partition the corpus")
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    rows.foreach(r => assert(r.getAs[Long]("n_vectors") > 0L))
+  }
+
+  test("OOD flags the bottom ~5% per label and own-centroid cosine is sane") {
+    val rows = Registry.byName("emb_ood_score").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("label"),
+        r.getAs[Double]("cos_centroid"), r.getAs[Boolean]("ood")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val expectFlagged = (g.length + 19) / 20
+      assert(g.count(_._4) === expectFlagged)
+      // the flagged set IS the lowest-cosine prefix (vec_id tie-break)
+      val sorted = g.sortBy(r => (r._3, r._1))
+      assert(sorted.take(expectFlagged).forall(_._4))
+      assert(sorted.drop(expectFlagged).forall(!_._4))
+    }
+    rows.foreach(r => assert(r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9))
+  }
+
+  test("served minhash dedup reports only cross-split verified pairs, stably") {
+    val out = Registry.byName("dedup_minhash_served").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("jaccard")))
+    out.foreach { case (b, c, j) =>
+      assert(b % 13 === 0L, "batch side must be the incoming shard")
+      assert(c % 13 !== 0L, "dup_of must come from the persisted index")
+      assert(j >= operators.Dedup.JaccardThreshold && j <= 1.0)
+    }
+    // second serve hits the cached index and is bit-identical
+    val again = Registry.byName("dedup_minhash_served")
+      .run(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("jaccard")))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("emb_pca_power returns a unit direction that beats the start direction") {
     val v = Registry.byName("emb_pca_power").run(spark, TestSpark.sf)
       .collect().sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("weight"))
