@@ -72,7 +72,12 @@ object GrowthBench {
     "mm_phash_cluster" -> "~linear x collisions (phash chunk buckets + CC)",
     // dedup_cluster_multi leg isolation (the r8 e=1.99 diagnosis)
     "dedup_simhash_wide_pairs" -> "~linear (4x15-bit chunk pigeonhole)",
-    "sim_embed_neardup" -> "~linear x collisions (banded emb-LSH + verify)")
+    "sim_embed_neardup" -> "~linear x collisions (banded emb-LSH + verify)",
+    // round-8 additions
+    "dedup_minhash_served" -> "~linear (batch bands + index probe + verify)",
+    "emb_ood_score" -> "~linear (two (label,dim) aggs + one rank window)",
+    "q_iqr_outliers" -> "~linear (value-grain counts + bounded prefix)",
+    "sim_ann_ivf_index_stats" -> "~linear (one count over the saved lists)")
 
   /** sf dirs to measure, smallest first. Overridable so the 0.1->1
     * decade can run on generated same-seed corpora (round-7 verdict
