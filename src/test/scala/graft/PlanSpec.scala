@@ -739,6 +739,46 @@ class PlanSpec extends AnyFunSuite {
       s"daily aggregate missing:\n$cp")
   }
 
+  test("served IVF search scans the SAVED index files, not the corpus pipeline") {
+    // the serving plan must read the persisted index (two parquet scans
+    // of the temp index dir) plus the query slice — if the corpus-side
+    // centroid assignment (a vec_id window over corpus x centroids)
+    // appears, the 'served' path silently recomputed the build
+    val p = plan("sim_ann_ivf_served")
+    assert(p.contains("graft_ivf_index"),
+      s"no scan of the persisted index dir:\n$p")
+    // the corpus parquet may appear ONLY as the pushed-down query slice
+    // (vec_id < NumQueries); an unfiltered corpus scan means rebuild
+    assert(p.contains("LessThan(vec_id,10)"),
+      s"query-slice pushdown missing:\n$p")
+    // probing the loaded lists dynamically prunes to the routed
+    // list_id partitions — the on-disk analog of the list equi-join
+    assert(p.contains("dynamicpruning"),
+      s"list partitions not dynamically pruned:\n$p")
+  }
+
+  test("served minhash dedup probes the saved band index with an equi-join") {
+    val p = plan("dedup_minhash_served")
+    assert(p.contains("graft_minhash_index"),
+      s"no scan of the persisted band index:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"probe degenerated to a cartesian:\n$p")
+  }
+
+  test("IQR outliers never globally sort the event relation") {
+    // quartiles come from the value-grain prefix: the only data-sized
+    // exchange is the (event_type, cents) hash aggregate; a
+    // rangepartitioning on cents would be the full-sort scale killer
+    val p = plan("q_iqr_outliers")
+    assert(p.contains("hashpartitioning(event_type"),
+      s"value-grain aggregate missing:\n$p")
+    assert(!p.contains("rangepartitioning(event_type#") ||
+      p.indexOf("rangepartitioning") > p.indexOf("Sort [event_type"),
+      s"unexpected range partitioning of the event relation:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"quartile fences should broadcast:\n$p")
+  }
+
   test("mm_norm_stats plans no join and exactly one data-sized exchange") {
     val p = plan("mm_norm_stats")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
