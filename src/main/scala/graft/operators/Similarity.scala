@@ -495,6 +495,18 @@ object Similarity {
       Some(ivfOracleSql(nprobe = 1)),
       ),
 
+    // The served path's recall knob: same persisted index, each query
+    // routed to its TWO nearest lists — the probe fan-out multiplies
+    // only the broadcast query side and the partition-pruned list scan,
+    // exactly like the inline sim_ann_ivf_nprobe2.
+    QueryDef(
+      "sim_ann_ivf_served_nprobe2",
+      (s, dir) => ivfServedTopK(s, dir, nprobe = 2,
+        embParallel(s, dir).filter(col("vec_id") < NumQueries)
+          .select("vec_id", "embedding")),
+      Some(ivfOracleSql(nprobe = 2)),
+      ),
+
     // IVF index-health scorecard — the inspection leg of the index
     // lifecycle (build/save/serve above): per inverted list, its
     // population and corpus share, read from the SAVED index files.
