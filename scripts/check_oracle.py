@@ -80,8 +80,54 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+    try:
+        oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+    except Exception as e:
+        print(f"FATAL: cannot read {OUT_DIR}/oracle_sql.json ({e}) — "
+              "the verify dump is absent or corrupt; this is an error, "
+              "not a pass")
+        sys.exit(2)
+    # Fail-loud gates (round-8 postmortem: the official CORRECTNESS
+    # record was `{}` and nothing noticed). An empty oracle map, or a
+    # dump smaller than the registry the manifest says exists, is an
+    # ERROR exit — never a vacuous 0-failure pass.
+    if not oracle:
+        print("FATAL: oracle_sql.json is EMPTY — the correctness gate "
+              "recorded nothing; this is an error, not a pass")
+        sys.exit(2)
+    manifest = None
+    try:
+        manifest = json.load(open(f"{OUT_DIR}/manifest.json"))
+    except Exception as e:
+        print(f"WARN: no readable manifest.json ({e}) — completeness "
+              "of the dump cannot be verified")
+    if manifest is not None:
+        nq, nsel = manifest.get("n_queries"), manifest.get("n_selected")
+        nw, nf = manifest.get("n_written"), manifest.get("n_failed")
+        print(f"manifest: registry={nq} selected={nsel} written={nw} "
+              f"failed={nf} wall={manifest.get('wall_s')}s")
+        if nsel == nq:  # full sweep claimed — hold it to the registry size
+            if nw != nq or len(oracle) != nq:
+                print(f"FATAL: incomplete full sweep — registry={nq} "
+                      f"written={nw} oracle_entries={len(oracle)}")
+                sys.exit(2)
+        elif nsel is not None and nsel < (nq or 0):
+            # dev-loop partial dump: compare only the selected queries
+            # (oracle_sql.json always carries the full registry)
+            present = {d.split("/")[-1] for d in glob.glob(f"{OUT_DIR}/*")
+                       if "." not in d.split("/")[-1]}
+            oracle = {k: v for k, v in oracle.items() if k in present}
+            print(f"partial dump: checking {len(oracle)} present queries")
+        if nf:
+            print(f"FATAL: verify reported {nf} failed queries: "
+                  f"{manifest.get('failed')}")
+            # fall through to the per-query compare so the report still
+            # shows which comparisons pass; exit is forced at the end
+            # (their dump dirs are absent, so they also surface as
+            # MISSING rows below — or as stale-dir mismatches if an
+            # older dump is lying around, either way non-zero)
     n_ok = n_bad = 0
+    verify_failed = bool(manifest and manifest.get("n_failed"))
     for name in sorted(oracle):
         files = glob.glob(f"{OUT_DIR}/{name}/*.parquet")
         if not files:
@@ -105,7 +151,7 @@ def main():
     rows_only = [d.split("/")[-1] for d in sorted(glob.glob(f"{OUT_DIR}/*"))
                  if "." not in d.split("/")[-1] and d.split("/")[-1] not in oracle]
     print(f"\n{n_ok} ok, {n_bad} failing; rows-only (no oracle): {rows_only}")
-    sys.exit(1 if n_bad else 0)
+    sys.exit(1 if (n_bad or verify_failed) else 0)
 
 
 if __name__ == "__main__":

@@ -77,7 +77,14 @@ object GrowthBench {
     "dedup_minhash_served" -> "~linear (batch bands + index probe + verify)",
     "emb_ood_score" -> "~linear (two (label,dim) aggs + one rank window)",
     "q_iqr_outliers" -> "~linear (value-grain counts + bounded prefix)",
-    "sim_ann_ivf_index_stats" -> "~linear (one count over the saved lists)")
+    "sim_ann_ivf_index_stats" -> "~linear (one count over the saved lists)",
+    // round-9: remaining benched queries > 2 s at sf0.1 with no sf1
+    // point (VERDICT task 4) + the new capped tfidf pipeline form
+    "graph_random_walk" -> "~linear x steps (frontier equi-join + argmin window)",
+    "graph_ppr" -> "~linear x iters (equi-join per iter, seed base term)",
+    "q_fmt_xml" -> "linear (format round-trip, map-only parse)",
+    "text_ngram_novelty" -> "~linear (gram DF join, DF-capped)",
+    "dedup_tfidf_nn_capped" -> "~linear (V x cap^2 sampled-posting join)")
 
   /** sf dirs to measure, smallest first. Overridable so the 0.1->1
     * decade can run on generated same-seed corpora (round-7 verdict

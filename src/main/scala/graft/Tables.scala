@@ -49,4 +49,30 @@ object Tables {
     * queries (scalar subqueries, correlated EXISTS) can run verbatim. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Cheap corpus fingerprint for build-once index caches (ivfIndexDir,
+    * minhashIndexDir): relative path + size + mtime of every file under
+    * the table's parquet tree, hashed. Keying a JVM-lifetime cache on
+    * `dir` alone serves STALE indexes if the corpus files at that path
+    * are rewritten within one JVM (a test regenerating data in place,
+    * or the refresh lifecycle appending a batch) — r9 advice. Listing
+    * footers is O(#files) driver metadata work, the same cost Spark
+    * itself pays to plan the scan, so this stays cheap at any scale. */
+  def corpusFingerprint(dir: String, table: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(s"$dir/$table.parquet")
+    if (!Files.exists(root)) s"$dir/$table:absent"
+    else {
+      val walk = Files.walk(root)
+      val parts =
+        try walk.filter(p => Files.isRegularFile(p))
+          .sorted()
+          .map[String]((p: Path) =>
+            s"${root.relativize(p)}:${Files.size(p)}:" +
+              s"${Files.getLastModifiedTime(p).toMillis}")
+          .toArray.mkString("|")
+        finally walk.close()
+      s"$dir/$table#${parts.hashCode}"
+    }
+  }
 }

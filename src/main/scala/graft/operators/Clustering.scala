@@ -104,9 +104,13 @@ object Clustering {
             .map(r => r.getSeq[Float](1).map(_.toDouble).toArray).toIndexedSeq
         // empty corpus -> no seeds: clustering of nothing is the empty
         // assignment (degenerate-corpus sweep, r8) — the driver-side
-        // centroid arrays would otherwise index out of bounds
+        // centroid arrays would otherwise index out of bounds. limit(0)
+        // so the branch is a typed empty relation even if e were
+        // nonempty while the seed predicate matched nothing (r9 advice,
+        // same hardening as the sim_topk_custom_op guard).
         if (cents.isEmpty)
-          e.select(col("vec_id"), lit(0L).as("cluster"), lit(0.0).as("cos"))
+          e.limit(0).select(col("vec_id"), lit(0L).as("cluster"),
+            lit(0.0).as("cos"))
         else {
           for (_ <- 0 until Iters) cents = update(s, e, cents)
           assign(s, e, cents)
@@ -136,9 +140,10 @@ object Clustering {
               col("vec_id") < SeedStride.toLong * K)
             .orderBy("vec_id").collect()
             .map(r => r.getSeq[Float](1).map(_.toDouble).toArray).toIndexedSeq
-        // empty corpus -> no seeds: empty result (degenerate sweep, r8)
+        // empty corpus -> no seeds: empty result (degenerate sweep, r8;
+        // limit(0) hardening r9)
         if (cents.isEmpty)
-          e.select(col("vec_id"), lit(0L).as("cluster"),
+          e.limit(0).select(col("vec_id"), lit(0L).as("cluster"),
             lit(true).as("keep"))
         else {
           for (_ <- 0 until Iters) cents = update(s, e, cents)
@@ -182,9 +187,10 @@ object Clustering {
               col("vec_id") < SeedStride.toLong * K)
             .orderBy("vec_id").collect()
             .map(r => r.getSeq[Float](1).map(_.toDouble).toArray).toIndexedSeq
-        // empty corpus -> no seeds: empty scorecard (degenerate sweep, r8)
+        // empty corpus -> no seeds: empty scorecard (degenerate sweep,
+        // r8; limit(0) hardening r9)
         if (cents.isEmpty)
-          e.select(col("vec_id").as("cluster"), lit(0L).as("n"),
+          e.limit(0).select(col("vec_id").as("cluster"), lit(0L).as("n"),
             lit(0L).as("s_sum_q"), lit(0L).as("s_min_q"),
             lit(0L).as("s_max_q"), lit(0.0).as("mean_sil"))
         else {
@@ -339,9 +345,10 @@ object Clustering {
             col("vec_id") < SeedStride.toLong * PqK)
           .orderBy("vec_id").collect()
           .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-        // empty corpus -> no codebook: empty encode (degenerate sweep, r8)
+        // empty corpus -> no codebook: empty encode (degenerate sweep,
+        // r8; limit(0) hardening r9)
         if (seeds.isEmpty)
-          e.select(col("vec_id"), lit(0L).as("sub"), lit(0L).as("code"),
+          e.limit(0).select(col("vec_id"), lit(0L).as("sub"), lit(0L).as("code"),
             lit(0.0).as("dist2"))
         else {
         val subStructs = (0 until PqM).map { j =>
@@ -409,9 +416,10 @@ object Clustering {
             col("vec_id") < SeedStride.toLong * PqK)
           .orderBy("vec_id").collect()
           .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-        // empty corpus -> no codebook: empty result (degenerate sweep, r8)
+        // empty corpus -> no codebook: empty result (degenerate sweep,
+        // r8; limit(0) hardening r9)
         if (seeds.isEmpty)
-          e.select(col("vec_id").as("q_id"), lit(0L).as("rank"),
+          e.limit(0).select(col("vec_id").as("q_id"), lit(0L).as("rank"),
             col("vec_id"), lit(0.0).as("adist2"))
         else {
         def l2(sub: Column, cb: Array[Double]): Column =

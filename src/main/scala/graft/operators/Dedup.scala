@@ -69,6 +69,19 @@ object Dedup {
   // corpus's max DF (sf0.1 max ~ 60), so the local oracle comparison is
   // byte-exact; production sets it to ~0.1% of corpus size.
   private val MaxShingleDF = 10000
+  // Per-shingle posting-sample cap for dedup_tfidf_nn_capped (r9,
+  // VERDICT task 2): the uncapped posting self-join's shuffle is
+  // Σdf² and this corpus's 31-word vocabulary makes df grow ∝ N/V —
+  // measured e(0.1→1) = 1.42 with the sf1 point at 119 s, the r8
+  // suite's one perf-weak row. A FIXED df cap cannot fix the exponent
+  // here (the whole df distribution crosses any constant together — a
+  // cliff, not a knee), so the pipeline form samples each shingle's
+  // posting list down to this many entries, chosen by the engine-
+  // portable hash31(shingle:doc_id) (deterministic, unbiased across
+  // doc ids, oracle-replayable). Dot-join work is then ≤ V·cap² —
+  // CONSTANT per shingle — while norms/weights stay exact and linear;
+  // the cap is a candidate-recall knob exactly like BandBucketCap.
+  private[graft] val TfidfPostingCap = 32
   // Edit-distance acceptance bound for sketch-candidate verification
   // (dedup_edit_verify): planted near-dups in this corpus sit at dist ~4
   // while sketch false-positives land in the hundreds; 50 separates them
@@ -324,13 +337,17 @@ object Dedup {
   /** Build-once/save cache for dedup_minhash_served's band index: the
     * EXISTING corpus's (doc_id, band_key, band_id) relation persisted as
     * parquet partitioned by band_id (a served probe reads only its own
-    * band's files). Keyed by corpus dir; refresh = rebuild into a new
-    * dir and swap — the same lifecycle as Similarity.ivfIndexDir. */
+    * band's files). Keyed by corpus dir + a file-metadata fingerprint
+    * (size/mtime of every documents.parquet part, r9 advice) so a corpus
+    * rewritten IN PLACE within one JVM rebuilds instead of serving the
+    * stale index; refresh = rebuild into a new dir and swap — the same
+    * lifecycle as Similarity.ivfIndexDir. */
   private val minhashIndexDirs =
     scala.collection.concurrent.TrieMap[String, String]()
 
   private[graft] def minhashIndexDir(s: SparkSession, dir: String): String =
-    minhashIndexDirs.getOrElseUpdate(dir, {
+    minhashIndexDirs.getOrElseUpdate(
+      graft.Tables.corpusFingerprint(dir, "documents"), {
       val p = java.nio.file.Files.createTempDirectory("graft_minhash_index")
       sys.addShutdownHook {
         import java.nio.file.{Files, Path}
@@ -611,6 +628,149 @@ object Dedup {
                  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                    sum(CAST(a.w AS HUGEINT) * b.w) AS dot
                  FROM wt a JOIN wt b ON a.shingle = b.shingle
+                  AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+               directed AS (
+                 SELECT a_id AS src, b_id AS dst, dot FROM dots
+                 UNION ALL
+                 SELECT b_id, a_id, dot FROM dots),
+               scored AS (
+                 SELECT d.src, d.dst,
+                   CAST(CAST(d.dot AS HUGEINT) * d.dot AS DOUBLE) /
+                     CAST(CAST(sa.n2 AS HUGEINT) * sb.n2 AS DOUBLE) AS cos2
+                 FROM directed d
+                 JOIN norms sa ON d.src = sa.doc_id
+                 JOIN norms sb ON d.dst = sb.doc_id),
+               r AS (
+                 SELECT src, dst, cos2,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY cos2 DESC, dst ASC) AS rk
+                 FROM scored)
+               SELECT src AS doc_id, dst AS nn_id, cos2
+               FROM r WHERE rk = 1 ORDER BY doc_id"""),
+      // bench=false (r9, VERDICT task 2): the posting self-join is
+      // Σdf² and df ∝ N/V on this vocabulary — measured e(0.1→1)=1.42,
+      // 119 s at sf1, superlinear BEYOND the overhead floor. Stays
+      // oracle-checked as the exact reporting form; the benched
+      // pipeline form is dedup_tfidf_nn_capped below (posting-sample
+      // cap, V·cap² joins) — the neighbor_sim/bfs_2hop treatment.
+      bench = false),
+
+    // TF-IDF nearest neighbor — the PIPELINE form: identical exact
+    // rational-idf weights, 128-bit norm/dot arithmetic, and cos²
+    // argmax as dedup_tfidf_nn above, but the posting list of every
+    // shingle is first sampled down to TfidfPostingCap entries by the
+    // engine-portable hash31(shingle:doc_id) order (ties impossible —
+    // doc_id is unique within a shingle's postings). The dot self-join
+    // is then provably ≤ V·cap² rows where the exact form's Σdf² grows
+    // quadratically on dense vocabularies; norms are taken over the
+    // SAME sampled relation so the cosine is self-consistent (each
+    // shingle contributes to ≤ cap documents' vectors — the DISCO /
+    // sampled-posting similarity-join discipline). On sparse corpora
+    // (df ≤ cap everywhere) the sample is the identity and this equals
+    // the exact form; as density grows, recall degrades gracefully
+    // instead of the runtime blowing up. Oracle replays the identical
+    // md5 sample order, so results stay bit-exact.
+    QueryDef(
+      "dedup_tfidf_nn_capped",
+      (s, dir) => {
+        val d = docsParallel(s, dir)
+        val toks = split(col("text"), " ")
+        // same DECIMAL(19,0) pre-flight bound as the exact form — the
+        // sampled norms/dots are dominated by the uncapped worst case
+        val pre = d.agg(count(lit(1)).as("n"),
+          max(size(toks)).cast("long").as("mt")).head()
+        val nDocs = pre.getLong(0)
+        val maxToks = if (pre.isNullAt(1)) 0L else pre.getLong(1)
+        val maxW = BigInt(1000) * (2 * BigInt(nDocs) - 1) / 3
+        require(maxW * maxToks < BigInt("3162277660168379331"),
+          s"dedup_tfidf_nn_capped: idf-weight bound maxW*maxTokens = " +
+            s"${maxW * maxToks} (n_docs=$nDocs, max_tokens=$maxToks) " +
+            "exceeds the DECIMAL(19,0) cos2 range")
+        val sh = d.filter(size(toks) >= 3).select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(toks) - lit(3)), i =>
+            array_join(slice(toks, i + 1, lit(3)), " "))).as("shingle"))
+        val tf = sh.groupBy("doc_id", "shingle").agg(count(lit(1)).as("tf"))
+        val dfr = tf.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxShingleDF)
+        val n = d.agg(count(lit(1)).as("n_docs"))
+        val w = tf.join(dfr, "shingle").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("shingle"),
+            (col("tf") *
+              expr("(1000 * (2*n_docs - 2*df + 1)) div (2*df + 1)")).as("w"))
+        // the posting sample: one window over the linear posting
+        // relation, partitioned on the shingle (the same key the dot
+        // join shuffles on, so at scale the sample and the join share
+        // a partitioning — no extra exchange)
+        val ws = Window.partitionBy("shingle").orderBy(
+          hash31(concat_ws(":", col("shingle"), col("doc_id"))).asc,
+          col("doc_id").asc)
+        val wc = w.withColumn("prn", row_number().over(ws))
+          .filter(col("prn") <= TfidfPostingCap).drop("prn")
+        val w19 = col("w").cast("decimal(19,0)")
+        val norms = wc.groupBy("doc_id")
+          .agg(sum(w19 * w19).as("n2"))
+        val dots = wc.as("a").join(wc.as("b"), Seq("shingle"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(sum(col("a.w").cast("decimal(19,0)") *
+            col("b.w").cast("decimal(19,0)")).as("dot"))
+        val directed = dots
+          .select(col("a_id").as("src"), col("b_id").as("dst"), col("dot"))
+          .unionAll(dots
+            .select(col("b_id").as("src"), col("a_id").as("dst"), col("dot")))
+        val wv = Window.partitionBy("src")
+          .orderBy(col("cos2").desc, col("dst").asc)
+        directed
+          .join(norms.select(col("doc_id").as("src"), col("n2").as("s_n2")),
+            "src")
+          .join(norms.select(col("doc_id").as("dst"), col("n2").as("d_n2")),
+            "dst")
+          .withColumn("cos2",
+            expr("""CAST(CAST(dot AS DECIMAL(19,0)) *
+                         CAST(dot AS DECIMAL(19,0)) AS DOUBLE) /
+                    nullif(CAST(CAST(s_n2 AS DECIMAL(19,0)) *
+                         CAST(d_n2 AS DECIMAL(19,0)) AS DOUBLE), 0.0D)"""))
+          .withColumn("rk", row_number().over(wv))
+          .filter(col("rk") === 1)
+          .select(col("src").as("doc_id"), col("dst").as("nn_id"),
+            col("cos2"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+                 SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE len(string_split(text, ' ')) >= 3),
+               sh AS (
+                 SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+                 FROM tk, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) ix),
+               tf AS (
+                 SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
+                 FROM sh GROUP BY 1, 2),
+               dfr AS (
+                 SELECT shingle, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY 1 HAVING count(*) <= $MaxShingleDF),
+               n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+               wt AS (
+                 SELECT doc_id, shingle,
+                   tf * ((1000 * (2*n.n_docs - 2*df + 1)) // (2*df + 1)) AS w
+                 FROM tf JOIN dfr USING (shingle), n),
+               wc AS (
+                 SELECT doc_id, shingle, w FROM (
+                   SELECT doc_id, shingle, w,
+                     row_number() OVER (PARTITION BY shingle ORDER BY
+                       CAST(concat('0x', substr(md5(concat(shingle, ':',
+                         CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                         % 2147483647,
+                       doc_id) AS prn
+                   FROM wt) t
+                 WHERE prn <= $TfidfPostingCap),
+               norms AS (
+                 SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
+                 FROM wc GROUP BY doc_id),
+               dots AS (
+                 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+                 FROM wc a JOIN wc b ON a.shingle = b.shingle
                   AND a.doc_id < b.doc_id
                  GROUP BY 1, 2),
                directed AS (

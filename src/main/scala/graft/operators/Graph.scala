@@ -135,13 +135,19 @@ object Graph {
         // isEmpty is a limit(1) probe over the already-materialized
         // checkpoint blocks — a full count() here forced an extra
         // whole-relation action on every run (round-6 advice). An
-        // edgeless graph gets the fixture-consistent degenerate answer
-        // (isolated docs score 0/0) instead of the max-norm division,
-        // whose denominator would be 0 (degenerate-corpus sweep, r8).
+        // edgeless graph emits NULL scores: HITS under max-norm is
+        // undefined when every sum is 0, and the oracle's rescale
+        // `(0 * Q) // max(0)` is 0//0 which DuckDB maps to NULL — the
+        // fallback replays that NULL propagation exactly (r9 advice;
+        // the r8 fallback's 0L/0.0 rows diverged on any corpus with
+        // documents but no near-dup pairs — covered by the `edgeless`
+        // degenerate mode, CorpusGen).
         if (pairs.isEmpty) {
           docs.select(col("doc_id"),
-            lit(0L).as("auth_q"), lit(0L).as("hub_q"),
-            lit(0.0).as("authority"), lit(0.0).as("hub"))
+            lit(null).cast("long").as("auth_q"),
+            lit(null).cast("long").as("hub_q"),
+            lit(null).cast("double").as("authority"),
+            lit(null).cast("double").as("hub"))
             .orderBy("doc_id")
         } else {
           def rescale(x: DataFrame, c: String): DataFrame = {
@@ -993,11 +999,20 @@ object Graph {
   private lazy val PprOracleSql: String = {
     val seedCount =
       s"(SELECT count(*) FROM documents WHERE doc_id % $PprSeedMod = 0)"
+    // COALESCE around the seed-share divisions: when the corpus has no
+    // seeds the predicate never selects the THEN branch, so the NULL
+    // that DuckDB's `$Q // 0` produces can only leak if an engine folds
+    // the branch eagerly — the coalesce pins both readings to the same
+    // all-zero ranks the Spark guard emits (nSeeds==0 → seedShare=0L).
+    // On any corpus with ≥1 seed the divisions are non-NULL and the
+    // coalesce is an identity, so healthy hashes are unchanged (r9
+    // advice, Graph.scala graph_ppr seedless guard).
     val iters = (1 to Iters).map { i =>
       s"""r$i AS (
             SELECT doc.doc_id,
               (CASE WHEN doc.doc_id % $PprSeedMod = 0
-                 THEN 15 * $Q // (100 * $seedCount) ELSE 0 END)
+                 THEN COALESCE(15 * $Q // (100 * $seedCount), 0)
+                 ELSE 0 END)
                 + COALESCE(c.cs, 0) AS r
             FROM documents doc LEFT JOIN (
               SELECT e.v, CAST(sum((85 * r.r) // (100 * dg.deg)) AS BIGINT) AS cs
@@ -1013,7 +1028,7 @@ object Graph {
           r0 AS (
             SELECT doc_id,
               CASE WHEN doc_id % $PprSeedMod = 0
-                THEN $Q // $seedCount ELSE 0 END AS r
+                THEN COALESCE($Q // $seedCount, 0) ELSE 0 END AS r
             FROM documents),
           $iters
         SELECT doc_id, CAST(r AS BIGINT) AS ppr_q,

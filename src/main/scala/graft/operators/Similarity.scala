@@ -171,8 +171,13 @@ object Similarity {
         // nothing (degenerate sweep, r8). The OPERATOR keeps its loud
         // nonEmpty contract (SimilaritySpec); the registry entry decides
         // the no-input policy.
+        // limit(0): the guard must be a typed EMPTY relation regardless
+        // of the corpus side — `e.select(...)` alone would fabricate one
+        // row per corpus vector if embeddings were nonempty while no
+        // vec_id < NumQueries (r9 advice; today queries.isEmpty implies
+        // e.isEmpty, but the branch shouldn't depend on that invariant)
         if (queries.isEmpty)
-          e.select(col("vec_id").as("q_id"), col("vec_id"),
+          e.limit(0).select(col("vec_id").as("q_id"), col("vec_id"),
             lit(0.0).as("cos"), lit(0L).as("rank"))
         else
           graft.plans.CosineTopKOp
@@ -550,6 +555,56 @@ object Similarity {
                SELECT list_id, n_vectors,
                  CAST(n_vectors AS DOUBLE) / CAST(total AS DOUBLE) AS share
                FROM counts, tot ORDER BY list_id"""),
+      ),
+
+    // Index REFRESH semantics (r9, VERDICT task 7) — the missing leg of
+    // the build/save/serve/inspect lifecycle: a batch is APPENDED to the
+    // corpus, the index cache's corpus fingerprint changes, the next
+    // serve triggers a rebuild against the appended corpus, and the
+    // served results must equal an inline build over base+batch — the
+    // dedup_incremental discipline applied to ANN. Mechanics: the
+    // original embeddings are split 12:1 (vec_id % 13) into a private
+    // corpus dir; the base slice is written and indexed (build #1), the
+    // batch slice is appended as new parquet files, and serving the
+    // SAME dir again rebuilds (build #2) because ivfIndexDir keys its
+    // cache on file size/mtime fingerprints, not the path. The operator
+    // asserts the rebuild actually happened (distinct index dirs) and
+    // returns the post-refresh served top-k. Since base ∪ batch is
+    // exactly the original corpus, the oracle is the standard inline
+    // IVF SQL over `embeddings` — bit-equality here proves
+    // refresh-then-serve ≡ rebuild-from-scratch. At 100 TB "refresh" is
+    // this same shape: rebuild into a fresh dir keyed by the new
+    // corpus state and swap the serving path atomically.
+    QueryDef(
+      "sim_ann_ivf_refresh",
+      (s, dir) => {
+        val e = embParallel(s, dir)
+        val tmpP = java.nio.file.Files
+          .createTempDirectory("graft_ivf_refresh")
+        sys.addShutdownHook {
+          import java.nio.file.{Files, Path}
+          if (Files.exists(tmpP)) {
+            val walk = Files.walk(tmpP)
+            try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+              .forEach(f => Files.deleteIfExists(f))
+            finally walk.close()
+          }
+        }
+        val tmp = tmpP.toString
+        e.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+        val idxBase = ivfIndexDir(s, tmp) // build #1: base corpus
+        e.filter(pmod(col("vec_id"), lit(13)) === 0)
+          .write.mode("append").parquet(s"$tmp/embeddings.parquet")
+        val idxFresh = ivfIndexDir(s, tmp) // fingerprint changed → rebuild
+        require(idxFresh != idxBase,
+          "sim_ann_ivf_refresh: append did not trigger an index rebuild " +
+            s"(stale cache key? base=$idxBase fresh=$idxFresh)")
+        ivfServedTopK(s, tmp, nprobe = 1,
+          e.filter(col("vec_id") < NumQueries)
+            .select("vec_id", "embedding"))
+      },
+      Some(ivfOracleSql(nprobe = 1)),
       ),
 
     // Hard-negative mining — the contrastive-training data op: for each
@@ -1244,8 +1299,13 @@ object Similarity {
   private val ivfIndexDirs =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  // keyed on dir + file-metadata fingerprint (r9 advice): a corpus
+  // rewritten in place within one JVM gets a fresh index build, never a
+  // stale served answer — and the refresh operator (sim_ann_ivf_refresh)
+  // gets rebuild-on-append for free from the same key.
   private[graft] def ivfIndexDir(s: SparkSession, dir: String): String =
-    ivfIndexDirs.getOrElseUpdate(dir, {
+    ivfIndexDirs.getOrElseUpdate(
+      graft.Tables.corpusFingerprint(dir, "embeddings"), {
       val p = java.nio.file.Files.createTempDirectory("graft_ivf_index")
       sys.addShutdownHook {
         import java.nio.file.{Files, Path}

@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * is per-partition and would not be).
   *
   * Usage: runMain graft.sources.CorpusGen <outDir> [scale=0.01] [seed=7]
-  *        [mode=healthy|minimal|skew]   (degenerate modes: see below)
+  *        [mode=healthy|minimal|skew|edgeless]  (degenerate: see below)
   */
 object CorpusGen {
 
@@ -193,18 +193,36 @@ object CorpusGen {
     * custkey (max-skew join keys), and half of all embeddings the
     * IDENTICAL unit vector (zero-distance ANN ties). Invariants the
     * operators document are preserved: events.ts stays globally
-    * strictly increasing so (user_id, ts) is unique. */
+    * strictly increasing so (user_id, ts) is unique.
+    *
+    * `edgeless` (r9 advice): documents NONEMPTY but pairwise
+    * token-disjoint — every word embeds its doc_id, so no two documents
+    * share a single shingle and the near-dup pair relation is EMPTY
+    * while the node set is not. This is the shape neither r8 mode
+    * covered (minimal has zero docs, skew is one big clique) and it is
+    * exactly where graph_hits' edgeless fallback diverged from its
+    * oracle. Everything except documents stays healthy. */
   def degenerate(spark: SparkSession, mode: String, scale: Double,
       seed: Long): Seq[(String, DataFrame)] = {
     val base = tables(spark, scale, seed)
     mode match {
-      case "minimal" => base.map {
-        case (n @ ("documents" | "events" | "embeddings"), df) =>
-          n -> df.limit(0)
-        case (n @ ("customer" | "supplier" | "part" | "orders" |
-            "lineitem"), df) => n -> df.limit(1)
-        case other => other
-      }
+      case "minimal" =>
+        // pin the surviving row by primary key: a bare limit(1) takes
+        // whatever row the scan yields first, so regenerated corpora
+        // could differ across Spark versions/partitionings despite the
+        // same-seed determinism claim (r9 advice)
+        val pk = Map(
+          "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+          "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+          "lineitem" -> Seq("l_orderkey", "l_linenumber"))
+        base.map {
+          case (n @ ("documents" | "events" | "embeddings"), df) =>
+            n -> df.limit(0)
+          case (n @ ("customer" | "supplier" | "part" | "orders" |
+              "lineitem"), df) =>
+            n -> df.orderBy(pk(n).map(col): _*).limit(1)
+          case other => other
+        }
       case "skew" =>
         val dupText = ("the big hash join " * 12).trim // 48 words, shared
         base.map {
@@ -235,6 +253,22 @@ object CorpusGen {
                 .otherwise(col("embedding")))
           case other => other
         }
+      case "edgeless" => base.map {
+        case ("documents", df) => "documents" ->
+          // each word carries its doc_id -> token sets are pairwise
+          // disjoint -> zero shared shingles -> an edgeless near-dup
+          // graph over a nonempty node set; n_words keeps the healthy
+          // length distribution so per-doc stats stay exercised
+          df.withColumn("n_words",
+              (length(col("text")) - length(regexp_replace(col("text"),
+                lit(" "), lit(""))) + 1).cast("int"))
+            .withColumn("text",
+              expr("""array_join(transform(sequence(1, n_words), i ->
+                   concat('w', doc_id, 'q', i)), ' ')"""))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+            .drop("n_words")
+        case other => other
+      }
       case other =>
         throw new IllegalArgumentException(s"unknown degenerate mode $other")
     }

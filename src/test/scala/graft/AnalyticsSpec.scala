@@ -341,4 +341,24 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("stickiness") <= 1.0)
     }
   }
+
+  test("HLL DAU/MAU: exact twin matches q_dau_mau, every sketch flag ok") {
+    // the sketch-merge variant must carry the SAME exact anchors as the
+    // user-grain form, and the per-day union estimate must land inside
+    // the 5%+32 validity band on every day (a dropped or double-counted
+    // day sketch would push it out)
+    val exact = run("q_dau_mau").collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("mau"))).toMap
+    val hll = run("q_dau_mau_hll").collect()
+    assert(hll.nonEmpty)
+    assert(hll.map(_.getAs[Long]("day")).toSet === exact.keySet)
+    hll.foreach { r =>
+      val (dau, mau) = exact(r.getAs[Long]("day"))
+      assert(r.getAs[Long]("dau") === dau)
+      assert(r.getAs[Long]("mau_exact") === mau)
+      assert(r.getAs[Boolean]("hll_ok"),
+        s"day ${r.getAs[Long]("day")}: HLL MAU estimate outside 5%+32 band")
+    }
+  }
 }

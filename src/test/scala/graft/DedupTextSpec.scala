@@ -42,6 +42,20 @@ class DedupTextSpec extends AnyFunSuite {
     assert(out(1L)._1 === 0L && out(1L)._2 === 1.0)
   }
 
+  test("capped tfidf nn equals the exact form when every df <= the cap") {
+    // on sparse corpora the per-shingle posting sample is the identity
+    // (nothing to drop), so the pipeline form must reproduce the exact
+    // reporting form bit-for-bit — the cap only ever bites when a
+    // shingle's posting list exceeds TfidfPostingCap
+    val exact = Registry.byName("dedup_tfidf_nn").run(spark, plantedDir)
+      .collect().toSeq
+    val capped = Registry.byName("dedup_tfidf_nn_capped")
+      .run(spark, plantedDir).collect().toSeq
+    assert(exact.nonEmpty)
+    assert(capped === exact,
+      "sampled-posting form must equal the exact form on a sparse corpus")
+  }
+
   test("BPE merge-round count stays inside the driver-serialization guard") {
     // each merge round is one driver-serialized Spark job AND one more
     // chained subquery in the oracle CTE — the require in TextAnalysis

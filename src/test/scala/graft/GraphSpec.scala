@@ -285,4 +285,38 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     cond.foreach(r => assert(lpa.contains(r.getAs[Long]("community"))))
   }
+
+  // docs present, zero near-dup pairs: every word embeds its doc_id so
+  // token sets are pairwise disjoint — the shape the r9 `edgeless`
+  // degenerate mode sweeps corpus-wide (r9 advice: the r8 fallback
+  // emitted 0s here while the oracle's 0//0 max-norm rescale is NULL)
+  private lazy val edgelessDir: String = {
+    val d = Files.createTempDirectory("graft_graph_edgeless").toString
+    val docs = (0L to 6L)
+      .map(i => (i, (1 to 8).map(j => s"w${i}q$j").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("hits on a docs-nonempty edgeless graph: one row per doc, all NULL") {
+    val out = Registry.byName("graph_hits").run(spark, edgelessDir).collect()
+    assert(out.length === 7, "every document still gets a row")
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("auth_q")))
+      assert(r.isNullAt(r.fieldIndex("hub_q")))
+      assert(r.isNullAt(r.fieldIndex("authority")))
+      assert(r.isNullAt(r.fieldIndex("hub")))
+    }
+  }
+
+  test("pagerank on the edgeless graph: every doc keeps only base mass") {
+    // no edges -> no contributions; each rank is the damped base term,
+    // identical across docs (the dangling-mass-stays-put convention)
+    val out = Registry.byName("graph_pagerank").run(spark, edgelessDir)
+      .collect().map(_.getAs[Long]("pagerank_q"))
+    assert(out.length === 7)
+    assert(out.distinct.length === 1, "isolated docs must tie")
+  }
 }

@@ -193,6 +193,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(servedAgain.toSeq === served.toSeq)
   }
 
+  test("IVF refresh: append rebuilds the index and serves the full corpus") {
+    // sim_ann_ivf_refresh splits the corpus 12:1, indexes the base
+    // slice, APPENDS the held-out batch, and re-serves: the fingerprint
+    // cache key must force a rebuild (the operator requires distinct
+    // index dirs internally) and the served result must equal the
+    // inline build over the ORIGINAL corpus — refresh-then-serve ≡
+    // rebuild-from-scratch (r9, VERDICT task 7)
+    val corpus = TestSpark.sf
+    val inline = Registry.byName("sim_ann_ivf").run(spark, corpus).collect()
+    val refreshed = Registry.byName("sim_ann_ivf_refresh")
+      .run(spark, corpus).collect()
+    assert(inline.nonEmpty)
+    assert(refreshed.toSeq === inline.toSeq)
+  }
+
   test("IVF index stats account for every vector and shares sum to 1") {
     val corpus = TestSpark.sf
     val nVecs = Tables.load(spark, corpus, "embeddings").count()
