@@ -10,7 +10,9 @@ import graft.sources.DataGen
   *
   * Env knobs: GRAFT_DATA_DIR, GRAFT_NUM_FILES (7), GRAFT_ROWS_PER_FILE
   * (5,000,000 in the reference; smaller default here to keep local runs
-  * in minutes), GRAFT_MAX_WAIT_MS (60).
+  * in minutes), GRAFT_MAX_WAIT_MS (60), GRAFT_WAITS (comma-separated ms
+  * list overriding the 10..MAX sweep — the memory-pressure run uses
+  * second-scale waits so cancellation lands MID-SPILL, r9 task 8).
   */
 object CancelBench {
   def main(args: Array[String]): Unit = {
@@ -30,7 +32,16 @@ object CancelBench {
     spark.sparkContext.setLogLevel("WARN")
 
     DataGen.findOrGenerate(spark, dataDir, numFiles, rowsPerFile)
-    DataGen.loadTestTable(spark, dataDir)
+    // GRAFT_NO_PERSIST=1 — the memory-pressure sweep (r9 task 8): under
+    // a starved heap the MEMORY_ONLY cache competes with the vectorized
+    // reader's batch allocations and the aggregate's execution memory
+    // (observed: scan-side OOM at 2 GiB before any cancel fired).
+    // A pressured production executor serves scans from storage, so the
+    // pressure run reads straight from parquet — the measured quantity
+    // (cancel-request → control-returned while the aggregate spills)
+    // is unchanged.
+    DataGen.loadTestTable(spark, dataDir,
+      persist = !sys.env.contains("GRAFT_NO_PERSIST"))
 
     // untimed warm-up: the sweep's FIRST row otherwise pays whole-stage
     // codegen compilation + HotSpot tiering for the distinct plan and
@@ -43,7 +54,10 @@ object CancelBench {
     // scan/aggregate codegen hot, not the result on the driver.
     DataGen.distinctQuery(spark).write.format("noop").mode("overwrite").save()
 
-    val results = Cancel.sweep(spark, 10L to maxWait,
+    val waitsOverride = sys.env.get("GRAFT_WAITS")
+      .map(_.split(',').map(_.trim.toLong).toSeq)
+    val results = Cancel.sweep(spark,
+      waitsOverride.getOrElse(10L to maxWait),
       s => { DataGen.distinctQuery(s).collect(); () })
     println(Cancel.markdownTable(results))
 
