@@ -84,7 +84,11 @@ object GrowthBench {
     "graph_ppr" -> "~linear x iters (equi-join per iter, seed base term)",
     "q_fmt_xml" -> "linear (format round-trip, map-only parse)",
     "text_ngram_novelty" -> "~linear (gram DF join, DF-capped)",
-    "dedup_tfidf_nn_capped" -> "~linear (V x cap^2 sampled-posting join)")
+    "dedup_tfidf_nn_capped" -> "~linear (V x cap^2 sampled-posting join)",
+    // round-9 second wave
+    "sim_ann_graph_search" -> "~linear (band-capped knn build; serving Q x B x K bounded)",
+    "sample_priority" -> "linear (map + distributed top-k, no global sort)",
+    "q_welch_ttest" -> "linear (one map-side-combined hash aggregate)")
 
   /** sf dirs to measure, smallest first. Overridable so the 0.1->1
     * decade can run on generated same-seed corpora (round-7 verdict

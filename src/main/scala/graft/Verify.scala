@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -12,6 +13,18 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Concurrent query dumps (round-9: a sequential full-registry dump
+    // is ~11 min at local[32] and far worse at the default local[4] —
+    // long enough to risk a driver-side timeout, the one mechanism that
+    // explains the r8 empty gate). Most of that wall is per-query
+    // planning/scheduling gaps, not executor saturation, so overlapping
+    // a few queries recovers it. Each worker runs on its own
+    // spark.newSession(): temp views and UDF registrations are
+    // session-scoped, so fixed-name views (graft_neardup_pairs, tpch
+    // tables) cannot race; the shared SparkContext schedules fairly.
+    // Set SPARK_GRAFT_VERIFY_WORKERS=1 to restore the sequential path.
+    val workers = sys.env.get("SPARK_GRAFT_VERIFY_WORKERS")
+      .map(_.toInt).getOrElse(math.min(8, cpus.toInt)).max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,23 +34,49 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val t0 = System.nanoTime()
-    var nWritten = 0
-    var nFailed = 0
-    val failed = scala.collection.mutable.ListBuffer[String]()
+    val nWritten = new AtomicInteger(0)
+    val nFailed = new AtomicInteger(0)
+    val failed =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    selected.foreach { case (name, fn) =>
+
+    def runOne(sess: SparkSession, name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        fn(sess, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        nWritten += 1
+        nWritten.incrementAndGet()
       } catch { case e: Throwable =>
-        nFailed += 1
-        failed += name
+        nFailed.incrementAndGet()
+        failed.add(name)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // SPARK_GRAFT_TRACE=1: full stack for degenerate-corpus triage
         if (sys.env.contains("SPARK_GRAFT_TRACE")) e.printStackTrace()
       }
+
+    if (workers <= 1) {
+      selected.foreach { case (name, fn) => runOne(spark, name, fn) }
+    } else {
+      val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+      selected.foreach(queue.add)
+      val threads = (1 to workers).map { _ =>
+        val t = new Thread(() => {
+          val sess = spark.newSession()
+          // thread-local active session: operator code that resolves
+          // SparkSession.active (implicit encoders, expr parsing) must
+          // see THIS worker's session, not whichever thread won a race
+          SparkSession.setActiveSession(sess)
+          var item = queue.poll()
+          while (item != null) {
+            runOne(sess, item._1, item._2)
+            item = queue.poll()
+          }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      threads.foreach(_.join())
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -63,16 +102,17 @@ object Verify {
     // a complete sweep (check_oracle.py skips the completeness gate
     // only when it sees n_selected < n_queries).
     val wallS = (System.nanoTime() - t0) / 1e9
+    import scala.jdk.CollectionConverters._
     val manifest =
       s"""{"n_queries": ${SparkEntry.queries.size},
          | "n_selected": ${selected.size},
-         | "n_written": $nWritten,
-         | "n_failed": $nFailed,
-         | "failed": ${failed.map(q).mkString("[", ",", "]")},
+         | "n_written": ${nWritten.get},
+         | "n_failed": ${nFailed.get},
+         | "failed": ${failed.asScala.toSeq.sorted.map(q).mkString("[", ",", "]")},
          | "wall_s": ${f"$wallS%.1f"}}""".stripMargin
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
-    println(s"[verify] wrote $nWritten/${selected.size} query dumps, " +
-      s"$nFailed failed, ${f"$wallS%.1f"}s")
+    println(s"[verify] wrote ${nWritten.get}/${selected.size} query dumps, " +
+      s"${nFailed.get} failed, ${f"$wallS%.1f"}s, workers=$workers")
     // exit stays 0 even with per-query failures: the parquet dumps ARE
     // the record and the gate-side checker (check_oracle.py, or the
     // driver's comparator finding MISSING dirs) is where failure must

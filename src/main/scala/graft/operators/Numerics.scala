@@ -605,6 +605,94 @@ object Numerics {
                 CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
               FROM g, t ORDER BY dow, hour""")),
 
+    // Welch's unequal-variance t-test on purchase VALUES between the
+    // two deterministic A/B arms — the continuous-metric sibling of
+    // q_ab_test's two-proportion z (revenue-per-purchase moves are what
+    // pricing experiments actually read). Sufficient statistics are
+    // exact: per-arm n (BIGINT), Σcents and Σcents² in DECIMAL(38,0) —
+    // cents² ~ 1e9 and a 1e9-row 100 TB arm would overflow BIGINT where
+    // decimal128/HUGEINT stay exact — one map-side-combined hash
+    // aggregate over the events scan, a 2-row fold, a 1-row projection.
+    // Doubles enter only in the closing formulas (means, the two
+    // variance quotients, t, and the Welch–Satterthwaite df), each
+    // written as the IDENTICAL expression tree in the oracle so every
+    // IEEE op matches bit-for-bit; arms with n < 2 yield NULL t/df via
+    // the same CASE guard on both engines (never an engine-specific
+    // divide-by-zero policy).
+    QueryDef(
+      "q_welch_ttest",
+      (s, dir) => {
+        val cts = (col("value").cast("decimal(12,2)") * 100).cast("long")
+        val d38 = "decimal(38,0)"
+        val p = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(pmod(col("user_id"), lit(2L)).as("arm"), cts.as("c"))
+        val m = p.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 0, col("c")).otherwise(0L).cast(d38)).as("s_a"),
+          sum(when(col("arm") === 0, col("c") * col("c")).otherwise(0L)
+            .cast(d38)).as("q_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 1, col("c")).otherwise(0L).cast(d38)).as("s_b"),
+          sum(when(col("arm") === 1, col("c") * col("c")).otherwise(0L)
+            .cast(d38)).as("q_b"))
+        // exact centered numerators first (decimal), doubles only after
+        val va = ((col("n_a").cast(d38) * col("q_a") - col("s_a") * col("s_a"))
+          .cast("double") /
+          (col("n_a") * (col("n_a") - 1L)).cast("double")) / col("n_a").cast("double")
+        val vb = ((col("n_b").cast(d38) * col("q_b") - col("s_b") * col("s_b"))
+          .cast("double") /
+          (col("n_b") * (col("n_b") - 1L)).cast("double")) / col("n_b").cast("double")
+        m.select(col("n_a"), col("n_b"),
+            when(col("n_a") > 0,
+              col("s_a").cast("double") / col("n_a").cast("double")).as("mean_a"),
+            when(col("n_b") > 0,
+              col("s_b").cast("double") / col("n_b").cast("double")).as("mean_b"),
+            when(col("n_a") > 1 && col("n_b") > 1, va).as("va"),
+            when(col("n_a") > 1 && col("n_b") > 1, vb).as("vb"))
+          .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+            ((col("mean_a") - col("mean_b")) / sqrt(col("va") + col("vb")))
+              .as("t_stat"),
+            (((col("va") + col("vb")) * (col("va") + col("vb"))) /
+              (col("va") * col("va") / (col("n_a") - 1L).cast("double") +
+                col("vb") * col("vb") / (col("n_b") - 1L).cast("double")))
+              .as("df"))
+      },
+      Some("""WITH p AS (
+                SELECT user_id % 2 AS arm,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+                FROM events WHERE event_type = 'purchase'),
+              m AS (
+                SELECT
+                  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS s_a,
+                  sum(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS q_a,
+                  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                  sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS s_b,
+                  sum(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS q_b
+                FROM p),
+              v AS (
+                SELECT n_a, n_b,
+                  CASE WHEN n_a > 0 THEN
+                    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS mean_a,
+                  CASE WHEN n_b > 0 THEN
+                    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS mean_b,
+                  CASE WHEN n_a > 1 AND n_b > 1 THEN
+                    (CAST(n_a * q_a - s_a * s_a AS DOUBLE)
+                      / CAST(n_a * (n_a - 1) AS DOUBLE)) / CAST(n_a AS DOUBLE)
+                  END AS va,
+                  CASE WHEN n_a > 1 AND n_b > 1 THEN
+                    (CAST(n_b * q_b - s_b * s_b AS DOUBLE)
+                      / CAST(n_b * (n_b - 1) AS DOUBLE)) / CAST(n_b AS DOUBLE)
+                  END AS vb
+                FROM m)
+              SELECT n_a, n_b, mean_a, mean_b,
+                (mean_a - mean_b) / sqrt(va + vb) AS t_stat,
+                ((va + vb) * (va + vb)) /
+                  (va * va / CAST(n_a - 1 AS DOUBLE) +
+                   vb * vb / CAST(n_b - 1 AS DOUBLE)) AS df
+              FROM v""")),
+
     // Two-sample Kolmogorov–Smirnov drift statistic — the distribution-
     // shift alarm a training pipeline runs between data slices (here
     // purchase values of the two deterministic A/B arms; in production,

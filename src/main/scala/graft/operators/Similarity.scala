@@ -28,6 +28,8 @@ object Similarity {
   private val NearDupThreshold = 0.4
   private val NumHyperplanes = 8 // 256 buckets
   private val KnnGraphK = 3 // neighbors per vector in the k-NN graph
+  private val BeamWidth = 8 // graph-search beam (> TopK + 1: self-cut room)
+  private val GraphSearchRounds = 3 // synchronous beam expansions
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -1029,6 +1031,92 @@ object Similarity {
                SELECT src_id, nbr_id, cos, CAST(rank AS BIGINT) AS rank
                FROM r WHERE rank <= $KnnGraphK ORDER BY src_id, rank""")),
 
+    // Graph-based ANN serving — the THIRD index family after
+    // hash-bucket LSH (sim_ann_lsh) and coarse-quantizer IVF
+    // (sim_ann_ivf): greedy BEAM SEARCH over the corpus k-NN graph,
+    // the navigation pattern HNSW/NSW indexes serve with, expressed
+    // relationally. Every query starts at one fixed entry point (the
+    // corpus min vec_id — HNSW's fixed entry, obtained as a 1-row
+    // broadcast aggregate, never a driver round-trip), then
+    // GraphSearchRounds synchronous expansions: candidates = beam ∪
+    // beam's graph neighbors (one equi-join of the ≤ |Q|·BeamWidth-row
+    // beam against the knn edges, beam side broadcast), exact-cosine
+    // score against the query, keep the best BeamWidth per query
+    // (one row_number window on the tiny candidate set). Scores never
+    // change, so a candidate dropped from the beam is dominated
+    // forever — by induction the final beam IS the top-BeamWidth of
+    // everything visited, and the final top-k (k < BeamWidth) is the
+    // true top-k of the visited set. Per-round work is bounded by
+    // |Q| x BeamWidth x KnnGraphK candidate rows — corpus size enters
+    // only through the graph build (the same band-capped relation as
+    // sim_knn_graph, localCheckpointed so 3 rounds scan it once). At
+    // 100 TB the graph is a built-once artifact (the ivfIndexDir
+    // lifecycle applies verbatim) and serving cost is per-query
+    // constant. Band keys, cosine folds, and tie-breaks are all
+    // md5/exact-decimal deterministic, so the oracle replays the graph
+    // build AND every beam round bit-for-bit.
+    QueryDef(
+      "sim_ann_graph_search",
+      (s, dir) => {
+        val e = embParallel(s, dir)
+        // the sim_knn_graph edge relation (src_id, nbr_id), rank-capped
+        val knn = {
+          val bands = cappedBands(bandKeys(e))
+          val cand = bands.as("x").join(bands.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.band_val") === col("y.band_val") &&
+                col("x.vec_id") =!= col("y.vec_id"))
+            .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("nbr_id"))
+            .distinct()
+          val w = Window.partitionBy(col("src_id"))
+            .orderBy(col("cos").desc, col("nbr_id"))
+          cand
+            .join(e.select(col("vec_id").as("src_id"),
+              col("embedding").as("s_emb")), Seq("src_id"))
+            .join(e.select(col("vec_id").as("nbr_id"),
+              col("embedding").as("n_emb")), Seq("nbr_id"))
+            .select(col("src_id"), col("nbr_id"),
+              CosineSimilarity(s, col("s_emb"), col("n_emb")).as("cos"))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= KnnGraphK)
+            .select("src_id", "nbr_id")
+            .localCheckpoint() // all rounds expand against ONE build
+        }
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cv = e.select(col("vec_id").as("cand"),
+          col("embedding").as("c_emb"))
+        val entry = e.agg(min(col("vec_id")).as("cand"))
+        var beam = q.select("q_id").crossJoin(broadcast(entry))
+        var scored: DataFrame = null
+        for (_ <- 1 to GraphSearchRounds) {
+          val expand = broadcast(beam)
+            .join(knn, col("cand") === col("src_id"))
+            .select(col("q_id"), col("nbr_id").as("cand"))
+          val cands = beam.union(expand).distinct()
+          scored = cands
+            .join(q, Seq("q_id"))
+            .join(cv, Seq("cand"))
+            .select(col("q_id"), col("cand"),
+              CosineSimilarity(s, col("q_emb"), col("c_emb")).as("cos"))
+          val w = Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("cand"))
+          beam = scored.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= BeamWidth).select("q_id", "cand")
+        }
+        // top-k of the final round's candidate set = top-k of the final
+        // beam (BeamWidth > TopK + 1 leaves room for the self-match cut)
+        val wf = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("cand"))
+        scored.filter(col("cand") =!= col("q_id"))
+          .withColumn("rank", row_number().over(wf).cast("long"))
+          .filter(col("rank") <= TopK)
+          .select(col("q_id"), col("cand").as("vec_id"),
+            col("cos"), col("rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some(graphSearchSql())),
+
     // Top principal direction by QUANTIZED power iteration — the "what
     // axis does this corpus vary along" pass (PCA top component) done
     // Spark-shaped: each of the 3 iterations is one map pass (per-row
@@ -1522,4 +1610,64 @@ object Similarity {
           FROM bandvals v LEFT JOIN viralbands w
             ON w.band = v.band AND w.band_val = v.band_val
           WHERE w.band IS NULL)"""
+
+  /** DuckDB replay of sim_ann_graph_search: the sim_knn_graph edge CTEs
+    * (MATERIALIZED — the knn relation is probed by every beam round and
+    * an inlined copy would re-run the band build per round), then each
+    * beam round as a cand/scored/beam CTE triple, built programmatically
+    * so the Spark loop and the oracle can never disagree on round count
+    * (the graph_pagerank oracle discipline). */
+  private def graphSearchSql(): String = {
+    val rounds = (1 to GraphSearchRounds).map { t =>
+      val prev = if (t == 1) "beam0" else s"beam${t - 1}"
+      s"""cand$t AS MATERIALIZED (
+            SELECT DISTINCT q_id, cand FROM (
+              SELECT q_id, cand FROM $prev
+              UNION ALL
+              SELECT b.q_id, k.nbr_id AS cand
+              FROM $prev b JOIN knn k ON k.src_id = b.cand)),
+          scored$t AS MATERIALIZED (
+            SELECT c.q_id, c.cand,
+              ${cosineSql("q.q_emb", "e.embedding")} AS cos
+            FROM cand$t c
+            JOIN q ON q.q_id = c.q_id
+            JOIN embeddings e ON e.vec_id = c.cand),
+          beam$t AS (
+            SELECT q_id, cand FROM (
+              SELECT q_id, cand,
+                row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, cand) AS rn
+              FROM scored$t) WHERE rn <= $BeamWidth)"""
+    }.mkString(",\n")
+    s"""WITH ${bandKeysSql()},
+        kcand AS (
+          SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS nbr_id
+          FROM bandkept x JOIN bandkept y
+            ON x.band = y.band AND x.band_val = y.band_val
+             AND x.vec_id != y.vec_id),
+        kscored AS (
+          SELECT c.src_id, c.nbr_id,
+            ${cosineSql("a.embedding", "b.embedding")} AS cos
+          FROM kcand c
+          JOIN embeddings a ON a.vec_id = c.src_id
+          JOIN embeddings b ON b.vec_id = c.nbr_id),
+        knn AS MATERIALIZED (
+          SELECT src_id, nbr_id FROM (
+            SELECT src_id, nbr_id,
+              row_number() OVER (PARTITION BY src_id
+                                 ORDER BY cos DESC, nbr_id) AS rank
+            FROM kscored) WHERE rank <= $KnnGraphK),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb
+              FROM embeddings WHERE vec_id < $NumQueries),
+        entry AS (SELECT min(vec_id) AS cand FROM embeddings),
+        beam0 AS (SELECT q.q_id, entry.cand FROM q, entry),
+        $rounds
+        SELECT q_id, cand AS vec_id, cos, CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT q_id, cand, cos,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, cand) AS rank
+          FROM scored$GraphSearchRounds WHERE cand != q_id)
+        WHERE rank <= $TopK ORDER BY q_id, rank"""
+  }
 }

@@ -723,6 +723,65 @@ object TextAnalysis {
               SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
               FROM r WHERE rk <= 50 ORDER BY lang, rk""")),
 
+    // Priority sampling (Duffield–Lund–Thorup): weighted sampling
+    // WITHOUT replacement of exactly k documents, with the
+    // Horvitz–Thompson threshold estimator that makes any subset-sum
+    // over the sample unbiased — the principled way to keep a k-row
+    // sketch of a 100 TB corpus for downstream weighted statistics
+    // (sample_weighted keeps a ∝-weight BERNOULLI sample whose size
+    // floats; this keeps EXACTLY k and ships the estimator with it).
+    // Priority q_i = w_i / u_i with w = the capped length weight and
+    // u the md5-derived uniform in (0, 1] — both exact integers
+    // widened to double, so the single IEEE division is bit-identical
+    // on any engine and the ranked order is deterministic (doc_id
+    // tie-break). Estimator weight = max(w, tau) with tau = the
+    // (k+1)-th priority, a 1-row broadcast — never a driver value.
+    // Scale shape: top-(k+1) via orderBy().limit() — Spark plans
+    // TakeOrderedAndProject (per-partition heaps + one (k+1)-row
+    // merge); the rank window runs on the bounded survivor set only.
+    QueryDef(
+      "sample_priority",
+      (s, dir) => {
+        val k = 100
+        val w0 = least(col("n_chars"), lit(500L)).cast("double")
+        val u = ((hash31(concat_ws("|", lit("prio"),
+          col("doc_id").cast("string"))) % 1000000L) + 1L).cast("double") / 1000000.0
+        val top = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            w0.as("weight"), (w0 / u).as("priority"))
+          .orderBy(col("priority").desc, col("doc_id").asc)
+          .limit(k + 1) // TakeOrderedAndProject: distributed top-(k+1),
+        //   per-partition bounded heaps — NEVER a doc-grain global sort
+        val wr = Window.orderBy(col("priority").desc, col("doc_id").asc)
+        val ranked = top // bounded: the window ranks <= k+1 rows only
+          .withColumn("rk", row_number().over(wr).cast("long"))
+        val tau = ranked.filter(col("rk") === k + 1)
+          .select(col("priority").as("tau"))
+        // LEFT join: a corpus of <= k docs has no (k+1)-th priority —
+        // every row is kept and the estimator is the raw weight
+        ranked.filter(col("rk") <= k)
+          .join(broadcast(tau), lit(true), "left")
+          .select(col("doc_id"), col("lang"), col("weight"), col("rk"),
+            greatest(col("weight"), coalesce(col("tau"), col("weight")))
+              .as("est_weight"))
+          .orderBy("rk")
+      },
+      Some("""WITH p AS (
+                SELECT doc_id, lang,
+                  CAST(least(n_chars, 500) AS DOUBLE) AS weight,
+                  CAST(least(n_chars, 500) AS DOUBLE) /
+                    (CAST((CAST(concat('0x', substr(md5(concat('prio', '|',
+                        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                      % 2147483647) % 1000000 + 1 AS DOUBLE) / 1000000.0)
+                    AS priority
+                FROM documents),
+              r AS (SELECT *, row_number() OVER
+                      (ORDER BY priority DESC, doc_id ASC) AS rk FROM p),
+              t AS (SELECT priority AS tau FROM r WHERE rk = 101)
+              SELECT doc_id, lang, weight, CAST(rk AS BIGINT) AS rk,
+                greatest(weight, coalesce(t.tau, weight)) AS est_weight
+              FROM r LEFT JOIN t ON true WHERE rk <= 100 ORDER BY rk""")),
+
     // Class-balanced downsampling — the classifier-training prep that
     // equalizes label populations: every label keeps exactly
     // min(label count) rows (the data-derived target — a 1-row

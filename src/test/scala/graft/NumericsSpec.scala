@@ -320,4 +320,39 @@ class NumericsSpec extends AnyFunSuite {
     assert(late.getAs[Long]("f7") === byIdx(i - 7))
     assert(late.getAs[Long]("err7") === math.abs(byIdx(i) - byIdx(i - 7)))
   }
+
+  test("Welch t replays locally from exact per-arm moments") {
+    val row = Registry.byName("q_welch_ttest").run(spark, TestSpark.sf).head()
+    val cents = Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(pmod(col("user_id"), lit(2L)),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def moments(arm: Long): (Long, BigInt, BigInt) = {
+      val v = cents.filter(_._1 == arm).map(_._2)
+      (v.length.toLong,
+        v.map(BigInt(_)).sum,
+        v.map(x => BigInt(x) * BigInt(x)).sum)
+    }
+    val (na, sa, qa) = moments(0L)
+    val (nb, sb, qb) = moments(1L)
+    assert(row.getAs[Long]("n_a") === na)
+    assert(row.getAs[Long]("n_b") === nb)
+    val meanA = sa.toDouble / na.toDouble
+    val meanB = sb.toDouble / nb.toDouble
+    assert(row.getAs[Double]("mean_a") === meanA)
+    assert(row.getAs[Double]("mean_b") === meanB)
+    // same expression tree as the operator: exact centered numerator,
+    // then the two divisions in the written order
+    val va = (BigInt(na) * qa - sa * sa).toDouble / (na * (na - 1)).toDouble / na.toDouble
+    val vb = (BigInt(nb) * qb - sb * sb).toDouble / (nb * (nb - 1)).toDouble / nb.toDouble
+    val tExp = (meanA - meanB) / math.sqrt(va + vb)
+    val dfExp = (va + vb) * (va + vb) /
+      (va * va / (na - 1).toDouble + vb * vb / (nb - 1).toDouble)
+    assert(row.getAs[Double]("t_stat") === tExp)
+    assert(row.getAs[Double]("df") === dfExp)
+    // df is bounded by the classic Welch bracket
+    assert(dfExp >= math.min(na - 1, nb - 1).toDouble - 1e-9)
+    assert(dfExp <= (na + nb - 2).toDouble + 1e-9)
+  }
 }

@@ -111,6 +111,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     got.foreach { case (lang, n) => assert(n === math.min(50L, total(lang))) }
   }
 
+  test("sample_priority: exact-k DLT sample with the HT threshold estimator") {
+    val rows = Registry.byName("sample_priority").run(spark, TestSpark.sf)
+      .collect()
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> math.min(r.getLong(1), 500L).toDouble)
+    assert(rows.length === math.min(100, docs.length))
+    // local replay of the priority order: w / u with the same md5 draw
+    def h31(s0: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 2147483647L
+    }
+    val prio = docs.map { case (id, w) =>
+      (id, w, w / ((h31(s"prio|$id") % 1000000L + 1L).toDouble / 1000000.0))
+    }.sortBy { case (id, _, p) => (-p, id) }
+    val expIds = prio.take(100).map(_._1).toSeq
+    assert(rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("doc_id")).toSeq
+      === expIds)
+    // estimator: max(weight, tau) with tau = the 101st priority — every
+    // kept row's est_weight >= its raw weight, and rows whose weight is
+    // below tau all share est_weight = tau exactly
+    if (docs.length > 100) {
+      val tau = prio(100)._3
+      rows.foreach { r =>
+        val w = r.getAs[Double]("weight")
+        val e = r.getAs[Double]("est_weight")
+        assert(e === math.max(w, tau))
+      }
+    }
+  }
+
   test("text_rarity equals a local unigram collection-frequency replay") {
     val texts = Tables.load(spark, TestSpark.sf, "documents")
       .select("doc_id", "text").collect()

@@ -319,6 +319,52 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("graph search: ranked shape, no self, reachable, never below entry") {
+    val out = Registry.byName("sim_ann_graph_search").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Long]("rank")))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, g) =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to g.length).toSeq, s"q $q")
+      assert(sorted.map(_._3).toSeq.reverse.sorted.reverse ===
+        sorted.map(_._3).toSeq, s"q $q cos not sorted")
+      assert(g.forall(_._2 != q), s"q $q returned itself")
+      assert(g.length <= 5)
+    }
+    // every hit is reachable from the entry point within
+    // GraphSearchRounds hops of the knn graph (or IS the entry) — the
+    // beam can only ever visit what the expansions reach
+    val edges = Registry.byName("sim_knn_graph").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("nbr_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val entry = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .agg(min(col("vec_id"))).collect()(0).getLong(0)
+    var reach = Set(entry)
+    for (_ <- 1 to 3)
+      reach = reach ++ reach.flatMap(v => edges.getOrElse(v, Set.empty))
+    out.foreach { case (q, v, _, _) =>
+      assert(reach.contains(v), s"q $q hit $v unreachable in 3 hops")
+    }
+    // the beam never worsens: rank-1 beats (or ties) the entry cosine
+    val embMap = spark.read
+      .parquet(s"${TestSpark.sf}/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    def cosOf(a: Long, b: Long): Double = {
+      val (x, y) = (embMap(a), embMap(b))
+      val d = x.zip(y).foldLeft(0.0) { case (s0, (p, q)) => s0 + p.toDouble * q.toDouble }
+      val nx = x.foldLeft(0.0)((s0, p) => s0 + p.toDouble * p.toDouble)
+      val ny = y.foldLeft(0.0)((s0, p) => s0 + p.toDouble * p.toDouble)
+      d / math.sqrt(nx * ny)
+    }
+    out.filter(r => r._4 == 1L && r._1 != entry).foreach { case (q, _, c, _) =>
+      assert(c >= cosOf(q, entry) - 1e-12, s"q $q rank-1 below entry")
+    }
+  }
+
   test("ivf tradeoff: legs agree with the registry's own IVF searches") {
     val t = Registry.byName("sim_ivf_tradeoff").run(spark, TestSpark.sf)
       .collect()
