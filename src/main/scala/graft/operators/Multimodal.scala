@@ -1317,6 +1317,76 @@ object Multimodal {
                SELECT txt.doc_id, txt.bench_id,
                  txt.n_shared_windows, med.n_shared_chunks
                FROM txt JOIN med USING (doc_id, bench_id)
-               ORDER BY doc_id, bench_id"""))
+               ORDER BY doc_id, bench_id""")),
+
+    // CROSS-MODAL dedup-consistency audit — the reconciliation a real
+    // multimodal pipeline runs before trusting either signal alone:
+    // does the MEDIA near-dup relation (wide 60-bit phash, Hamming
+    // 0–3, chunk-pigeonhole candidates) agree with the TEXT near-dup
+    // relation (3-shingle Jaccard >= threshold, DF-capped inverted
+    // index) over the same documents? A media_only pair is an asset
+    // duplicated under a rewritten caption (dedup leakage if only text
+    // is checked); a text_only pair is a caption copied onto different
+    // media (the suspicious-caption class); a both pair is a true
+    // full-record duplicate. One pair-grain FULL OUTER equi-join of
+    // two already-capped candidate relations — no new quadratic
+    // surface — folded to a <= 3-row class scorecard with exact
+    // integer extrema (hamming / shared-shingle counts), so the whole
+    // audit hash-checks bit-for-bit. Scale: both generators are the
+    // production forms benched elsewhere; the outer join shuffles pair
+    // rows on (a_id, b_id) once.
+    QueryDef(
+      "mm_crossmodal_audit",
+      (s, dir) => {
+        val media = phashChunkPairs(phashWideSigs(s, dir),
+            nChunks = 4, chunkBits = 15, minHam = 0, maxHam = 3)
+          .select(col("a_id"), col("b_id"), col("hamming"))
+        val text = Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select(col("a_id"), col("b_id"), col("n_common"))
+        media.join(text, Seq("a_id", "b_id"), "full_outer")
+          .select(
+            when(col("hamming").isNotNull && col("n_common").isNotNull,
+                "both")
+              .when(col("hamming").isNotNull, "media_only")
+              .otherwise("text_only").as("class"),
+            col("hamming"), col("n_common"))
+          .groupBy("class")
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("hamming")).as("min_hamming"),
+            max(col("hamming")).as("max_hamming"),
+            min(col("n_common")).as("min_common"),
+            max(col("n_common")).as("max_common"))
+          .orderBy("class")
+      },
+      Some(s"""WITH $PhashWideSigCte,
+               media AS (
+                 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                     AS hamming
+                 FROM sig a JOIN sig b
+                   ON a.format = b.format AND a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.phash, b.phash)) BETWEEN 0 AND 3),
+               ${Dedup.JaccardPairsCte},
+               txt AS (
+                 SELECT p.a_id, p.b_id,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                     AS n_common
+                 FROM pairs p
+                 JOIN d a ON a.doc_id = p.a_id
+                 JOIN d b ON b.doc_id = p.b_id),
+               u AS (
+                 SELECT
+                   CASE WHEN m.hamming IS NOT NULL
+                         AND t.n_common IS NOT NULL THEN 'both'
+                        WHEN m.hamming IS NOT NULL THEN 'media_only'
+                        ELSE 'text_only' END AS class,
+                   m.hamming, t.n_common
+                 FROM media m FULL OUTER JOIN txt t
+                   ON m.a_id = t.a_id AND m.b_id = t.b_id)
+               SELECT class, CAST(count(*) AS BIGINT) AS n_pairs,
+                 min(hamming) AS min_hamming, max(hamming) AS max_hamming,
+                 min(n_common) AS min_common, max(n_common) AS max_common
+               FROM u GROUP BY class ORDER BY class"""))
   )
 }

@@ -144,6 +144,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_crossmodal_audit reconciles with the standalone near-dup relations") {
+    val rows = Registry.byName("mm_crossmodal_audit").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => r.getAs[String]("class") -> r).toMap
+    assert(rows.nonEmpty)
+    assert(rows.keySet.subsetOf(Set("both", "media_only", "text_only")))
+    // text side reconciliation: pairs with a text signal (both +
+    // text_only) must count exactly the standalone dedup_ngram_jaccard
+    // relation at the same threshold
+    val nText = Seq("both", "text_only")
+      .flatMap(rows.get).map(_.getAs[Long]("n_pairs")).sum
+    val nJac = Registry.byName("dedup_ngram_jaccard")
+      .run(spark, TestSpark.sf).count()
+    assert(nText === nJac)
+    // media side: ham-1..3 pairs (both + media_only minus exact ham-0)
+    // can never undercount the standalone wide near-dup relation
+    val nMedia = Seq("both", "media_only")
+      .flatMap(rows.get).map(_.getAs[Long]("n_pairs")).sum
+    val nWide = Registry.byName("mm_phash_neardup_wide")
+      .run(spark, TestSpark.sf).count()
+    assert(nMedia >= nWide)
+    // class-shape invariants: media classes carry hamming in [0, 3],
+    // text_only carries none; text classes carry n_common >= 1
+    rows.get("media_only").foreach { r =>
+      assert(r.getAs[Long]("min_hamming") >= 0L)
+      assert(r.getAs[Long]("max_hamming") <= 3L)
+      assert(r.isNullAt(r.fieldIndex("min_common")))
+    }
+    rows.get("text_only").foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("min_hamming")))
+      assert(r.getAs[Long]("min_common") >= 1L)
+    }
+    rows.get("both").foreach { r =>
+      assert(r.getAs[Long]("max_hamming") <= 3L)
+      assert(r.getAs[Long]("min_common") >= 1L)
+    }
+  }
+
   test("text_rarity equals a local unigram collection-frequency replay") {
     val texts = Tables.load(spark, TestSpark.sf, "documents")
       .select("doc_id", "text").collect()
