@@ -85,6 +85,8 @@ object GrowthBench {
     "q_fmt_xml" -> "linear (format round-trip, map-only parse)",
     "text_ngram_novelty" -> "~linear (gram DF join, DF-capped)",
     "dedup_tfidf_nn_capped" -> "~linear (V x cap^2 sampled-posting join)",
+    // round-9: drift-adjudication subject (r8 official-sweep delta)
+    "dedup_cluster_sizes" -> "~linear x log(diameter) (shares dedup_cluster's CC)",
     // round-9 second wave
     "sim_ann_graph_search" -> "~linear (band-capped knn build; serving Q x B x K bounded)",
     "sample_priority" -> "linear (map + distributed top-k, no global sort)",
@@ -164,19 +166,25 @@ object GrowthBench {
     // per consecutive decade; the LAST decade is the verdict signal
     // (both points largest -> least overhead-floor bias)
     val labels = sfDirs.map(_.split('/').last)
-    val pairCols = labels.sliding(2).map(p => s"e(${p(0)}->${p(1)})").toSeq
+    // filter(size == 2): a single-dir run (isolated drift adjudication)
+    // has no decade — sliding(2) then yields one 1-element window
+    val pairCols = labels.sliding(2).filter(_.size == 2)
+      .map(p => s"e(${p(0)}->${p(1)})").toSeq
     println("| query | " + labels.map(_ + " s").mkString(" | ") + " | " +
       pairCols.mkString(" | ") + " | claimed shape | verdict |")
     println("|" + Seq.fill(labels.size + pairCols.size + 3)("---").mkString("|") + "|")
     defs.foreach { case (d, claim) =>
       val t = sfDirs.map(sf => wall.get((d.name, sf)))
-      val es = sfDirs.sliding(2).map(p => slope(d.name, p(0), p(1))).toSeq
+      val es = sfDirs.sliding(2).filter(_.size == 2)
+        .map(p => slope(d.name, p(0), p(1))).toSeq
       def f(o: Option[Double]) = o.map(v => f"$v%.2f").getOrElse("FAIL")
       // verdict keys off the LAST decade: <=1.3 rides the claimed
       // near-linear shapes (AQE/scheduling overhead amortizes, slope
       // can even exceed 1 slightly as spill/shuffle kick in); the only
       // operators allowed past 1.3 are the ones whose claim says so
       val verdict = es.lastOption.flatten match {
+        case None if es.isEmpty => // single-dir adjudication run
+          if (t.exists(_.nonEmpty)) "n/a (single dir)" else "FAILED"
         case None => "FAILED"
         case Some(e) if e <= 1.3 => "linear-ish: ok"
         case Some(e) if claim.contains("superlinear") ||
