@@ -51,6 +51,88 @@ object Warehouse {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Incremental aggregate maintenance — the materialized-view merge
+    // every 100 TB warehouse lives by: yesterday's per-group aggregate
+    // STATE plus today's DELTA partials re-aggregated must equal the
+    // full recompute, because sum/count are commutative monoids and the
+    // merge is exact-integer. At scale the state is group-grain (5 event
+    // types here, thousands in production — never event-grain), the
+    // delta scans ONLY the new partition, and the full-history rescan
+    // this query also runs exists purely as the in-query proof; a real
+    // pipeline drops it, which is the point. Output carries both sides
+    // plus a consistent flag, so the oracle hash-checks the maintenance
+    // identity itself. Cents sums ride DECIMAL(38,0)/HUGEINT internally
+    // (overflow-safe at any history length) and surface as BIGINT on
+    // the 5-row output grain.
+    QueryDef(
+      "q_incr_agg_maintain",
+      (s, dir) => {
+        val cutoff = to_timestamp(lit("2024-01-21"))
+        val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("ts"), cents.as("c"))
+        def agg(df: DataFrame): DataFrame = df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c").cast("decimal(38,0)")).as("sc"))
+        val state = agg(ev.filter(col("ts") < cutoff))
+          .select(col("event_type"), col("n").as("n_state"), col("sc"))
+        val delta = agg(ev.filter(col("ts") >= cutoff))
+          .select(col("event_type"), col("n").as("n_delta"), col("sc"))
+        val merged = state.select(col("event_type"), col("n_state").as("n"), col("sc"))
+          .union(delta.select(col("event_type"), col("n_delta").as("n"), col("sc")))
+          .groupBy("event_type")
+          .agg(sum(col("n")).as("n_merged"),
+            sum(col("sc")).as("s_merged"))
+        val full = agg(ev).select(col("event_type"),
+          col("n").as("n_full"), col("sc").as("s_full"))
+        merged.join(full, Seq("event_type"))
+          .join(state.select(col("event_type"), col("n_state")),
+            Seq("event_type"), "left")
+          .join(delta.select(col("event_type"), col("n_delta")),
+            Seq("event_type"), "left")
+          .select(col("event_type"),
+            coalesce(col("n_state"), lit(0L)).as("n_state"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+            col("n_merged"), col("n_full"),
+            col("s_merged").cast("long").as("s_merged"),
+            col("s_full").cast("long").as("s_full"),
+            (col("n_merged") === col("n_full") &&
+              col("s_merged") === col("s_full")).as("consistent"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+                SELECT event_type, ts,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+                FROM events),
+              state AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(c) AS sc
+                FROM ev WHERE ts < TIMESTAMP '2024-01-21' GROUP BY event_type),
+              delta AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(c) AS sc
+                FROM ev WHERE ts >= TIMESTAMP '2024-01-21' GROUP BY event_type),
+              merged AS (
+                SELECT event_type, CAST(sum(n) AS BIGINT) AS n_merged,
+                  sum(sc) AS s_merged
+                FROM (SELECT * FROM state UNION ALL SELECT * FROM delta) u
+                GROUP BY event_type),
+              f AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n_full,
+                  sum(c) AS s_full
+                FROM ev GROUP BY event_type)
+              SELECT m.event_type,
+                coalesce(s.n, 0) AS n_state,
+                coalesce(d.n, 0) AS n_delta,
+                m.n_merged, f.n_full,
+                CAST(m.s_merged AS BIGINT) AS s_merged,
+                CAST(f.s_full AS BIGINT) AS s_full,
+                (m.n_merged = f.n_full AND m.s_merged = f.s_full)
+                  AS consistent
+              FROM merged m
+              JOIN f ON f.event_type = m.event_type
+              LEFT JOIN state s ON s.event_type = m.event_type
+              LEFT JOIN delta d ON d.event_type = m.event_type
+              ORDER BY m.event_type""")),
+
     // TPC-H Q5 (local supplier volume): the canonical 6-table star join.
     // Plan: orders(filtered year) JOIN lineitem on orderkey (one fact
     // shuffle) JOIN customer on custkey (second fact shuffle) — then

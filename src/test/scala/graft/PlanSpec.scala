@@ -786,4 +786,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(format"),
       s"format aggregate exchange missing:\n$p")
   }
+
+  test("sample_priority plans TakeOrderedAndProject, never a global sort") {
+    // the doc-grain top-(k+1) must be per-partition heaps + one bounded
+    // merge; a rangepartitioning exchange would be the global-sort
+    // funnel the operator exists to avoid
+    val p = plan("sample_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-(k+1) not planned as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("rangepartitioning(priority"),
+      s"doc-grain global sort slipped in:\n$p")
+  }
+
+  test("graph-search beam rounds broadcast the beam, never the corpus") {
+    // every expansion joins the <= |Q| x BeamWidth beam against the knn
+    // edge relation, and every scoring join attaches the 10-query side:
+    // all of these are broadcasts; the only data-sized exchanges belong
+    // to the knn graph BUILD (band aggregation + candidate dedup)
+    val p = plan("sim_ann_graph_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"beam/query joins should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the beam loop:\n$p")
+    // the 1-row entry-point aggregate rides a broadcast nested loop —
+    // it must stay a 1-row side, never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"entry point not broadcast:\n$p")
+  }
+
+  test("welch t plans one map-side-combined aggregate and no join") {
+    val p = plan("q_welch_ttest")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"unexpected join in a two-aggregate fold:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"no partial aggregation:\n$p")
+  }
 }

@@ -299,4 +299,21 @@ class WarehouseSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("incremental aggregate maintenance: merge equals full recompute") {
+    val out = Registry.byName("q_incr_agg_maintain")
+      .run(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // the maintenance identity the operator exists to prove
+      assert(r.getAs[Boolean]("consistent"), r.toString)
+      assert(r.getAs[Long]("n_state") + r.getAs[Long]("n_delta")
+        === r.getAs[Long]("n_full"), r.toString)
+      assert(r.getAs[Long]("n_merged") === r.getAs[Long]("n_full"))
+      assert(r.getAs[Long]("s_merged") === r.getAs[Long]("s_full"))
+    }
+    // totals reconcile against the raw table
+    val nAll = Tables.load(spark, TestSpark.sf, "events").count()
+    assert(out.map(_.getAs[Long]("n_full")).sum === nAll)
+  }
 }
