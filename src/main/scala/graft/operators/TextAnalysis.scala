@@ -290,6 +290,91 @@ object TextAnalysis {
                                   ELSE 60 END
               ORDER BY doc_id""")),
 
+    // Neyman-allocation stratified sampling — the variance-OPTIMAL
+    // version of sample_stratified's fixed rates: a k=200 budget is
+    // split across language strata ∝ N_h·σ_h (strata that are big AND
+    // internally varied get more rows — the survey-sampling optimum for
+    // estimating the corpus mean), then filled by the deterministic
+    // md5-rank gate. Exactness discipline: per-stratum moments are
+    // exact DECIMAL(38,0); σ_h·N_h goes through ONE pinned-order IEEE
+    // chain (sqrt, two mults) and is immediately quantized to an
+    // integer weight (floor(w·2²⁰ + 0.5)), so the allocation arithmetic
+    // — integer Σw and (k·w) div Σw — is exact on both engines; a
+    // strata-grain DOUBLE sum would be fold-order-dependent. All-zero
+    // weights (σ_h = 0 everywhere — constant-length or single-row
+    // strata) degrade to PROPORTIONAL allocation, Neyman's σ-equal
+    // limit; the truly empty corpus hits the nullif guard and yields
+    // NULL quotas on BOTH engines, never an ANSI divide-by-zero. One
+    // stratum-keyed aggregate + one broadcast of the ≤|langs| quota
+    // relation + one per-stratum rank window — the sample_fixed_k
+    // shuffle shape.
+    QueryDef(
+      "sample_neyman",
+      (s, dir) => {
+        val d38 = "decimal(38,0)"
+        val docs = Tables.load(s, dir, "documents")
+        val st = docs.groupBy("lang").agg(
+          count(lit(1)).as("n_h"),
+          sum(col("n_chars").cast(d38)).as("s_h"),
+          sum((col("n_chars") * col("n_chars")).cast(d38)).as("q_h"))
+        val varH = (col("n_h").cast(d38) * col("q_h") -
+          col("s_h") * col("s_h")).cast("double") /
+          (col("n_h") * (col("n_h") - 1L)).cast("double")
+        val wq = st.select(col("lang"), col("n_h"),
+          when(col("n_h") > 1,
+            floor(sqrt(varH) * col("n_h").cast("double") * 1048576.0 + 0.5)
+              .cast("long"))
+            .otherwise(0L).as("wq"))
+        val tot = wq.agg(sum(col("wq")).as("wtot"),
+          sum(col("n_h")).as("ntot"))
+        // all-zero weights (every stratum constant-length or single-row:
+        // σ_h = 0 everywhere) degrade Neyman to PROPORTIONAL allocation
+        // — the σ-equal limit of the formula — instead of sampling
+        // nothing; the nullif still covers the empty corpus
+        val quota = wq.crossJoin(broadcast(tot))
+          .select(col("lang"), expr(
+            """(200 * (CASE WHEN wtot = 0 THEN n_h ELSE wq END))
+               div nullif(CASE WHEN wtot = 0 THEN ntot ELSE wtot END, 0)""")
+            .as("quota"))
+        val u = hash31(concat_ws("|", lit("ney"), col("doc_id").cast("string")))
+        val w = Window.partitionBy("lang").orderBy(u.asc, col("doc_id").asc)
+        docs.withColumn("rk", row_number().over(w).cast("long"))
+          .join(broadcast(quota), Seq("lang"))
+          .filter(col("rk") <= col("quota"))
+          .select(col("doc_id"), col("lang"), col("rk"), col("quota"))
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH st AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_h,
+                  sum(n_chars) AS s_h, sum(n_chars * n_chars) AS q_h
+                FROM documents GROUP BY lang),
+              w AS (
+                SELECT lang, n_h,
+                  CASE WHEN n_h > 1 THEN
+                    CAST(floor(sqrt(CAST(n_h * q_h - s_h * s_h AS DOUBLE)
+                        / CAST(n_h * (n_h - 1) AS DOUBLE))
+                      * CAST(n_h AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+                  ELSE 0 END AS wq
+                FROM st),
+              t AS (SELECT sum(wq) AS wtot, sum(n_h) AS ntot FROM w),
+              quota AS (
+                SELECT lang,
+                  CAST((200 * (CASE WHEN t.wtot = 0 THEN n_h ELSE wq END))
+                    // nullif(CASE WHEN t.wtot = 0 THEN t.ntot
+                             ELSE t.wtot END, 0) AS BIGINT) AS quota
+                FROM w CROSS JOIN t),
+              r AS (
+                SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang ORDER BY
+                    (CAST(concat('0x', substr(md5(concat('ney', '|',
+                        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                      % 2147483647) ASC, doc_id ASC) AS rk
+                FROM documents)
+              SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk, q.quota
+              FROM r JOIN quota q ON q.lang = r.lang
+              WHERE r.rk <= q.quota
+              ORDER BY r.lang, r.rk""")),
+
     // Benchmark decontamination: flag training documents that overlap an
     // evaluation set by 3-word shingles — the standard pre-training
     // hygiene step (a doc sharing >= 3 shingles with any benchmark item

@@ -182,6 +182,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_neyman allocates the budget by N_h*sigma_h and fills by rank") {
+    val rows = Registry.byName("sample_neyman").run(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // local replay of the allocation arithmetic
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("lang", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val strata = docs.groupBy(_._1).map { case (lang, xs) =>
+      val n = xs.length.toLong
+      val s = xs.map(x => BigInt(x._2)).sum
+      val q = xs.map(x => BigInt(x._2) * BigInt(x._2)).sum
+      val wq = if (n > 1) {
+        val v = (BigInt(n) * q - s * s).toDouble / (n * (n - 1)).toDouble
+        math.floor(math.sqrt(v) * n.toDouble * 1048576.0 + 0.5).toLong
+      } else 0L
+      (lang, n, wq)
+    }.toSeq
+    val wtot = strata.map(_._3).sum
+    val expQuota = strata.map { case (lang, n, wq) =>
+      lang -> (if (wtot == 0) 200L * n / strata.map(_._2).sum
+               else 200L * wq / wtot)
+    }.toMap
+    val gotQuota = rows.groupBy(_.getAs[String]("lang")).view
+      .mapValues(_.head.getAs[Long]("quota")).toMap
+    gotQuota.foreach { case (lang, got) =>
+      assert(got === expQuota(lang), s"quota for $lang")
+    }
+    // each stratum fills exactly min(quota, stratum size) rows, ranked
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, g) =>
+      val sz = docs.count(_._1 == lang).toLong
+      assert(g.length.toLong === math.min(expQuota(lang), sz), lang)
+      assert(g.map(_.getAs[Long]("rk")).sorted.toSeq ===
+        (1L to g.length).toSeq, lang)
+    }
+    // the budget is respected (floor division spends <= 200)
+    assert(rows.length <= 200)
+  }
+
   test("text_rarity equals a local unigram collection-frequency replay") {
     val texts = Tables.load(spark, TestSpark.sf, "documents")
       .select("doc_id", "text").collect()
