@@ -1551,6 +1551,43 @@ object StreamOps {
       Some(graft.operators.Analytics.OhlcOracleSql),
       bench = false),
     QueryDef(
+      "stream_state_read",
+      (s, dir) => {
+        // State-store INTROSPECTION (Spark 4 `statestore` batch reader):
+        // run a complete-mode streaming aggregation against an explicit
+        // checkpoint, then read the operator's state store back as a
+        // BATCH DataFrame and surface (event_type, n) from the raw
+        // state rows. This is the debugging/repair surface a 100 TB
+        // streaming deployment lives by — inspect what the store
+        // actually holds without replaying the stream — and the oracle
+        // (plain batch GROUP BY over the same input) proves the store's
+        // content IS the aggregate, bit-for-bit. State is domain-
+        // bounded (one row per event type), so complete mode is the
+        // deployable choice exactly as in stream_tv_drift.
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_state_rd").toString
+        val sink = s"graft_stream_strd_${nameCounter.incrementAndGet()}"
+        val q = rawEventStream(s, dir)
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(sink).option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val st = s.read.format("statestore").load(ckpt)
+        // the value struct's buffer field name is engine-internal
+        // (count(1) today) — resolve it from the schema, not a literal
+        val valueField = st.schema("value").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.head
+        st.select(col("key.event_type").as("event_type"),
+            col(s"value.`$valueField`").cast("long").as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type ORDER BY event_type"""),
+      bench = false),
+
+    QueryDef(
       "stream_hourly",
       (s, dir) => hourlyByType(s, dir),
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

@@ -496,4 +496,16 @@ class StreamCancelSpec extends AnyFunSuite {
       .run(spark, TestSpark.sf).collect().map(_.toSeq).toSeq
     assert(st === ba)
   }
+
+  test("statestore reader surfaces exactly the batch aggregate") {
+    // the state store's raw rows, read back as a batch DataFrame, must
+    // BE the aggregate the stream computed — no residue, no drift
+    val st = Registry.byName("stream_state_read")
+      .run(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ba = Tables.load(spark, TestSpark.sf, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st === ba)
+  }
 }
