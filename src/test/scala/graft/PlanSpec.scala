@@ -814,6 +814,30 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastExchange"), s"entry point not broadcast:\n$p")
   }
 
+  test("neyman sampler: lang-hashed window, broadcast quotas, no cartesian on docs") {
+    val p = plan("sample_neyman")
+    assert(p.contains("hashpartitioning(lang"),
+      s"stratum window/aggregate not lang-hashed:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"quota relation should broadcast:\n$p")
+  }
+
+  test("incremental agg maintenance: partial aggregation, no cartesian") {
+    val p = plan("q_incr_agg_maintain")
+    assert(p.contains("HashAggregate"), s"no hash aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("cross-modal audit joins pair relations on keys, never pairwise-pairwise") {
+    val p = plan("mm_crossmodal_audit")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian between the pair relations:\n$p")
+    // the reconciliation itself is an equi-join on (a_id, b_id)
+    assert(p.contains("FullOuter") || p.contains("full_outer") ||
+      p.contains("FullOuterJoin") || p.contains("SortMergeJoin"),
+      s"pair-grain outer join missing:\n$p")
+  }
+
   test("welch t plans one map-side-combined aggregate and no join") {
     val p = plan("q_welch_ttest")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
