@@ -90,7 +90,11 @@ object GrowthBench {
     // round-9 second wave
     "sim_ann_graph_search" -> "~linear (band-capped knn build; serving Q x B x K bounded)",
     "sample_priority" -> "linear (map + distributed top-k, no global sort)",
-    "q_welch_ttest" -> "linear (one map-side-combined hash aggregate)")
+    "q_welch_ttest" -> "linear (one map-side-combined hash aggregate)",
+    // round-9 later waves
+    "mm_crossmodal_audit" -> "~linear (two capped pair generators + one pair-grain outer join)",
+    "q_incr_agg_maintain" -> "linear (three hash aggregates, group-grain state)",
+    "sample_neyman" -> "~linear (stratum aggregate + per-stratum rank window)")
 
   /** sf dirs to measure, smallest first. Overridable so the 0.1->1
     * decade can run on generated same-seed corpora (round-7 verdict
