@@ -111,6 +111,88 @@ object Graph {
                SELECT doc_id, count(*) AS degree
                FROM e GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Degree assortativity (Newman, PRL'02) — is the near-dup graph
+    // hub-hub wired (template families referencing each other) or
+    // hub-leaf (one boilerplate source fanning out)? The single number
+    // that distinguishes those regimes is the Pearson correlation of
+    // endpoint degrees across edges, and it decides dedup strategy at
+    // 100 TB: disassortative graphs collapse via per-hub star removal,
+    // assortative cores need the full CC pass. Exactness discipline =
+    // q_regr_fns: both edge orientations contribute (the standard
+    // undirected treatment), all five moments (Σx, Σy, Σxy, Σx², Σy²)
+    // are exact DECIMAL(38,0) sums of BIGINT degree products, and r is
+    // ONE pinned-order closing IEEE chain; a zero-variance side (every
+    // degree equal — the skew corpus's single clique) yields NULL via
+    // the same CASE guard on both engines. Shape: the degree relation
+    // is one hash aggregate on the pair relation, joined back to both
+    // endpoints (degree is node-grain — broadcastable at any scale the
+    // near-dup graph can reach), then one global 1-row fold.
+    QueryDef(
+      "graph_assortativity",
+      (s, dir) => {
+        val d38 = "decimal(38,0)"
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
+          .filter(col("jaccard") >= Dedup.JaccardThreshold)
+          .select("a_id", "b_id")
+          .localCheckpoint() // feeds the degree agg AND both edge sides
+        val deg = pairs.select(col("a_id").as("doc_id"))
+          .union(pairs.select(col("b_id").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        // both orientations: (du, dv) and (dv, du)
+        val ends = pairs
+          .join(deg.select(col("doc_id").as("a_id"), col("degree").as("da")),
+            Seq("a_id"))
+          .join(deg.select(col("doc_id").as("b_id"), col("degree").as("db")),
+            Seq("b_id"))
+        val xy = ends.select(col("da").as("x"), col("db").as("y"))
+          .union(ends.select(col("db").as("x"), col("da").as("y")))
+        val m = xy.agg(
+          count(lit(1)).as("m"),
+          sum(col("x").cast(d38)).as("sx"),
+          sum(col("y").cast(d38)).as("sy"),
+          sum((col("x") * col("y")).cast(d38)).as("sxy"),
+          sum((col("x") * col("x")).cast(d38)).as("sx2"),
+          sum((col("y") * col("y")).cast(d38)).as("sy2"))
+        val varX = col("m").cast(d38) * col("sx2") - col("sx") * col("sx")
+        val varY = col("m").cast(d38) * col("sy2") - col("sy") * col("sy")
+        m.select(col("m"),
+            col("sx").cast("long").as("sx"),
+            col("sxy").cast("long").as("sxy"),
+            when(col("m") > 0 && varX > 0 && varY > 0,
+              (col("m").cast(d38) * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+                sqrt(varX.cast("double") * varY.cast("double")))
+              .as("assortativity"))
+      },
+      Some(s"""WITH ${Dedup.JaccardPairsCte},
+               deg AS (
+                 SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+                   SELECT a_id AS doc_id FROM pairs
+                   UNION ALL SELECT b_id FROM pairs) e
+                 GROUP BY doc_id),
+               ends AS (
+                 SELECT da.degree AS x, db.degree AS y
+                 FROM pairs p
+                 JOIN deg da ON da.doc_id = p.a_id
+                 JOIN deg db ON db.doc_id = p.b_id),
+               xy AS (
+                 SELECT x, y FROM ends
+                 UNION ALL SELECT y AS x, x AS y FROM ends),
+               mm AS (
+                 SELECT CAST(count(*) AS BIGINT) AS m,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sx2, sum(y * y) AS sy2
+                 FROM xy)
+               SELECT m, CAST(sx AS BIGINT) AS sx,
+                 CAST(sxy AS BIGINT) AS sxy,
+                 CASE WHEN m > 0 AND m * sx2 - sx * sx > 0
+                       AND m * sy2 - sy * sy > 0 THEN
+                   CAST(m * sxy - sx * sy AS DOUBLE) /
+                     sqrt(CAST(m * sx2 - sx * sx AS DOUBLE)
+                          * CAST(m * sy2 - sy * sy AS DOUBLE))
+                 END AS assortativity
+               FROM mm""")),
+
     // HITS hubs & authorities (Kleinberg, JACM'99) — the other classic
     // link-analysis ranking, complementing the quantized PageRank/PPR:
     // on the ORIENTED near-dup relation (a_id → b_id, i.e. earlier doc

@@ -319,4 +319,35 @@ class GraphSpec extends AnyFunSuite {
     assert(out.length === 7)
     assert(out.distinct.length === 1, "isolated docs must tie")
   }
+
+  test("assortativity replays from the registry's own pairs and degrees") {
+    val row = Registry.byName("graph_assortativity")
+      .run(spark, TestSpark.sf).head()
+    val deg = Registry.byName("graph_degrees").run(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Registry.byName("dedup_ngram_jaccard")
+      .run(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val xy = pairs.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a)))
+    }
+    val m = xy.length.toLong
+    assert(row.getAs[Long]("m") === m)
+    val sx = xy.map(p => BigInt(p._1)).sum
+    val sy = xy.map(p => BigInt(p._2)).sum
+    val sxy = xy.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sx2 = xy.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val sy2 = xy.map(p => BigInt(p._2) * BigInt(p._2)).sum
+    assert(BigInt(row.getAs[Long]("sx")) === sx)
+    assert(BigInt(row.getAs[Long]("sxy")) === sxy)
+    val varX = BigInt(m) * sx2 - sx * sx
+    val varY = BigInt(m) * sy2 - sy * sy
+    if (m > 0 && varX > 0 && varY > 0) {
+      val exp = (BigInt(m) * sxy - sx * sy).toDouble /
+        math.sqrt(varX.toDouble * varY.toDouble)
+      assert(row.getAs[Double]("assortativity") === exp)
+      // a correlation is bounded
+      assert(math.abs(exp) <= 1.0 + 1e-9)
+    } else assert(row.isNullAt(row.fieldIndex("assortativity")))
+  }
 }
