@@ -14,15 +14,36 @@ hours on the deliberately-quadratic small-scale oracle CTEs):
                     the summary, never a silent pass (default: none)
   CHECK_DUCK_THREADS  SET threads per child connection (default 4)
 """
+import datetime
 import glob
 import json
 import os
 import subprocess
 import sys
+import time
 
 import duckdb
 import numpy as np
 import pandas as pd
+
+
+def gate_log(**fields):
+    """Round-10 forensics (VERDICT r9 task #1): append one JSON line per
+    gate invocation to a committed GATE_LOG.jsonl at the repo root, so
+    the round record shows whether the driver ever RAN the gate even if
+    its outputs are discarded. Best-effort — never fails the gate."""
+    try:
+        root = next((p for p in ("/root/repo", ".")
+                     if os.path.isdir(os.path.join(p, ".git"))), ".")
+        rec = {"ts": datetime.datetime.now(datetime.timezone.utc)
+               .isoformat(timespec="seconds"),
+               "tool": "check_oracle.py", **fields}
+        rec.update({f"env.{k}": v for k, v in sorted(os.environ.items())
+                    if k.startswith(("SPARK_GRAFT_", "CHECK_"))})
+        with open(os.path.join(root, "GATE_LOG.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except Exception:
+        pass
 
 if len(sys.argv) > 1 and sys.argv[1] == "--one":
     _ONE, SF_DIR, OUT_DIR = sys.argv[2], sys.argv[3], sys.argv[4]
@@ -92,6 +113,15 @@ def cmp(a: pd.DataFrame, b: pd.DataFrame):
 
 
 def main():
+    t_start = time.monotonic()
+    gate_log(phase="start", args=sys.argv[1:], sf_dir=SF_DIR,
+             out_dir=OUT_DIR)
+
+    def finish(rc, **extra):
+        gate_log(phase="done", rc=rc, args=sys.argv[1:],
+                 wall_s=round(time.monotonic() - t_start, 1), **extra)
+        sys.exit(rc)
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -101,7 +131,7 @@ def main():
         print(f"FATAL: cannot read {OUT_DIR}/oracle_sql.json ({e}) — "
               "the verify dump is absent or corrupt; this is an error, "
               "not a pass")
-        sys.exit(2)
+        finish(2, fatal="oracle_sql.json unreadable")
     # Fail-loud gates (round-8 postmortem: the official CORRECTNESS
     # record was `{}` and nothing noticed). An empty oracle map, or a
     # dump smaller than the registry the manifest says exists, is an
@@ -109,7 +139,7 @@ def main():
     if not oracle:
         print("FATAL: oracle_sql.json is EMPTY — the correctness gate "
               "recorded nothing; this is an error, not a pass")
-        sys.exit(2)
+        finish(2, fatal="oracle_sql.json empty")
     manifest = None
     try:
         manifest = json.load(open(f"{OUT_DIR}/manifest.json"))
@@ -125,7 +155,8 @@ def main():
             if nw != nq or len(oracle) != nq:
                 print(f"FATAL: incomplete full sweep — registry={nq} "
                       f"written={nw} oracle_entries={len(oracle)}")
-                sys.exit(2)
+                finish(2, fatal="incomplete full sweep",
+                       registry=nq, written=nw)
         elif nsel is not None and nsel < (nq or 0):
             # dev-loop partial dump: compare only the selected queries
             # (oracle_sql.json always carries the full registry)
@@ -170,7 +201,9 @@ def main():
         # small scale) outgrew the per-query budget at this corpus size
         print(f"oracle-timeouts (> {timeout}s in DuckDB, unchecked at "
               f"this scale): {timeouts}")
-    sys.exit(1 if (n_bad or verify_failed) else 0)
+    finish(1 if (n_bad or verify_failed) else 0,
+           n_ok=n_ok, n_bad=n_bad, n_timeout=len(timeouts),
+           n_rows_only=len(rows_only))
 
 
 def check_one(con, sql, name):

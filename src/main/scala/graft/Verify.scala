@@ -5,9 +5,42 @@ import java.util.concurrent.atomic.AtomicInteger
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Round-10 forensics (VERDICT r9 task #1): two consecutive rounds'
+    * official CORRECTNESS records were `{}` while the engine replayed
+    * 100% green, and nothing in-tree recorded whether the driver ever
+    * INVOKED the gate. Append one JSON line per invocation — once at
+    * entry (survives a driver-side kill) and once at exit with rc and
+    * wall — to a committed GATE_LOG.jsonl at the repo root. Best-effort:
+    * logging must never fail the gate itself. */
+  private[graft] def gateLog(fields: (String, String)*): Unit =
+    try {
+      val root = Seq("/root/repo", ".")
+        .find(p => Files.isDirectory(Paths.get(p, ".git"))).getOrElse(".")
+      val esc = (s: String) => s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+      val line = fields
+        .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+        .mkString("{", ", ", "}\n")
+      Files.writeString(Paths.get(root, "GATE_LOG.jsonl"), line,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
+
+  private[graft] def gateEnv: Seq[(String, String)] =
+    sys.env.toSeq.collect {
+      case (k, v) if k.startsWith("SPARK_GRAFT_") || k.startsWith("CHECK_") =>
+        ("env." + k, v)
+    }.sortBy(_._1)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
+    gateLog(Seq(
+      "ts" -> java.time.Instant.now.toString,
+      "tool" -> "graft.Verify", "phase" -> "start",
+      "args" -> args.mkString(" ")) ++ gateEnv: _*)
     // optional third arg: comma-separated query names — dump only those
     // (dev loop for a single operator; the driver passes two args)
     val only: Option[Set[String]] =
@@ -113,6 +146,13 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     println(s"[verify] wrote ${nWritten.get}/${selected.size} query dumps, " +
       s"${nFailed.get} failed, ${f"$wallS%.1f"}s, workers=$workers")
+    gateLog("ts" -> java.time.Instant.now.toString,
+      "tool" -> "graft.Verify", "phase" -> "done",
+      "args" -> args.mkString(" "),
+      "n_written" -> nWritten.get.toString,
+      "n_failed" -> nFailed.get.toString,
+      "workers" -> workers.toString,
+      "wall_s" -> f"$wallS%.1f")
     // exit stays 0 even with per-query failures: the parquet dumps ARE
     // the record and the gate-side checker (check_oracle.py, or the
     // driver's comparator finding MISSING dirs) is where failure must

@@ -68,7 +68,7 @@ object Dedup {
   // dominating the candidate count. The default is far above this
   // corpus's max DF (sf0.1 max ~ 60), so the local oracle comparison is
   // byte-exact; production sets it to ~0.1% of corpus size.
-  private val MaxShingleDF = 10000
+  private[graft] val MaxShingleDF = 10000
   // Per-shingle posting-sample cap for dedup_tfidf_nn_capped (r9,
   // VERDICT task 2): the uncapped posting self-join's shuffle is
   // Σdf² and this corpus's 31-word vocabulary makes df grow ∝ N/V —

@@ -1332,9 +1332,14 @@ object Multimodal {
     // two already-capped candidate relations — no new quadratic
     // surface — folded to a <= 3-row class scorecard with exact
     // integer extrema (hamming / shared-shingle counts), so the whole
-    // audit hash-checks bit-for-bit. Scale: both generators are the
-    // production forms benched elsewhere; the outer join shuffles pair
-    // rows on (a_id, b_id) once.
+    // audit hash-checks bit-for-bit. n_common is jaccardPairs' DF-CAPPED
+    // shared-shingle count (viral shingles past MaxShingleDF excluded —
+    // the signal the production index actually carries), and the oracle
+    // REPLAYS that cap (txtviral anti-join) rather than recomputing the
+    // exact full intersection, so a corpus with a viral shingle diverges
+    // on neither membership nor values (r9 advice). Scale: both
+    // generators are the production forms benched elsewhere; the outer
+    // join shuffles pair rows on (a_id, b_id) once.
     QueryDef(
       "mm_crossmodal_audit",
       (s, dir) => {
@@ -1368,13 +1373,21 @@ object Multimodal {
                    ON a.format = b.format AND a.doc_id < b.doc_id
                  WHERE bit_count(xor(a.phash, b.phash)) BETWEEN 0 AND 3),
                ${Dedup.JaccardPairsCte},
+               txtex AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+               txtviral AS (
+                 SELECT shingle FROM txtex
+                 GROUP BY shingle HAVING count(*) > ${Dedup.MaxShingleDF}),
+               txtkept AS (
+                 SELECT doc_id, shingle FROM txtex
+                 ANTI JOIN txtviral USING (shingle)),
                txt AS (
                  SELECT p.a_id, p.b_id,
-                   CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
-                     AS n_common
+                   CAST(count(*) AS BIGINT) AS n_common
                  FROM pairs p
-                 JOIN d a ON a.doc_id = p.a_id
-                 JOIN d b ON b.doc_id = p.b_id),
+                 JOIN txtkept a ON a.doc_id = p.a_id
+                 JOIN txtkept b ON b.doc_id = p.b_id
+                   AND b.shingle = a.shingle
+                 GROUP BY p.a_id, p.b_id),
                u AS (
                  SELECT
                    CASE WHEN m.hamming IS NOT NULL

@@ -630,12 +630,15 @@ object Numerics {
         val m = p.agg(
           sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
           sum(when(col("arm") === 0, col("c")).otherwise(0L).cast(d38)).as("s_a"),
-          sum(when(col("arm") === 0, col("c") * col("c")).otherwise(0L)
-            .cast(d38)).as("q_a"),
+          // square in DECIMAL, not BIGINT: cents reach ~1e12 in the
+          // declared DECIMAL(12,2) domain, so c*c can pass int64 —
+          // Spark would wrap silently where DuckDB raises (r9 advice)
+          sum(when(col("arm") === 0, col("c").cast(d38) * col("c").cast(d38))
+            .otherwise(0L).cast(d38)).as("q_a"),
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
           sum(when(col("arm") === 1, col("c")).otherwise(0L).cast(d38)).as("s_b"),
-          sum(when(col("arm") === 1, col("c") * col("c")).otherwise(0L)
-            .cast(d38)).as("q_b"))
+          sum(when(col("arm") === 1, col("c").cast(d38) * col("c").cast(d38))
+            .otherwise(0L).cast(d38)).as("q_b"))
         // exact centered numerators first (decimal), doubles only after
         val va = ((col("n_a").cast(d38) * col("q_a") - col("s_a") * col("s_a"))
           .cast("double") /
@@ -666,10 +669,12 @@ object Numerics {
                 SELECT
                   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
                   sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS s_a,
-                  sum(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS q_a,
+                  sum(CASE WHEN arm = 0 THEN
+                    CAST(c AS HUGEINT) * CAST(c AS HUGEINT) ELSE 0 END) AS q_a,
                   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
                   sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS s_b,
-                  sum(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS q_b
+                  sum(CASE WHEN arm = 1 THEN
+                    CAST(c AS HUGEINT) * CAST(c AS HUGEINT) ELSE 0 END) AS q_b
                 FROM p),
               v AS (
                 SELECT n_a, n_b,

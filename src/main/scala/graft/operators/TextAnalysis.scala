@@ -298,9 +298,17 @@ object TextAnalysis {
     // md5-rank gate. Exactness discipline: per-stratum moments are
     // exact DECIMAL(38,0); σ_h·N_h goes through ONE pinned-order IEEE
     // chain (sqrt, two mults) and is immediately quantized to an
-    // integer weight (floor(w·2²⁰ + 0.5)), so the allocation arithmetic
-    // — integer Σw and (k·w) div Σw — is exact on both engines; a
-    // strata-grain DOUBLE sum would be fold-order-dependent. All-zero
+    // integer weight (floor(w·2⁸ + 0.5)), so the allocation arithmetic
+    // — Σw and k·w carried in DECIMAL(38,0)/HUGEINT, div exact — is
+    // identical on both engines; a strata-grain DOUBLE sum would be
+    // fold-order-dependent. Overflow posture (r9 advice): the one
+    // double→int64 conversion left is the floor itself, exact while
+    // σ_h·N_h·2⁸ < 2⁶³, i.e. σ_h·N_h < 3.6e16 — at σ~1e3 chars that is
+    // a 36-exabyte stratum, far past the 100 TB design point (the old
+    // 2²⁰ factor crossed it at ~9e12, a real 100 TB en-stratum size);
+    // everything after the floor (Σwq, 200·wq, the integral div) is
+    // DECIMAL(38,0) on Spark and HUGEINT in DuckDB, so nothing wraps
+    // and only the final ≤200 quota is cast back to BIGINT. All-zero
     // weights (σ_h = 0 everywhere — constant-length or single-row
     // strata) degrade to PROPORTIONAL allocation, Neyman's σ-equal
     // limit; the truly empty corpus hits the nullif guard and yields
@@ -322,18 +330,19 @@ object TextAnalysis {
           (col("n_h") * (col("n_h") - 1L)).cast("double")
         val wq = st.select(col("lang"), col("n_h"),
           when(col("n_h") > 1,
-            floor(sqrt(varH) * col("n_h").cast("double") * 1048576.0 + 0.5)
+            floor(sqrt(varH) * col("n_h").cast("double") * 256.0 + 0.5)
               .cast("long"))
             .otherwise(0L).as("wq"))
-        val tot = wq.agg(sum(col("wq")).as("wtot"),
-          sum(col("n_h")).as("ntot"))
+        val tot = wq.agg(sum(col("wq").cast(d38)).as("wtot"),
+          sum(col("n_h").cast(d38)).as("ntot"))
         // all-zero weights (every stratum constant-length or single-row:
         // σ_h = 0 everywhere) degrade Neyman to PROPORTIONAL allocation
         // — the σ-equal limit of the formula — instead of sampling
         // nothing; the nullif still covers the empty corpus
         val quota = wq.crossJoin(broadcast(tot))
           .select(col("lang"), expr(
-            """(200 * (CASE WHEN wtot = 0 THEN n_h ELSE wq END))
+            """(200 * (CASE WHEN wtot = 0 THEN CAST(n_h AS DECIMAL(38,0))
+                            ELSE CAST(wq AS DECIMAL(38,0)) END))
                div nullif(CASE WHEN wtot = 0 THEN ntot ELSE wtot END, 0)""")
             .as("quota"))
         val u = hash31(concat_ws("|", lit("ney"), col("doc_id").cast("string")))
@@ -353,13 +362,15 @@ object TextAnalysis {
                   CASE WHEN n_h > 1 THEN
                     CAST(floor(sqrt(CAST(n_h * q_h - s_h * s_h AS DOUBLE)
                         / CAST(n_h * (n_h - 1) AS DOUBLE))
-                      * CAST(n_h AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+                      * CAST(n_h AS DOUBLE) * 256.0 + 0.5) AS BIGINT)
                   ELSE 0 END AS wq
                 FROM st),
-              t AS (SELECT sum(wq) AS wtot, sum(n_h) AS ntot FROM w),
+              t AS (SELECT sum(CAST(wq AS HUGEINT)) AS wtot,
+                           sum(CAST(n_h AS HUGEINT)) AS ntot FROM w),
               quota AS (
                 SELECT lang,
-                  CAST((200 * (CASE WHEN t.wtot = 0 THEN n_h ELSE wq END))
+                  CAST((200 * (CASE WHEN t.wtot = 0 THEN CAST(n_h AS HUGEINT)
+                                    ELSE CAST(wq AS HUGEINT) END))
                     // nullif(CASE WHEN t.wtot = 0 THEN t.ntot
                              ELSE t.wtot END, 0) AS BIGINT) AS quota
                 FROM w CROSS JOIN t),

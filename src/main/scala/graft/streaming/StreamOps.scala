@@ -1564,8 +1564,24 @@ object StreamOps {
         // content IS the aggregate, bit-for-bit. State is domain-
         // bounded (one row per event type), so complete mode is the
         // deployable choice exactly as in stream_tv_drift.
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_state_rd").toString
+        val ckptP = java.nio.file.Files
+          .createTempDirectory("graft_state_rd")
+        // the returned DataFrame reads the checkpoint LAZILY (the caller
+        // materializes it after we return), so an eager finally-delete
+        // would yank the store out from under the scan; clean up at JVM
+        // exit instead — same pattern as sim_ann_ivf_refresh's corpus
+        // dir — so repeated verify/test runs stop accumulating
+        // state-store files (r9 advice)
+        sys.addShutdownHook {
+          import java.nio.file.{Files, Path}
+          if (Files.exists(ckptP)) {
+            val walk = Files.walk(ckptP)
+            try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+              .forEach(f => Files.deleteIfExists(f))
+            finally walk.close()
+          }
+        }
+        val ckpt = ckptP.toString
         val sink = s"graft_stream_strd_${nameCounter.incrementAndGet()}"
         val q = rawEventStream(s, dir)
           .groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -1575,10 +1591,21 @@ object StreamOps {
         try q.processAllAvailable() finally q.stop()
         val st = s.read.format("statestore").load(ckpt)
         // the value struct's buffer field name is engine-internal
-        // (count(1) today) — resolve it from the schema, not a literal
-        val valueField = st.schema("value").dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-          .fieldNames.head
+        // (count(1) today) — resolve it from the schema, not a literal,
+        // and by the count-field NAME PATTERN, not position: if the
+        // streaming aggregate ever gains a second buffer field, .head
+        // would silently read the wrong column (r9 advice)
+        val valueFields = st.schema("value").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+        val valueField = valueFields
+          .find(_.toLowerCase.contains("count"))
+          .getOrElse {
+            require(valueFields.length == 1,
+              s"stream_state_read: no count-named buffer field and " +
+                s"${valueFields.length} candidates " +
+                s"(${valueFields.mkString(", ")}) — refusing to guess")
+            valueFields.head
+          }
         st.select(col("key.event_type").as("event_type"),
             col(s"value.`$valueField`").cast("long").as("n"))
           .orderBy("event_type")

@@ -46,4 +46,45 @@ class RegistrySpec extends AnyFunSuite {
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // Session-scoped-state contract guard (r9 advice): graft.Verify runs
+  // operators concurrently, one newSession() per worker over a SHARED
+  // SparkContext — an operator mutating SparkContext-global state would
+  // race across workers and corrupt the correctness record
+  // non-deterministically. Grep every operator source file for the
+  // forbidden global mutations; the contract itself is documented on
+  // QueryDef (Registry.scala). Add a justified exclusion here only for
+  // an operator that also forces SPARK_GRAFT_VERIFY_WORKERS=1.
+  test("operator sources avoid SparkContext-global state mutations") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val roots = Seq("operators", "sources", "functions", "streaming")
+      .map(d => Paths.get("src/main/scala/graft", d))
+      .filter(Files.isDirectory(_))
+    val forbidden = Seq(
+      "setCheckpointDir",          // global checkpoint dir on the context
+      "hadoopConfiguration.set",   // shared Hadoop conf mutation
+      "createGlobalTempView",      // cross-session namespace
+      "createOrReplaceGlobalTempView",
+      "setJobGroup",               // context-thread-global job metadata
+      "setLocalProperty",          // ditto (Cancel.scala owns its session)
+      "setJobDescription")
+    val hits = roots.flatMap { root =>
+      val walk = Files.walk(root)
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val lines = Files.readAllLines(p).asScala
+          lines.zipWithIndex.collect {
+            case (l, i) if forbidden.exists(l.contains) &&
+              !l.trim.startsWith("//") => s"$p:${i + 1}: ${l.trim}"
+          }
+        }.toList
+      finally walk.close()
+    }
+    assert(hits.isEmpty,
+      "SparkContext-global state mutation in operator code (races " +
+        "under the parallel Verify — see the QueryDef contract):\n" +
+        hits.mkString("\n"))
+  }
 }
