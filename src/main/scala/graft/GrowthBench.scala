@@ -94,7 +94,14 @@ object GrowthBench {
     // round-9 later waves
     "mm_crossmodal_audit" -> "~linear (two capped pair generators + one pair-grain outer join)",
     "q_incr_agg_maintain" -> "linear (three hash aggregates, group-grain state)",
-    "sample_neyman" -> "~linear (stratum aggregate + per-stratum rank window)")
+    "sample_neyman" -> "~linear (stratum aggregate + per-stratum rank window)",
+    // round-10: the two r9 heavies without a decade row (VERDICT task 4).
+    // sim_ann_ivf_refresh pays a FIXED cost of two corpus writes + two
+    // full index builds per run (see Similarity.scala) — interpret its
+    // exponent against that floor; the build/serve split is measured
+    // separately in SCALE.md's round-10 section.
+    "sim_ann_ivf_refresh" -> "~linear + fixed 2x(index build) floor",
+    "graph_assortativity" -> "~linear (rides jaccardPairs + node-grain degree joins)")
 
   /** sf dirs to measure, smallest first. Overridable so the 0.1->1
     * decade can run on generated same-seed corpora (round-7 verdict

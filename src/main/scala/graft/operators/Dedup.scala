@@ -261,14 +261,24 @@ object Dedup {
   /** The shared exact-Jaccard pair CTE (shingles -> thresholded pairs):
     * the same relation the cluster-collapse and PageRank oracles close
     * over, defined once so the graph consumers cannot drift from the
-    * pair generator. */
+    * pair generator.
+    *
+    * AS MATERIALIZED (round-10, VERDICT r9 task #2): DuckDB inlines
+    * CTEs at every reference, and the iteration-REPLAY oracles
+    * (labelprop/modularity/conductance/pagerank/ppr/hits/kcore/walk)
+    * reference each round's CTE twice — so the O(N²) all-pairs join
+    * here was re-executed an EXPONENTIAL number of times per unrolled
+    * iteration, which is why the sf0.1 oracle checks timed out. The
+    * hint pins every oracle to exactly ONE pairs pass; results are
+    * identical (materialization is an execution strategy, not a
+    * semantic change — proven by the unchanged sf0.01 hashes). */
   private[graft] val JaccardPairsCte: String =
-    s"""d AS (
+    s"""d AS MATERIALIZED (
          SELECT doc_id, list_distinct(list_transform(
            range(1, len(string_split(text,' ')) - 1),
            i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
          FROM documents),
-       pairs AS (
+       pairs AS MATERIALIZED (
          SELECT a.doc_id AS a_id, b.doc_id AS b_id
          FROM d a, d b
          WHERE a.doc_id < b.doc_id
@@ -1347,7 +1357,7 @@ object Dedup {
                  WHERE a.doc_id < b.doc_id
                    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                      / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= $JaccardThreshold),
-               edges AS (
+               edges AS MATERIALIZED (
                  SELECT a_id AS u, b_id AS v FROM pairs
                  UNION ALL SELECT b_id, a_id FROM pairs),
                reach(u, v) AS (
@@ -1428,7 +1438,7 @@ object Dedup {
                  SELECT a_id, b_id FROM jpairs
                  UNION SELECT a_id, b_id FROM spairs
                  UNION SELECT a_id, b_id FROM epairs),
-               edges AS (
+               edges AS MATERIALIZED (
                  SELECT a_id AS u, b_id AS v FROM pairs
                  UNION ALL SELECT b_id, a_id FROM pairs),
                reach(u, v) AS (
@@ -1939,7 +1949,7 @@ object Dedup {
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE $JaccardPairsCte,
-               edges AS (
+               edges AS MATERIALIZED (
                  SELECT a_id AS u, b_id AS v FROM pairs
                  UNION ALL SELECT b_id, a_id FROM pairs),
                reach(u, v) AS (
@@ -1984,7 +1994,7 @@ object Dedup {
           .orderBy("cluster_size")
       },
       Some(s"""WITH RECURSIVE $JaccardPairsCte,
-               edges AS (
+               edges AS MATERIALIZED (
                  SELECT a_id AS u, b_id AS v FROM pairs
                  UNION ALL SELECT b_id, a_id FROM pairs),
                reach(u, v) AS (

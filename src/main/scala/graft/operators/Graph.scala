@@ -260,35 +260,35 @@ object Graph {
         }
       },
       Some(s"""WITH ${Dedup.JaccardPairsCte},
-                 nd AS (SELECT doc_id FROM documents),
-                 e AS (SELECT a_id AS u, b_id AS v FROM pairs),
-                 h0 AS (SELECT doc_id, CAST($HitsQ AS BIGINT) AS h FROM nd),
-                 a1r AS (SELECT e.v AS doc_id, sum(h0.h) AS a
+                 nd AS MATERIALIZED (SELECT doc_id FROM documents),
+                 e AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM pairs),
+                 h0 AS MATERIALIZED (SELECT doc_id, CAST($HitsQ AS BIGINT) AS h FROM nd),
+                 a1r AS MATERIALIZED (SELECT e.v AS doc_id, sum(h0.h) AS a
                          FROM e JOIN h0 ON h0.doc_id = e.u GROUP BY e.v),
-                 a1f AS (SELECT nd.doc_id, COALESCE(a1r.a, 0) AS a
+                 a1f AS MATERIALIZED (SELECT nd.doc_id, COALESCE(a1r.a, 0) AS a
                          FROM nd LEFT JOIN a1r USING (doc_id)),
-                 a1 AS (SELECT doc_id,
+                 a1 AS MATERIALIZED (SELECT doc_id,
                           (a * $HitsQ) // (SELECT max(a) FROM a1f) AS a
                         FROM a1f),
-                 h1r AS (SELECT e.u AS doc_id, sum(a1.a) AS h
+                 h1r AS MATERIALIZED (SELECT e.u AS doc_id, sum(a1.a) AS h
                          FROM e JOIN a1 ON a1.doc_id = e.v GROUP BY e.u),
-                 h1f AS (SELECT nd.doc_id, COALESCE(h1r.h, 0) AS h
+                 h1f AS MATERIALIZED (SELECT nd.doc_id, COALESCE(h1r.h, 0) AS h
                          FROM nd LEFT JOIN h1r USING (doc_id)),
-                 h1 AS (SELECT doc_id,
+                 h1 AS MATERIALIZED (SELECT doc_id,
                           (h * $HitsQ) // (SELECT max(h) FROM h1f) AS h
                         FROM h1f),
-                 a2r AS (SELECT e.v AS doc_id, sum(h1.h) AS a
+                 a2r AS MATERIALIZED (SELECT e.v AS doc_id, sum(h1.h) AS a
                          FROM e JOIN h1 ON h1.doc_id = e.u GROUP BY e.v),
-                 a2f AS (SELECT nd.doc_id, COALESCE(a2r.a, 0) AS a
+                 a2f AS MATERIALIZED (SELECT nd.doc_id, COALESCE(a2r.a, 0) AS a
                          FROM nd LEFT JOIN a2r USING (doc_id)),
-                 a2 AS (SELECT doc_id,
+                 a2 AS MATERIALIZED (SELECT doc_id,
                           (a * $HitsQ) // (SELECT max(a) FROM a2f) AS a
                         FROM a2f),
-                 h2r AS (SELECT e.u AS doc_id, sum(a2.a) AS h
+                 h2r AS MATERIALIZED (SELECT e.u AS doc_id, sum(a2.a) AS h
                          FROM e JOIN a2 ON a2.doc_id = e.v GROUP BY e.u),
-                 h2f AS (SELECT nd.doc_id, COALESCE(h2r.h, 0) AS h
+                 h2f AS MATERIALIZED (SELECT nd.doc_id, COALESCE(h2r.h, 0) AS h
                          FROM nd LEFT JOIN h2r USING (doc_id)),
-                 h2 AS (SELECT doc_id,
+                 h2 AS MATERIALIZED (SELECT doc_id,
                           (h * $HitsQ) // (SELECT max(h) FROM h2f) AS h
                         FROM h2f)
                SELECT a2.doc_id,
@@ -401,10 +401,10 @@ object Graph {
           .orderBy("a_id", "b_id")
       },
       Some(s"""WITH ${Dedup.JaccardPairsCte},
-                 e AS (
+                 e AS MATERIALIZED (
                    SELECT a_id AS u, b_id AS v FROM pairs
                    UNION ALL SELECT b_id, a_id FROM pairs),
-                 deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+                 deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM e GROUP BY u),
                  w AS (
                    SELECT e1.v AS a, e2.v AS b, d.deg AS deg_z
                    FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
@@ -457,10 +457,10 @@ object Graph {
         neighborSimCapped(edges)
       },
       Some(s"""WITH ${Dedup.JaccardPairsCte},
-                 e AS (
+                 e AS MATERIALIZED (
                    SELECT a_id AS u, b_id AS v FROM pairs
                    UNION ALL SELECT b_id, a_id FROM pairs),
-                 deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+                 deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM e GROUP BY u),
                  cap AS (
                    SELECT u, v FROM (
                      SELECT u, v,
@@ -629,7 +629,7 @@ object Graph {
       // (per-source bounded expansion, output ∝ nodes).
       bench = false,
       oracle = Some(s"""WITH RECURSIVE ${Dedup.JaccardPairsCte},
-            e AS (
+            e AS MATERIALIZED (
               SELECT a_id AS u, b_id AS v FROM pairs
               UNION ALL
               SELECT b_id, a_id FROM pairs),
@@ -685,11 +685,11 @@ object Graph {
           ORDER BY src, node""")
       },
       Some(s"""WITH RECURSIVE ${Dedup.JaccardPairsCte},
-            e AS (
+            e AS MATERIALIZED (
               SELECT a_id AS u, b_id AS v FROM pairs
               UNION ALL
               SELECT b_id, a_id FROM pairs),
-            cap AS (
+            cap AS MATERIALIZED (
               SELECT u, v FROM (
                 SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v)
                   AS rn
@@ -888,7 +888,7 @@ object Graph {
     * PagerankOracleSql so round count and tie-break can never drift. */
   private lazy val LabelPropOracleSql: String =
     s"""WITH ${Dedup.JaccardPairsCte},
-          e AS (
+          e AS MATERIALIZED (
             SELECT a_id AS u, b_id AS v FROM pairs
             UNION ALL SELECT b_id, a_id FROM pairs),
           $LpaRoundsCte
@@ -906,11 +906,11 @@ object Graph {
     * the score matches bit-for-bit. */
   private lazy val ModularityOracleSql: String =
     s"""WITH ${Dedup.JaccardPairsCte},
-          e AS (
+          e AS MATERIALIZED (
             SELECT a_id AS u, b_id AS v FROM pairs
             UNION ALL SELECT b_id, a_id FROM pairs),
           $LpaRoundsCte,
-          deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+          deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM e GROUP BY u),
           mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
           intra AS (
             SELECT CAST(count(*) AS BIGINT) AS intra_edges
@@ -938,7 +938,7 @@ object Graph {
     * in the identical operand order. */
   private lazy val ConductanceOracleSql: String =
     s"""WITH ${Dedup.JaccardPairsCte},
-          e AS (
+          e AS MATERIALIZED (
             SELECT a_id AS u, b_id AS v FROM pairs
             UNION ALL SELECT b_id, a_id FROM pairs),
           $LpaRoundsCte,
@@ -953,7 +953,7 @@ object Graph {
             FROM (SELECT la AS community FROM lab
                   UNION ALL SELECT lb FROM lab)
             GROUP BY community),
-          deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+          deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM e GROUP BY u),
           vol AS (
             SELECT l.label AS community,
               CAST(sum(d.deg) AS BIGINT) AS volume
@@ -976,7 +976,7 @@ object Graph {
     * back to BIGINT because DuckDB widens integer sums to HUGEINT. */
   private lazy val PagerankOracleSql: String = {
     val iters = (1 to Iters).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
             SELECT doc.doc_id,
               (15 * $Q // (100 * (SELECT count(*) FROM documents)))
                 + COALESCE(c.cs, 0) AS r
@@ -987,11 +987,11 @@ object Graph {
               GROUP BY e.v) c ON c.v = doc.doc_id)"""
     }.mkString(",\n")
     s"""WITH ${Dedup.JaccardPairsCte},
-          e AS (
+          e AS MATERIALIZED (
             SELECT a_id AS u, b_id AS v FROM pairs
             UNION ALL SELECT b_id, a_id FROM pairs),
-          deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
-          r0 AS (
+          deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM e GROUP BY u),
+          r0 AS MATERIALIZED (
             SELECT doc_id,
               $Q // (SELECT count(*) FROM documents) AS r
             FROM documents),
@@ -1058,7 +1058,7 @@ object Graph {
     * `documents`) — shared by the labelprop and modularity oracles. */
   private lazy val LpaRoundsCte: String = {
     val rounds = (1 to Iters).map { i =>
-      s"""l$i AS (
+      s"""l$i AS MATERIALIZED (
             SELECT d.doc_id, COALESCE(w.new_label, p.label) AS label
             FROM documents d
             JOIN l${i - 1} p ON p.doc_id = d.doc_id
@@ -1071,7 +1071,7 @@ object Graph {
                 GROUP BY e.v, l.label) t
               WHERE rn = 1) w ON w.v = d.doc_id)"""
     }.mkString(",\n")
-    s"""l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+    s"""l0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM documents),
         $rounds"""
   }
 
@@ -1090,7 +1090,7 @@ object Graph {
     // coalesce is an identity, so healthy hashes are unchanged (r9
     // advice, Graph.scala graph_ppr seedless guard).
     val iters = (1 to Iters).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
             SELECT doc.doc_id,
               (CASE WHEN doc.doc_id % $PprSeedMod = 0
                  THEN COALESCE(15 * $Q // (100 * $seedCount), 0)
@@ -1103,11 +1103,11 @@ object Graph {
               GROUP BY e.v) c ON c.v = doc.doc_id)"""
     }.mkString(",\n")
     s"""WITH ${Dedup.JaccardPairsCte},
-          e AS (
+          e AS MATERIALIZED (
             SELECT a_id AS u, b_id AS v FROM pairs
             UNION ALL SELECT b_id, a_id FROM pairs),
-          deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
-          r0 AS (
+          deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM e GROUP BY u),
+          r0 AS MATERIALIZED (
             SELECT doc_id,
               CASE WHEN doc_id % $PprSeedMod = 0
                 THEN COALESCE($Q // $seedCount, 0) ELSE 0 END AS r
@@ -1126,7 +1126,7 @@ object Graph {
       s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) % 2147483647"
     val steps = (1 to WalkSteps).map { k =>
       val prev = (1 until k).map(j => s"step$j, ").mkString
-      s"""w$k AS (
+      s"""w$k AS MATERIALIZED (
             SELECT doc_id, ${prev}v AS step$k, v AS cur FROM (
               SELECT s.doc_id, ${(1 until k).map(j => s"s.step$j, ").mkString}e.v,
                 row_number() OVER (PARTITION BY s.doc_id ORDER BY
@@ -1136,10 +1136,10 @@ object Graph {
             WHERE rn = 1)"""
     }.mkString(",\n")
     s"""WITH ${Dedup.JaccardPairsCte},
-          e AS (
+          e AS MATERIALIZED (
             SELECT a_id AS u, b_id AS v FROM pairs
             UNION ALL SELECT b_id, a_id FROM pairs),
-          w0 AS (SELECT DISTINCT u AS doc_id, u AS cur FROM e),
+          w0 AS MATERIALIZED (SELECT DISTINCT u AS doc_id, u AS cur FROM e),
           $steps
         SELECT doc_id, ${(1 to WalkSteps).map(j => s"step$j").mkString(", ")}
         FROM w$WalkSteps ORDER BY doc_id"""
@@ -1149,14 +1149,14 @@ object Graph {
     * the other iterative oracles so round count cannot drift. */
   private lazy val KcoreOracleSql: String = {
     val rounds = (1 to KcoreRounds).map { i =>
-      s"""k$i AS (SELECT u FROM e${i - 1} GROUP BY u HAVING count(*) >= 2),
-          e$i AS (
+      s"""k$i AS MATERIALIZED (SELECT u FROM e${i - 1} GROUP BY u HAVING count(*) >= 2),
+          e$i AS MATERIALIZED (
             SELECT e.u, e.v FROM e${i - 1} e
             WHERE e.u IN (SELECT u FROM k$i)
               AND e.v IN (SELECT u FROM k$i))"""
     }.mkString(",\n")
     s"""WITH ${Dedup.JaccardPairsCte},
-          e0 AS (
+          e0 AS MATERIALIZED (
             SELECT a_id AS u, b_id AS v FROM pairs
             UNION ALL SELECT b_id, a_id FROM pairs),
           $rounds
