@@ -41,6 +41,12 @@ object Clustering {
   private val PqK = K // PQ codes per subspace — the k-means seed set
   private val PqTopK = 5 // neighbors returned per query by the ADC search
   private val PqNumQueries = 10 // query set: vec_id < 10 (every SF has them)
+  // k-center coreset size: 8 centers cover the 4-cluster synthetic
+  // embedding space with visible within-cluster diversity; production
+  // sets k to the annotation/distillation budget. DECLARED ABOVE defs:
+  // QueryDef's Some(KcenterOracleSql) forces the oracle string during
+  // defs initialization (the BandBucketCap lesson).
+  private val KcK = 8
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -228,8 +234,118 @@ object Clustering {
           .orderBy("cluster")
         }
       },
-      Some(SilhouetteOracleSql))
+      Some(SilhouetteOracleSql)),
+
+    // Greedy k-center coreset selection (Gonzalez '85 farthest-point
+    // traversal) — the data-PRUNING op: pick the 8 vectors that best
+    // cover the embedding space (each pick is the point farthest from
+    // every already-picked center, in cosine distance), then assign
+    // every vector to its nearest center. This is the 2-approximation
+    // to the k-center optimum and the standard seed for coreset /
+    // diverse-subset selection before expensive annotation or
+    // distillation. Shape: k−1 driver rounds, each ONE map-only corpus
+    // pass — the ≤k selected centers ride along as broadcast double
+    // literals (k×64 doubles of driver state, the emb_kmeans bound) and
+    // the farthest point comes back via a distributed TakeOrdered(1)
+    // argmin, never a sort or a corpus collect; the closing assignment
+    // is one more broadcast-literal pass + one vec_id window. At 100 TB
+    // the per-round cost is a scan — the textbook scalable greedy
+    // k-center. Determinism: every cosine is the EngineFns fold (float→
+    // double exact, one canonical op order), mins/maxes are exact on
+    // doubles, and every pick and the assignment tie-break on vec_id;
+    // the oracle replays the full greedy chain in generated CTEs
+    // (MATERIALIZED per level — each level is referenced by the next
+    // two, the task-2 lesson). Empty corpus → typed empty relation on
+    // both engines; a corpus smaller than k simply exhausts early on
+    // both (later oracle levels are empty, the engine loop stops).
+    QueryDef(
+      "sample_kcenter",
+      (s, dir) => {
+        val e = emb(s, dir).select("vec_id", "embedding").localCheckpoint()
+        val first = e.orderBy("vec_id").limit(1).collect()
+        if (first.isEmpty)
+          e.limit(0).select(col("vec_id"), lit(0L).as("c_rank"),
+            lit(0L).as("c_id"), lit(0.0).as("cos"))
+        else {
+          var sel = Vector((first(0).getLong(0),
+            first(0).getSeq[Float](1).map(_.toDouble).toArray))
+          var exhausted = false
+          while (sel.size < KcK && !exhausted) {
+            // farthest-from-selection = argmin over candidates of the
+            // MAX cosine to any selected center (nested greatest ==
+            // the oracle's max() aggregate — exact on doubles)
+            val mc = sel.map { case (_, v) =>
+              CosineSimilarity(s, col("embedding"),
+                array(v.map(lit): _*)): Column
+            }.reduce((a, b) => greatest(a, b))
+            val cand = e.filter(!col("vec_id").isin(sel.map(_._1): _*))
+              .select(col("vec_id"), col("embedding"), mc.as("mc"))
+              .orderBy(col("mc").asc, col("vec_id").asc)
+              .limit(1).collect() // 1-row distributed argmin
+            if (cand.isEmpty) exhausted = true
+            else sel :+= ((cand(0).getLong(0),
+              cand(0).getSeq[Float](1).map(_.toDouble).toArray))
+          }
+          val scored = e.select(col("vec_id"), posexplode(array(
+            sel.map { case (_, v) =>
+              CosineSimilarity(s, col("embedding"),
+                array(v.map(lit): _*)): Column
+            }: _*)).as(Seq("r0", "cos")))
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("r0").asc)
+          scored.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"),
+              (col("r0") + 1).cast("long").as("c_rank"),
+              element_at(array(sel.map(x => lit(x._1)): _*),
+                col("r0") + 1).as("c_id"),
+              col("cos"))
+            .orderBy("vec_id")
+        }
+      },
+      Some(KcenterOracleSql))
   ) ++ pqDefs
+
+  /** DuckDB replay of the greedy farthest-point chain — generated so the
+    * pick count, the min-vec_id seed, the argmin tie-break, and the
+    * closing assignment can never drift from the Spark loop. Every
+    * level is MATERIALIZED: sel(t) is referenced by d(t+1) twice and by
+    * sel(t+1), so inlining would re-run the whole prefix exponentially
+    * (the same failure mode the round-10 oracle rewrite fixed for the
+    * graph family). */
+  private lazy val KcenterOracleSql: String = {
+    val levels = (2 to KcK).map { t =>
+      s"""d$t AS MATERIALIZED (
+            SELECT e.vec_id,
+              max(${cosineSql("e.embedding", "s.embedding")}) AS mc
+            FROM embeddings e, sel${t - 1} s
+            WHERE e.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+            GROUP BY e.vec_id),
+          c$t AS MATERIALIZED (
+            SELECT $t AS rk, e.vec_id, e.embedding
+            FROM (SELECT vec_id,
+                    row_number() OVER (ORDER BY mc ASC, vec_id ASC) AS rn
+                  FROM d$t) w
+            JOIN embeddings e ON e.vec_id = w.vec_id
+            WHERE w.rn = 1),
+          sel$t AS MATERIALIZED (
+            SELECT rk, vec_id, embedding FROM sel${t - 1}
+            UNION ALL SELECT rk, vec_id, embedding FROM c$t)"""
+    }.mkString(",\n")
+    s"""WITH sel1 AS MATERIALIZED (
+          SELECT 1 AS rk, vec_id, embedding FROM embeddings
+          WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+        $levels,
+        asg AS (
+          SELECT e.vec_id, s.rk, s.vec_id AS c_id,
+            ${cosineSql("e.embedding", "s.embedding")} AS cos,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosineSql("e.embedding", "s.embedding")} DESC,
+                       s.rk ASC) AS rn
+          FROM embeddings e, sel$KcK s)
+        SELECT vec_id, CAST(rk AS BIGINT) AS c_rank, c_id, cos
+        FROM asg WHERE rn = 1 ORDER BY vec_id"""
+  }
 
   /** DuckDB replay of the full k-means loop (same seeds, same argmax
     * ordering, same quantized decimal sums, same division order) — built

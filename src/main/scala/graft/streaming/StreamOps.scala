@@ -1614,6 +1614,51 @@ object StreamOps {
               FROM events GROUP BY event_type ORDER BY event_type"""),
       bench = false),
 
+    // Lambda-architecture reconciliation — the backfill+increment merge
+    // every migrating estate runs: HISTORY (events strictly before the
+    // latest day) is aggregated as a plain batch pass, TODAY streams
+    // through the same aggregate incrementally, and the serving view is
+    // the keyed merge of the two — proven ≡ one batch aggregate over
+    // everything by the oracle. The count aggregate is associative, so
+    // batch/stream SPLIT POINT choice cannot change the merged result
+    // (that invariance is exactly what makes the cutover safe to deploy
+    // gradually). Shape: one batch hash aggregate + one complete-mode
+    // streaming aggregate whose state is domain-bounded (one row per
+    // event type — the stream_tv_drift argument) + a type-grain outer
+    // join; the cut is a 1-row max(day) pre-flight. At 100 TB the
+    // stream side only ever holds one day of increments' WORTH OF
+    // GROUPS (not rows), and the batch side is the existing warehouse
+    // aggregate.
+    QueryDef(
+      "stream_backfill_merge",
+      (s, dir) => {
+        val batch = graft.Tables.load(s, dir, "events")
+        val cutRow = batch
+          .agg(max(date_trunc("day", col("ts"))).as("cut")).collect()
+        val cut = cutRow(0).getAs[java.sql.Timestamp]("cut")
+        if (cut == null) // empty events: typed empty relation
+          batch.limit(0).select(col("event_type"), lit(0L).as("n"))
+        else {
+          val hist = batch.filter(col("ts") < lit(cut))
+            .groupBy("event_type").agg(count(lit(1)).as("n_hist"))
+          val sink = s"graft_stream_bfm_${nameCounter.incrementAndGet()}"
+          val q = rawEventStream(s, dir)
+            .filter(col("ts") >= lit(cut))
+            .groupBy("event_type").agg(count(lit(1)).as("n_live"))
+            .writeStream.outputMode("complete").format("memory")
+            .queryName(sink).start()
+          try q.processAllAvailable() finally q.stop()
+          hist.join(s.table(sink), Seq("event_type"), "full_outer")
+            .select(col("event_type"),
+              (coalesce(col("n_hist"), lit(0L)) +
+                coalesce(col("n_live"), lit(0L))).as("n"))
+            .orderBy("event_type")
+        }
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type ORDER BY event_type"""),
+      bench = false),
+
     QueryDef(
       "stream_hourly",
       (s, dir) => hourlyByType(s, dir),

@@ -67,6 +67,27 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_kcenter spreads its first picks across the planted groups") {
+    val out = Registry.byName("sample_kcenter").run(spark, dir).collect()
+    assert(out.length === 200) // every vector assigned to a center
+    val centers = out.map(r =>
+      (r.getAs[Long]("c_rank"), r.getAs[Long]("c_id"))).distinct.sortBy(_._1)
+    assert(centers.length === 8, s"centers $centers")
+    assert(centers.head === ((1L, 0L)), "seed must be the min vec_id")
+    // greedy farthest-point on 4 orthogonal groups MUST cover all 4
+    // groups within the first 4 picks (any uncovered group's axis is at
+    // cosine ~0 from every selected center, i.e. farthest)
+    val firstFourGroups = centers.take(4).map(_._2 / 50).toSet
+    assert(firstFourGroups === Set(0L, 1L, 2L, 3L), s"picks $centers")
+    // and every vector assigns to a center from its OWN group (within-
+    // group cosine ~0.99+ vs cross-group ~0)
+    out.foreach { r =>
+      assert(r.getAs[Long]("c_id") / 50 === r.getAs[Long]("vec_id") / 50,
+        s"vec ${r.getAs[Long]("vec_id")} assigned cross-group")
+      assert(r.getAs[Double]("cos") > 0.9)
+    }
+  }
+
   test("CosineSimilarity accepts double-array centroids and matches the float path") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(0.5, 1.0, -2.0)))
       .toDF("f", "d")

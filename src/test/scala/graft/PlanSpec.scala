@@ -845,4 +845,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"),
       s"no partial aggregation:\n$p")
   }
+
+  test("kcenter assignment is literal-broadcast map work plus one window") {
+    // the greedy picks happen in bounded driver rounds (each a
+    // TakeOrdered(1) argmin); the RETURNED plan is the closing
+    // assignment — selected centers ride along as array literals, so
+    // there must be NO join of any kind and exactly one vec_id-keyed
+    // window for the argmax
+    val p = plan("sample_kcenter")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"assignment should be join-free (centers are literals):\n$p")
+    assert(p.contains("Window"), s"no argmax window:\n$p")
+  }
+
+  test("backfill merge joins only type-grain aggregates") {
+    // both sides of the reconciliation are already aggregated to one
+    // row per event type before the full-outer merge — the join must
+    // never see event-grain rows
+    val p = plan("stream_backfill_merge")
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      s"no full-outer merge:\n$p")
+    assert(p.contains("HashAggregate"), s"no aggregation below the merge:\n$p")
+  }
 }

@@ -497,6 +497,27 @@ class StreamCancelSpec extends AnyFunSuite {
     assert(st === ba)
   }
 
+  test("stream_backfill_merge reconciles to the one-shot batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val merged = Registry.byName("stream_backfill_merge")
+      .run(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val events = Tables.load(spark, TestSpark.sf, "events")
+    val full = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === full)
+    // the cut must actually SPLIT the corpus on this fixture — both the
+    // batch backfill and the streamed increment sides are nonempty, so
+    // the equality above proves the merge, not a degenerate all-batch
+    // (or all-stream) path
+    val cut = events.agg(max(date_trunc("day", col("ts")))).collect()(0)
+      .getTimestamp(0)
+    assert(events.filter(col("ts") < lit(cut)).count() > 0,
+      "backfill side empty — fixture does not exercise the merge")
+    assert(events.filter(col("ts") >= lit(cut)).count() > 0,
+      "increment side empty — fixture does not exercise the merge")
+  }
+
   test("statestore reader surfaces exactly the batch aggregate") {
     // the state store's raw rows, read back as a batch DataFrame, must
     // BE the aggregate the stream computed — no residue, no drift
