@@ -386,6 +386,81 @@ object TextAnalysis {
               WHERE r.rk <= q.quota
               ORDER BY r.lang, r.rk""")),
 
+    // Token-budget mixture allocator — the TOKEN-grain companion to the
+    // doc-count planners (sample_mixture water-fills document counts;
+    // sample_temperature Bernoulli-thins documents): what an LLM
+    // training run actually budgets is tokens, and what it fixes per
+    // source is an exact token allocation. Global budget B = ⌊Σtok/5⌋
+    // (a 20% epoch); per-source share ∝ ⌊√tok_s⌋ — α = 0.5 temperature
+    // flattening on token MASS, exact in both engines because IEEE
+    // sqrt is correctly rounded (the same portability argument as the
+    // Neyman allocator, and the same DECIMAL(38,0) product/division
+    // discipline so B·wq never touches int64). Membership is greedy:
+    // docs ordered by the md5 uniform within each source fill the
+    // budget by cumulative token count; the first document CROSSING
+    // the boundary is kept whole (documents are atomic — a training
+    // pipeline does not split a doc across the budget line). Shape:
+    // one k-row source aggregate broadcast back, one window shuffle on
+    // source for the running sum — no corpus-sized state, no driver
+    // collect; the budget table is k rows at any corpus size.
+    QueryDef(
+      "sample_token_budget",
+      (s, dir) => {
+        val d38 = "decimal(38,0)"
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        val st = docs.groupBy("source")
+          .agg(sum(col("n_toks").cast(d38)).as("tok_s"))
+          .withColumn("wq",
+            floor(sqrt(col("tok_s").cast("double"))).cast("long"))
+        val tot = st.agg(sum(col("wq").cast(d38)).as("wtot"),
+          sum(col("tok_s")).as("btot"))
+        val budget = st.crossJoin(broadcast(tot))
+          .select(col("source"), expr(
+            """CAST(((btot div 5) * CAST(wq AS DECIMAL(38,0)))
+                 div nullif(wtot, 0) AS BIGINT)""").as("budget_toks"))
+        val u = hash31(concat_ws("|", lit("tokb"), col("doc_id").cast("string")))
+        val w = Window.partitionBy("source").orderBy(u.asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs
+          .withColumn("cum_toks", sum(col("n_toks")).over(w))
+          .join(broadcast(budget), Seq("source"))
+          .filter(col("cum_toks") - col("n_toks") < col("budget_toks"))
+          .select(col("doc_id"), col("source"), col("n_toks"),
+            col("cum_toks"), col("budget_toks"))
+          .orderBy("source", "cum_toks", "doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+                FROM documents),
+              st AS (
+                SELECT source, sum(CAST(n_toks AS HUGEINT)) AS tok_s,
+                  CAST(floor(sqrt(CAST(sum(n_toks) AS DOUBLE))) AS BIGINT)
+                    AS wq
+                FROM d GROUP BY source),
+              t AS (SELECT sum(CAST(wq AS HUGEINT)) AS wtot,
+                           sum(tok_s) AS btot FROM st),
+              b AS (
+                SELECT source,
+                  CAST(((t.btot // 5) * CAST(wq AS HUGEINT))
+                    // nullif(t.wtot, 0) AS BIGINT) AS budget_toks
+                FROM st CROSS JOIN t),
+              c AS (
+                SELECT doc_id, source, n_toks,
+                  sum(n_toks) OVER (PARTITION BY source ORDER BY
+                    (CAST(concat('0x', substr(md5(concat('tokb', '|',
+                        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                      % 2147483647) ASC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_toks
+                FROM d)
+              SELECT c.doc_id, c.source, c.n_toks,
+                CAST(c.cum_toks AS BIGINT) AS cum_toks, b.budget_toks
+              FROM c JOIN b ON b.source = c.source
+              WHERE c.cum_toks - c.n_toks < b.budget_toks
+              ORDER BY c.source, c.cum_toks, c.doc_id""")),
+
     // Benchmark decontamination: flag training documents that overlap an
     // evaluation set by 3-word shingles — the standard pre-training
     // hygiene step (a doc sharing >= 3 shingles with any benchmark item

@@ -49,6 +49,31 @@ object Warehouse {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** q_dp_release's uniform-draw grid (matches the quantized CDF). */
+  private val DpGrid = 1048576L // 2^20
+
+  /** Inverse-CDF threshold ladder for the two-sided geometric (discrete
+    * Laplace) mechanism at ε = 0.5: T(k) = round(CDF(k) · 2^20), where
+    * CDF(k) = α^(−k)/(1+α) for k < 0 and 1 − α^(k+1)/(1+α) for k ≥ 0,
+    * α = e^−ε. Computed ONCE on the driver (math.exp/pow never run on
+    * the data path) and emitted as integer literals into the SAME
+    * generated CASE text both engines evaluate, so the sampled noise is
+    * exact-integer-identical everywhere. |k| ≤ 32 covers the grid: the
+    * tail mass beyond ±32 is α^33/(1+α) ≈ 4·10⁻⁸ < 2⁻²⁰, so the extreme
+    * WHEN branches are unreachable and the ELSE arm is dead — the
+    * ladder is total over u ∈ [0, 2^20). */
+  private lazy val DpCaseSql: String = {
+    val eps = 0.5
+    val alpha = math.exp(-eps)
+    val whens = (-32 to 32).map { k =>
+      val cdf =
+        if (k < 0) math.pow(alpha, -k) / (1.0 + alpha)
+        else 1.0 - math.pow(alpha, k + 1) / (1.0 + alpha)
+      s"WHEN u < ${math.round(cdf * DpGrid)} THEN $k"
+    }
+    whens.mkString("CASE ", " ", " ELSE 32 END")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Incremental aggregate maintenance — the materialized-view merge
@@ -1538,6 +1563,61 @@ object Warehouse {
                 n_violating_classes, n_rows_at_risk
               FROM v CROSS JOIN t
               ORDER BY nation, segment, bal_band""")),
+
+    // Differentially-private count release — the other half of the
+    // privacy surface next to q_kanon: the per-(event_type, day) event
+    // histogram released under ε = 0.5 via the GEOMETRIC mechanism
+    // (the discrete Laplace — the standard integer-valued DP noise for
+    // counting queries). House numeric discipline (SCALE.md "Numeric
+    // determinism"): the continuous Laplace needs ln(u), whose libm
+    // rounding is not engine-portable, so the noise here is drawn by
+    // inverse-CDF lookup against a DRIVER-COMPUTED literal threshold
+    // ladder (the q_benford literal-table pattern): the two-sided
+    // geometric CDF at α = e^-ε is quantized once in Scala to the same
+    // 2^20 grid as the md5-derived uniform draw, and both engines
+    // evaluate the identical generated CASE ladder — integer compares
+    // only, zero transcendentals on the data path. The draw is keyed on
+    // the released CELL (type + day-epoch), not on row data, exactly as
+    // a production DP release seeds per-cell noise. Shape: one map-side-
+    // combined hash aggregate ∝ events, then map-only noise on the
+    // cell-grain relation (∝ types × days, catalog-sized at any corpus
+    // scale); released = max(0, n + noise) post-processing preserves ε.
+    QueryDef(
+      "q_dp_release",
+      (s, dir) => {
+        val e = Tables.loadEvents(s, dir)
+          .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        val daily = e.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+          .withColumn("day_us", unix_micros(col("day")))
+        daily
+          .withColumn("u", graft.functions.EngineFns.hash31(
+            concat_ws("|", lit("dp"), col("event_type"),
+              col("day_us").cast("string"))) % DpGrid)
+          .withColumn("noise", expr(DpCaseSql).cast("long"))
+          .select(col("event_type"), col("day"), col("n"), col("noise"),
+            greatest(lit(0L), col("n") + col("noise")).as("released"),
+            lit(0.5).as("epsilon"))
+          .orderBy("event_type", "day")
+      },
+      Some(s"""WITH e AS (
+                SELECT event_type,
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                    AS day
+                FROM events),
+              daily AS (
+                SELECT event_type, day, count(*) AS n,
+                  epoch_us(day) AS day_us
+                FROM e GROUP BY 1, 2),
+              h AS (
+                SELECT *, (CAST(concat('0x', substr(md5(concat('dp', '|',
+                    event_type, '|', CAST(day_us AS VARCHAR))), 1, 15))
+                    AS BIGINT) % 2147483647) % $DpGrid AS u
+                FROM daily),
+              z AS (SELECT *, CAST($DpCaseSql AS BIGINT) AS noise FROM h)
+              SELECT event_type, day, n, noise,
+                greatest(0, n + noise) AS released,
+                CAST(0.5 AS DOUBLE) AS epsilon
+              FROM z ORDER BY event_type, day""")),
 
     // Join-key skew audit — the diagnostic run BEFORE shuffling 100 TB
     // on a key: per-key count distribution of lineitem.l_partkey as

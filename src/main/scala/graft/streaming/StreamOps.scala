@@ -2072,8 +2072,95 @@ object StreamOps {
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
               FROM sp GROUP BY split, lang
               ORDER BY split, lang"""),
+      bench = false),
+
+    // Streaming ingest rate limiter — per-(user, day) quota enforcement
+    // at the door: every principal may land at most 3 events per
+    // calendar day; the 4th and later are dropped IN the stream, before
+    // any downstream state or storage sees them (the standard abuse /
+    // cost-control gate in front of a 100 TB/day ingest). Admission is
+    // deterministic: earliest events by (event time, event_id) win the
+    // quota, so the admitted set is replayable and the batch oracle is
+    // the plain row_number gate. State is ONE long per (user, day) —
+    // the consumed count — not the events themselves; a production
+    // deployment adds EventTimeTimeout to expire closed days (the
+    // stream_session_ttl pattern, kept separate here for the same
+    // reason stream_dedup and stream_dedup_wm ship separately). With
+    // the whole corpus in one micro-batch the per-group sort makes
+    // admission match the batch total order bit-for-bit; per-group
+    // input is bounded by a single principal's one-day event volume.
+    QueryDef(
+      "stream_rate_limit",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val sink = s"graft_stream_rlimit_${nameCounter.incrementAndGet()}"
+        val q = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", graft.Tables.normTsCol(schema))
+          .select(col("event_id").cast("long").as("event_id"),
+            col("user_id").cast("long").as("user_id"),
+            unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+            unix_micros(col("ts")).as("ts_us"))
+          .as[RlEv]
+          .groupByKey(e => (e.user_id, e.day_us))
+          .flatMapGroupsWithState[Long, RlAdmit](
+            OutputMode.Update, GroupStateTimeout.NoTimeout)(rateLimitState)
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink)
+          .select(col("user_id"), timestamp_micros(col("day_us")).as("day"),
+            col("event_id"), col("rk"))
+          .orderBy("user_id", "day", "rk")
+      },
+      Some("""WITH e AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t,
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                    AS day
+                FROM events),
+              r AS (
+                SELECT user_id, day, event_id,
+                  row_number() OVER (PARTITION BY user_id, day
+                    ORDER BY t, event_id) AS rk
+                FROM e)
+              SELECT user_id, day, event_id, CAST(rk AS BIGINT) AS rk
+              FROM r WHERE rk <= 3
+              ORDER BY user_id, day, rk"""),
       bench = false)
   )
+
+  /** Per-day admission quota for stream_rate_limit. */
+  val RateLimitN: Long = 3L
+
+  /** One candidate event at the rate-limit gate (key: user_id, day_us). */
+  final case class RlEv(event_id: Long, user_id: Long, day_us: Long,
+      ts_us: Long)
+
+  /** One admitted event with its within-quota rank. */
+  final case class RlAdmit(user_id: Long, day_us: Long, event_id: Long,
+      rk: Long)
+
+  /** flatMapGroupsWithState body for stream_rate_limit: state is the
+    * count already consumed by this (user, day); each micro-batch sorts
+    * its group slice by event time (bounded: one principal's one-day
+    * volume), continues the count, and admits ranks ≤ RateLimitN. */
+  def rateLimitState(key: (Long, Long), it: Iterator[RlEv],
+      state: GroupState[Long]): Iterator[RlAdmit] = {
+    val taken = if (state.exists) state.get else 0L
+    val sorted = it.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+    state.update(taken + sorted.size)
+    sorted.iterator.zipWithIndex.collect {
+      case (e, i) if taken + i + 1 <= RateLimitN =>
+        RlAdmit(e.user_id, e.day_us, e.event_id, taken + i + 1)
+    }
+  }
 
   /** One quality-gated document flowing through the streaming capstone. */
   final case class CleanDoc(doc_id: Long, text: String, lang: String)

@@ -196,7 +196,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       val q = xs.map(x => BigInt(x._2) * BigInt(x._2)).sum
       val wq = if (n > 1) {
         val v = (BigInt(n) * q - s * s).toDouble / (n * (n - 1)).toDouble
-        math.floor(math.sqrt(v) * n.toDouble * 1048576.0 + 0.5).toLong
+        math.floor(math.sqrt(v) * n.toDouble * 256.0 + 0.5).toLong
       } else 0L
       (lang, n, wq)
     }.toSeq
@@ -618,6 +618,39 @@ class PipelineOpsSpec extends AnyFunSuite {
         lens.count(l => l / 64 == b).toLong)
       val ws = r.getAs[Double]("waste_share")
       assert(ws >= 0.0 && ws < 1.0)
+    }
+  }
+
+  test("sample_token_budget: sqrt-flattened allocation, greedy prefix fill") {
+    val rows = Registry.byName("sample_token_budget")
+      .run(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    // local replay of the allocation arithmetic in exact BigInt
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val tokS = docs.groupBy(_._1).view
+      .mapValues(_.map(x => BigInt(x._3)).sum).toMap
+    val wq = tokS.view
+      .mapValues(t => BigInt(math.floor(math.sqrt(t.toDouble)).toLong)).toMap
+    val wtot = wq.values.sum
+    val budget = wq.view
+      .mapValues(w => ((tokS.values.sum / 5) * w / wtot).toLong).toMap
+    val gotBudget = rows.groupBy(_.getAs[String]("source")).view
+      .mapValues(_.head.getAs[Long]("budget_toks")).toMap
+    gotBudget.foreach { case (src, got) =>
+      assert(got === budget(src), s"budget for $src")
+    }
+    // kept rows are exactly the maximal greedy prefix: every kept row
+    // starts under the line, and if any doc was excluded the last kept
+    // row reaches or crosses it
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, g) =>
+      val cums = g.map(r =>
+        (r.getAs[Long]("cum_toks"), r.getAs[Long]("n_toks"))).sortBy(_._1)
+      cums.foreach { case (cum, n) => assert(cum - n < budget(src)) }
+      if (g.length < docs.count(_._1 == src))
+        assert(cums.last._1 >= budget(src), s"non-maximal prefix for $src")
     }
   }
 }

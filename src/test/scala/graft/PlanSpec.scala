@@ -867,4 +867,23 @@ class PlanSpec extends AnyFunSuite {
       s"no full-outer merge:\n$p")
     assert(p.contains("HashAggregate"), s"no aggregation below the merge:\n$p")
   }
+
+  test("dp release: one event-grain aggregate, map-only noise, no join") {
+    val p = plan("q_dp_release")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    // the CASE-ladder noise is a projection over the cell-grain
+    // relation — any join or second event-grain pass is a plan bug
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"noise must be map-only on the aggregate output:\n$p")
+  }
+
+  test("token budget: broadcast allocation, source-hashed cumsum, no sort-merge") {
+    val p = plan("sample_token_budget")
+    assert(p.contains("BroadcastExchange"),
+      s"k-row budget relation should broadcast:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"running-sum window not source-hashed:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"doc-grain shuffle join crept in:\n$p")
+  }
 }

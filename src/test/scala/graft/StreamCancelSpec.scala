@@ -529,4 +529,31 @@ class StreamCancelSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(st === ba)
   }
+
+  test("rate limiter admits exactly the 3 earliest events per user-day") {
+    val got = Registry.byName("stream_rate_limit")
+      .run(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("day"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("rk")))
+    assert(got.nonEmpty)
+    got.groupBy(t => (t._1, t._2)).foreach { case (k, g) =>
+      assert(g.length <= 3, s"quota exceeded for $k")
+      assert(g.map(_._4).sorted.toSeq === (1L to g.length).toSeq,
+        s"ranks not contiguous for $k")
+    }
+    // the fixture must actually exercise rejection
+    val nAll = Tables.load(spark, TestSpark.sf, "events").count()
+    assert(got.length < nAll, "no event was ever rejected")
+    // batch replay: admitted ids are the earliest by (ts, event_id)
+    val ev = Tables.loadEvents(spark, TestSpark.sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(t => (t._1, t._2)).toSeq.flatMap { case (k, g) =>
+      g.sortBy(x => (x._3, x._4)).take(3).map(x => (k._1, k._2, x._4)).toSeq
+    }.toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet === want)
+  }
 }

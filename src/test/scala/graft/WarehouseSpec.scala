@@ -316,4 +316,27 @@ class WarehouseSpec extends AnyFunSuite {
     val nAll = Tables.load(spark, TestSpark.sf, "events").count()
     assert(out.map(_.getAs[Long]("n_full")).sum === nAll)
   }
+
+  test("dp release: bounded integer noise, clamped release, deterministic") {
+    val a = run("q_dp_release").collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val noise = r.getAs[Long]("noise")
+      assert(noise >= -32L && noise <= 32L, r.toString)
+      assert(r.getAs[Long]("released") ===
+        math.max(0L, r.getAs[Long]("n") + noise), r.toString)
+      assert(r.getAs[Double]("epsilon") === 0.5)
+    }
+    // the mechanism must actually perturb: at ε = 0.5 the two-sided
+    // geometric puts ~75% of its mass off zero
+    assert(a.exists(_.getAs[Long]("noise") != 0L), "all-zero noise")
+    assert(a.exists(_.getAs[Long]("noise") < 0L), "noise never negative")
+    // per-cell noise is a pure function of the cell key — bit-identical
+    // on rerun (the property that makes the release auditable)
+    val b = run("q_dp_release").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // exact cell counts reconcile against the raw table
+    val nAll = Tables.load(spark, TestSpark.sf, "events").count()
+    assert(a.map(_.getAs[Long]("n")).sum === nAll)
+  }
 }
