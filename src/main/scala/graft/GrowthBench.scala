@@ -101,6 +101,10 @@ object GrowthBench {
     // exponent against that floor; the build/serve split is measured
     // separately in SCALE.md's round-10 section.
     "sim_ann_ivf_refresh" -> "~linear + fixed 2x(index build) floor",
+    // serve-only comparator for the refresh build/serve split: same
+    // probe path, index already persisted — refresh minus served
+    // isolates the two corpus writes + two index builds
+    "sim_ann_ivf_served" -> "~linear (probe persisted lists, serve-only)",
     "graph_assortativity" -> "~linear (rides jaccardPairs + node-grain degree joins)")
 
   /** sf dirs to measure, smallest first. Overridable so the 0.1->1
