@@ -1564,6 +1564,64 @@ object Warehouse {
               FROM v CROSS JOIN t
               ORDER BY nation, segment, bal_band""")),
 
+    // l-diversity audit — k-anonymity's companion gate (q_kanon bounds
+    // RE-IDENTIFICATION; this bounds ATTRIBUTE DISCLOSURE): a
+    // quasi-identifier class where every member shares one sensitive
+    // value leaks that value even when the class is k-large. Each
+    // (nation, balance-band) class must see at least l = 3 distinct
+    // market segments; smaller-diversity classes are reported with
+    // their distinct-count and size, plus the carried suppression
+    // totals, exactly the q_kanon report shape so the two gates compose
+    // into one anonymization decision. The band reuses q_kanon's exact
+    // integer cents binning (shift-then-div so Spark's truncating div
+    // and DuckDB's flooring // agree below zero). Shape: one
+    // count_distinct hash aggregate ∝ customers (two-phase under
+    // distinct expansion), then a 1-row broadcast of totals — the class
+    // relation is bounded by the QI domain at any corpus size.
+    QueryDef(
+      "q_l_diversity",
+      (s, dir) => {
+        val l = 3L
+        val c = t(s, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"),
+            expr("""((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      + 100000) div 100000) * 1000 - 1000""").as("bal_band"))
+        val classes = c.groupBy("nation", "bal_band").agg(
+          count_distinct(col("segment")).as("l_distinct"),
+          count(lit(1)).as("class_size"))
+        val viol = classes.filter(col("l_distinct") < l)
+        val tot = viol.agg(
+          coalesce(count(lit(1)), lit(0L)).as("n_violating_classes"),
+          coalesce(sum(col("class_size")), lit(0L)).as("n_rows_at_risk"))
+        viol.crossJoin(broadcast(tot))
+          .select(col("nation"), col("bal_band"), col("l_distinct"),
+            col("class_size"), col("n_violating_classes"),
+            col("n_rows_at_risk"))
+          .orderBy("nation", "bal_band")
+      },
+      Some("""WITH c AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                  c_mktsegment AS segment,
+                  ((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      + 100000) // 100000) * 1000 - 1000 AS bal_band
+                FROM customer),
+              cls AS (
+                SELECT nation, bal_band,
+                  CAST(count(DISTINCT segment) AS BIGINT) AS l_distinct,
+                  count(*) AS class_size
+                FROM c GROUP BY nation, bal_band),
+              v AS (SELECT * FROM cls WHERE l_distinct < 3),
+              t AS (
+                SELECT count(*) AS n_violating_classes,
+                  CAST(coalesce(sum(class_size), 0) AS BIGINT)
+                    AS n_rows_at_risk
+                FROM v)
+              SELECT nation, bal_band, l_distinct, class_size,
+                n_violating_classes, n_rows_at_risk
+              FROM v CROSS JOIN t
+              ORDER BY nation, bal_band""")),
+
     // Differentially-private count release — the other half of the
     // privacy surface next to q_kanon: the per-(event_type, day) event
     // histogram released under ε = 0.5 via the GEOMETRIC mechanism

@@ -317,6 +317,32 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_full")).sum === nAll)
   }
 
+  test("l-diversity report lists exactly the sub-l classes") {
+    val out = run("q_l_diversity").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("l_distinct") < 3L)
+      assert(r.getAs[Long]("l_distinct") >= 1L)
+      assert(r.getAs[Long]("class_size") >= r.getAs[Long]("l_distinct"))
+    }
+    if (out.nonEmpty) {
+      assert(out.head.getAs[Long]("n_violating_classes") === out.length.toLong)
+      assert(out.head.getAs[Long]("n_rows_at_risk") ===
+        out.map(_.getAs[Long]("class_size")).sum)
+    }
+    // independent recount of one reported class from the raw table
+    out.headOption.foreach { r =>
+      val band = expr(
+        """((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+            + 100000) div 100000) * 1000 - 1000""")
+      val cls = Tables.load(spark, TestSpark.sf, "customer")
+        .filter(col("c_nationkey").cast("long") === r.getAs[Long]("nation") &&
+          band === r.getAs[Long]("bal_band"))
+      assert(cls.count() === r.getAs[Long]("class_size"))
+      assert(cls.select("c_mktsegment").distinct().count() ===
+        r.getAs[Long]("l_distinct"))
+    }
+  }
+
   test("dp release: bounded integer noise, clamped release, deterministic") {
     val a = run("q_dp_release").collect()
     assert(a.nonEmpty)
