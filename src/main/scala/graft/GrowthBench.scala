@@ -137,7 +137,12 @@ object GrowthBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", "/dev/shm/graft_spark")
+      // tmpfs shuffle dirs are the right default up to ~sf1; an sf10
+      // pass spills tens of GB and tmpfs IS physical memory — the r10
+      // first sf1→sf10 attempt was OOM-killed (rc=137) with 80 GB of
+      // /dev/shm spill. Big-corpus runs override to a disk path.
+      .config("spark.local.dir", sys.env.getOrElse(
+        "SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft_spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

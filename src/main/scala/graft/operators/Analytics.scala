@@ -1758,7 +1758,54 @@ object Analytics {
               SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
                 mau.mau_exact, TRUE AS hll_ok
               FROM dau JOIN mau ON mau.day = dau.day
-              ORDER BY dau.day"""))
+              ORDER BY dau.day""")),
+
+    // Last-touch attribution — the revenue-accounting complement to
+    // q_funnel (did they convert?) and q_time_to_convert (how fast?):
+    // WHICH channel gets credit for each purchase. Per user, each
+    // purchase attributes to the most recent PRIOR view/click (the
+    // last-touch rule; purchases with no prior touch report 'none'),
+    // computed with one ignore-nulls last_value window over the
+    // user's event stream — no self-join of events to events, no
+    // per-purchase scan-back. Shape: one hash shuffle on user_id, a
+    // linear per-user window pass, then a channel-grain aggregate;
+    // revenue sums in exact DECIMAL cents.
+    QueryDef(
+      "q_attribution",
+      (s, dir) => {
+        val e = Tables.loadEvents(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"), col("value"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        e.withColumn("channel",
+            coalesce(last(
+              when(col("event_type").isin("view", "click"), col("event_type")),
+              ignoreNulls = true).over(w), lit("none")))
+          .filter(col("event_type") === "purchase")
+          .groupBy("channel").agg(
+            count(lit(1)).as("n_purchases"),
+            sum(dec(col("value"))).cast("double").as("total_value"))
+          .orderBy("channel")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+                  event_id, value
+                FROM events),
+              a AS (
+                SELECT event_type, value,
+                  coalesce(last_value(CASE WHEN event_type IN ('view', 'click')
+                      THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    'none') AS channel
+                FROM e)
+              SELECT channel, count(*) AS n_purchases,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                  AS total_value
+              FROM a WHERE event_type = 'purchase'
+              GROUP BY channel ORDER BY channel"""))
   )
 
   /** Count-min sketch geometry: 4 rows x 1024 counters = 32 KB. With

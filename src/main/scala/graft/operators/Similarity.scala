@@ -484,6 +484,62 @@ object Similarity {
       Some(ivfOracleSql(nprobe = 2)),
       ),
 
+    // FILTERED vector search — the metadata-constrained ANN problem
+    // (retrieve top-k among vectors satisfying a predicate; here:
+    // label % 2 = 0, the "only corpus documents from allowed sources"
+    // shape every RAG/retrieval deployment hits). Strategy is
+    // PRE-filter: the predicate lands on the inverted lists BEFORE
+    // scoring, so ranking never sees a disallowed candidate and the
+    // top-k is always full (post-filtering a plain top-k under-fills
+    // whenever > (k/selectivity) of the head is disallowed — the
+    // classic filtered-search failure). nprobe=2 keeps recall at the
+    // halved list density. Shape: the predicate is one vec_id-grain
+    // equi-join against the allowed-id set (at scale: a filter column
+    // STORED in the lists — zero extra join); everything else is the
+    // standard broadcast-query probe, corpus touched once.
+    QueryDef(
+      "sim_ann_filtered",
+      (s, dir) => {
+        val e = embParallel(s, dir)
+        val centroids = ivfCentroids(s, dir)
+        val assigned = ivfAssign(s, e, broadcast(centroids))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("c_id").as("list_id"))
+        val allowed = e
+          .filter(pmod(col("label").cast("long"), lit(2L)) === 0L)
+          .select(col("vec_id"))
+        val queries = e.filter(col("vec_id") < NumQueries)
+          .select("vec_id", "embedding")
+        ivfTopKOf(ivfCandidatesOn(s, nprobe = 2, queries, centroids,
+          assigned.join(allowed, Seq("vec_id"))))
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+                      FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (SELECT e.vec_id, e.embedding, cent.c_id,
+                     ${cosineSql("e.embedding", "cent.c_emb")} AS c_cos
+                   FROM embeddings e, cent),
+        ranked AS (
+          SELECT vec_id, embedding, c_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS arn
+          FROM scored),
+        assigned AS (
+          SELECT r.vec_id, r.embedding, r.c_id AS list_id
+          FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+          WHERE r.arn = 1 AND e.label % 2 = 0),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb, c_id AS list_id
+              FROM ranked WHERE arn <= 2 AND vec_id < $NumQueries),
+        c AS (SELECT q.q_id, a.vec_id, a.list_id,
+                ${cosineSql("q.q_emb", "a.embedding")} AS cos
+              FROM assigned a JOIN q
+                ON a.list_id = q.list_id AND a.vec_id != q.q_id),
+        r AS (SELECT q_id, vec_id, list_id, cos,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+              FROM c)
+        SELECT q_id, vec_id, CAST(list_id AS BIGINT) AS list_id, cos,
+          CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= $TopK ORDER BY q_id, rank"""),
+      ),
+
     // IVF SERVING path — searches the PERSISTED index (build-once /
     // save / load; see ivfIndexDir): centroids and list_id-partitioned
     // inverted lists load from parquet, only query routing runs at

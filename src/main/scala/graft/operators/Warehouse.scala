@@ -1677,6 +1677,66 @@ object Warehouse {
                 CAST(0.5 AS DOUBLE) AS epsilon
               FROM z ORDER BY event_type, day""")),
 
+    // Snapshot diff audit — the table-format staple (what changed
+    // between two versions of a 100 TB table?) that q_merge_upsert /
+    // q_scd2_versions apply and this operator REPORTS: rows added,
+    // removed, value-changed, and unchanged, with the changed rows'
+    // absolute price drift. Version 2 derives deterministically from
+    // version 1 (keys % 97 deleted, % 13 repriced +$1, % 101 mirrored
+    // to a fresh negative key-space as inserts), so the diff exercises
+    // all four classes on any corpus. The comparison is one full-outer
+    // equi-join on the key with exact integer cents — never a row hash
+    // of floats — and the report aggregates to the 4-row class grain.
+    // Shape: one hash shuffle on the key (or zero with both versions
+    // bucketed by key, the production layout), one tiny aggregate;
+    // nothing key-grain ever returns to the driver.
+    QueryDef(
+      "q_snapshot_diff",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("k"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+        val v2 = o.filter(pmod(col("k"), lit(97L)) =!= 0L)
+          .select(col("k"),
+            (col("cents") + when(pmod(col("k"), lit(13L)) === 0L, 100L)
+              .otherwise(0L)).as("cents"))
+          .unionAll(o.filter(pmod(col("k"), lit(101L)) === 0L)
+            .select((-col("k")).as("k"), col("cents")))
+        val d = o.select(col("k"), col("cents").as("c1"))
+          .join(v2.select(col("k"), col("cents").as("c2")), Seq("k"), "full_outer")
+          .select(
+            when(col("c1").isNull, "added")
+              .when(col("c2").isNull, "removed")
+              .when(col("c1") =!= col("c2"), "changed")
+              .otherwise("unchanged").as("class"),
+            coalesce(abs(col("c2") - col("c1")), lit(0L)).as("drift_cents"))
+        d.groupBy("class").agg(
+            count(lit(1)).as("n_rows"),
+            (sum(col("drift_cents")).cast("double") / 100.0).as("price_drift"))
+          .orderBy("class")
+      },
+      Some("""WITH o AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS k,
+                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    AS cents
+                FROM orders),
+              v2 AS (
+                SELECT k, cents + CASE WHEN k % 13 = 0 THEN 100 ELSE 0 END
+                  AS cents
+                FROM o WHERE k % 97 != 0
+                UNION ALL
+                SELECT -k AS k, cents FROM o WHERE k % 101 = 0),
+              d AS (
+                SELECT CASE WHEN a.k IS NULL THEN 'added'
+                            WHEN b.k IS NULL THEN 'removed'
+                            WHEN a.cents != b.cents THEN 'changed'
+                            ELSE 'unchanged' END AS class,
+                  coalesce(abs(b.cents - a.cents), 0) AS drift_cents
+                FROM o a FULL OUTER JOIN v2 b ON a.k = b.k)
+              SELECT class, count(*) AS n_rows,
+                CAST(sum(drift_cents) AS DOUBLE) / 100.0 AS price_drift
+              FROM d GROUP BY class ORDER BY class""")),
+
     // Join-key skew audit — the diagnostic run BEFORE shuffling 100 TB
     // on a key: per-key count distribution of lineitem.l_partkey as
     // exact order statistics (max, p50, p99) plus the skew ratio

@@ -361,4 +361,38 @@ class AnalyticsSpec extends AnyFunSuite {
         s"day ${r.getAs[Long]("day")}: HLL MAU estimate outside 5%+32 band")
     }
   }
+
+  test("attribution partitions every purchase across view/click/none") {
+    val rows = Registry.byName("q_attribution").run(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val channels = rows.map(_.getAs[String]("channel")).toSet
+    assert(channels.subsetOf(Set("view", "click", "none")))
+    // attribution is a partition of the purchases — nothing dropped,
+    // nothing double-counted
+    val nPurch = Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === nPurch)
+    // spot-replay one user's purchases against the last-touch rule
+    val ev = Tables.loadEvents(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val manual = byUser.values.flatMap { g =>
+      val sorted = g.sortBy(x => (x._3, x._4))
+      sorted.zipWithIndex.collect { case ((_, "purchase", _, _), i) =>
+        sorted.take(i).reverse
+          .collectFirst { case (_, t @ ("view" | "click"), _, _) => t }
+          .getOrElse("none")
+      }
+    }.toSeq
+    val gotByChannel = rows.map(r =>
+      r.getAs[String]("channel") -> r.getAs[Long]("n_purchases")).toMap
+    Seq("view", "click", "none").foreach { ch =>
+      assert(gotByChannel.getOrElse(ch, 0L) ===
+        manual.count(_ == ch).toLong, s"channel $ch")
+    }
+  }
 }

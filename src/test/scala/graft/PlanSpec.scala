@@ -886,4 +886,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"doc-grain shuffle join crept in:\n$p")
   }
+
+  test("filtered ANN: broadcast query probe, list-keyed equi-join, no cartesian") {
+    val p = plan("sim_ann_filtered")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"query side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"filtered probe degenerated to all-pairs:\n$p")
+  }
+
+  test("snapshot diff: one key-keyed full-outer join, class-grain aggregate") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      s"no full-outer version compare:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("HashAggregate"), s"no class-grain aggregate:\n$p")
+  }
+
+  test("attribution: user-hashed window, no event-to-event join") {
+    val p = plan("q_attribution")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window not user-hashed:\n$p")
+    assert(!p.contains("Join"), s"attribution must not self-join events:\n$p")
+  }
 }

@@ -418,4 +418,24 @@ class SimilaritySpec extends AnyFunSuite {
       annBest.get(q).foreach(best => assert(cs.head <= best))
     }
   }
+
+  test("filtered ANN returns only predicate-passing candidates, full ranks") {
+    val rows = Registry.byName("sim_ann_filtered")
+      .run(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val evenLabel = Tables.load(spark, TestSpark.sf, "embeddings")
+      .filter(col("label").cast("long") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      assert(evenLabel.contains(v), s"disallowed candidate $v surfaced")
+      assert(v !== r.getAs[Long]("q_id"), "self match")
+    }
+    // ranks are contiguous from 1 per query (pre-filter never under-fills
+    // below the list's actual allowed population)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, g) =>
+      assert(g.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to g.length).toSeq, s"ranks not contiguous for query $q")
+    }
+  }
 }

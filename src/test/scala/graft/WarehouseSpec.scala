@@ -343,6 +343,34 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot diff classes replay the modular version-2 derivation") {
+    val out = run("q_snapshot_diff").collect()
+      .map(r => r.getAs[String]("class") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("price_drift"))).toMap
+    val ks = Tables.load(spark, TestSpark.sf, "orders")
+      .select(col("o_orderkey").cast("long")).collect().map(_.getLong(0))
+    // faithful local simulation of the v2 derivation (key 0 is the
+    // corner: 0 % n == 0 for every rule, and its mirrored insert -0
+    // lands back ON key 0 carrying the original price)
+    val v1 = ks.toSet
+    val v2 = (ks.filter(_ % 97 != 0)
+        .map(k => k -> (if (k % 13 == 0) 100L else 0L)) ++
+      ks.filter(_ % 101 == 0).map(k => -k -> 0L)).toMap
+    val added = v2.keys.count(!v1.contains(_)).toLong
+    val removed = ks.count(!v2.contains(_)).toLong
+    val changed = ks.count(k => v2.get(k).exists(_ != 0L)).toLong
+    val unchanged = ks.count(k => v2.get(k).contains(0L)).toLong
+    assert(out.get("added").map(_._1).getOrElse(0L) === added)
+    assert(out.get("removed").map(_._1).getOrElse(0L) === removed)
+    assert(out.get("changed").map(_._1).getOrElse(0L) === changed)
+    assert(out.get("unchanged").map(_._1).getOrElse(0L) === unchanged)
+    // every changed row drifted by exactly the +$1 reprice
+    out.get("changed").foreach { case (n, drift) =>
+      assert(drift === n.toDouble)
+    }
+    out.get("unchanged").foreach { case (_, drift) => assert(drift === 0.0) }
+  }
+
   test("dp release: bounded integer noise, clamped release, deterministic") {
     val a = run("q_dp_release").collect()
     assert(a.nonEmpty)
