@@ -50,7 +50,8 @@ object GrowthBench {
     "sample_dsir" -> "linear (64-bucket stats + map-only gate)",
     "graph_modularity" -> "~linear x LPA iters (equi-join per round)",
     "mm_keyframe" -> "linear (one doc_id exchange, two windows)",
-    "dedup_prefix_filter" -> "~linear x prefix collisions (sum prefix-df^2)",
+    "dedup_prefix_filter" -> "sum prefix-df^2 (reporting class since r10: saturated-vocab sf10 is unmeasurable single-node)",
+    "dedup_prefix_filter_capped" -> "~linear (V x cap^2 sampled prefix-posting join)",
     "graph_hits" -> "~linear x iters (equi-join per half-step)",
     "mm_cdc_match" -> "~linear x chunk collisions (DF-capped chunk join)",
     "text_winnowing" -> "linear x w (gram stream, one rank window)",

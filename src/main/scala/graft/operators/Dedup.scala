@@ -82,6 +82,16 @@ object Dedup {
   // CONSTANT per shingle — while norms/weights stay exact and linear;
   // the cap is a candidate-recall knob exactly like BandBucketCap.
   private[graft] val TfidfPostingCap = 32
+  // Per-shingle posting sample for the PREFIX-filter collision join
+  // (dedup_prefix_filter_capped) — the same cliff-not-knee argument as
+  // TfidfPostingCap: on a saturated shingle vocabulary EVERY shingle's
+  // df crosses any fixed cap together (measured at sf10: 29,791
+  // possible trigrams, min df ≈ 880, Σdf² = 2.3 × 10^10 candidate rows,
+  // > 77 GB single-node shuffle spill — the uncapped self-join is
+  // unmeasurable on one machine), so a df CUTOFF would return zero
+  // candidates while posting SAMPLING keeps Σ ≤ V·cap² bounded with
+  // recall degrading gracefully on viral shingles.
+  private[graft] val PrefixPostingCap = 32
   // Edit-distance acceptance bound for sketch-candidate verification
   // (dedup_edit_verify): planted near-dups in this corpus sit at dist ~4
   // while sketch false-positives land in the hundreds; 50 separates them
@@ -936,6 +946,146 @@ object Dedup {
                  WHERE r.r <= r.n_sh
                      - CAST(CEIL(r.n_sh * $PrefixJaccardT) AS BIGINT) + 1
                    AND f.df >= 2),
+               cand AS (
+                 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM pre a JOIN pre b USING (shingle)
+                 WHERE a.doc_id < b.doc_id),
+               candl AS (
+                 SELECT c.a_id, c.b_id, sa.n_sh AS n_a, sb.n_sh AS n_b
+                 FROM cand c
+                 JOIN sz sa ON sa.doc_id = c.a_id
+                 JOIN sz sb ON sb.doc_id = c.b_id
+                 WHERE CAST(sb.n_sh AS DOUBLE)
+                     >= CAST(sa.n_sh AS DOUBLE) * $PrefixJaccardT
+                   AND CAST(sa.n_sh AS DOUBLE)
+                     >= CAST(sb.n_sh AS DOUBLE) * $PrefixJaccardT),
+               com AS (
+                 SELECT cl.a_id, cl.b_id, cl.n_a, cl.n_b,
+                   count(*) AS n_common
+                 FROM candl cl
+                 JOIN p pa ON pa.doc_id = cl.a_id
+                 JOIN p pb ON pb.doc_id = cl.b_id
+                   AND pb.shingle = pa.shingle
+                 GROUP BY cl.a_id, cl.b_id, cl.n_a, cl.n_b)
+               SELECT a_id, b_id, CAST(n_common AS BIGINT) AS n_common,
+                 CAST(n_common AS DOUBLE)
+                   / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+               FROM com
+               WHERE CAST(n_common AS DOUBLE)
+                   / CAST(n_a + n_b - n_common AS DOUBLE) >= $PrefixJaccardT
+               ORDER BY a_id, b_id"""),
+      // bench=false (r10, the sf1→sf10 decade): the prefix self-join is
+      // Σ prefix-df² and this vocabulary SATURATES at scale — at sf10
+      // all 29,791 possible trigrams carry df ≈ 880+, the join input is
+      // 2.3 × 10^10 rows, and the single-node run dies on spill (first
+      // attempt OOM-killed the VM through tmpfs, the disk-backed retry
+      // filled 77 GB). e(0.1→1) measured 1.13 only because the floor
+      // hides the df² term one decade longer than tfidf's. Stays
+      // oracle-checked as the exact SSJoin reporting form (prefix
+      // filtering is LOSSLESS for J ≥ t, the property the capped form
+      // trades away); the benched pipeline form is
+      // dedup_prefix_filter_capped below.
+      bench = false),
+
+    // The PIPELINE form of the SSJoin prefix filter — identical ranking,
+    // prefix selection, length filter, and exact counting verification,
+    // but the collision self-join runs on a per-shingle SAMPLE of at
+    // most PrefixPostingCap prefix postings, chosen by the engine-
+    // portable hash31(shingle:doc_id) order (deterministic, unbiased,
+    // oracle-replayable — the dedup_tfidf_nn_capped recipe). Join work
+    // is ≤ V·cap² at ANY corpus size; a true near-dup pair survives if
+    // the two docs co-land in any shared prefix shingle's sample, so
+    // recall degrades only on shingles past the cap — which on a
+    // NON-saturated (real-text, Heaps-law) vocabulary is the viral tail
+    // that carries no discrimination signal anyway. Verification still
+    // counts common shingles on the FULL posting relation: every
+    // emitted pair carries its exact Jaccard.
+    QueryDef(
+      "dedup_prefix_filter_capped",
+      (s, dir) => {
+        val sh = shingled(s, dir).localCheckpoint()
+        val postings = sh
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        val dfreq = postings.groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+        val ranked = postings.join(dfreq, Seq("shingle"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("df").asc, col("shingle").asc)))
+          .join(sh.select(col("doc_id"), size(col("sh")).as("n_sh")),
+            Seq("doc_id"))
+        // the sample window shares the shingle partitioning with the
+        // collision join it feeds — no extra exchange at scale
+        val wSamp = Window.partitionBy("shingle").orderBy(
+          hash31(concat_ws(":", col("shingle"), col("doc_id"))).asc,
+          col("doc_id").asc)
+        val prefix = ranked
+          .filter(col("r") <= col("n_sh").cast("long")
+            - ceil(col("n_sh") * lit(PrefixJaccardT)) + 1)
+          .filter(col("df") >= 2)
+          .select("shingle", "doc_id")
+          .withColumn("prn", row_number().over(wSamp))
+          .filter(col("prn") <= PrefixPostingCap).drop("prn")
+          .localCheckpoint()
+        val cand = prefix.select(col("shingle"), col("doc_id").as("a_id"))
+          .join(prefix.select(col("shingle"), col("doc_id").as("b_id")),
+            Seq("shingle"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+        val candLen = cand
+          .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")),
+            Seq("a_id"))
+          .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")),
+            Seq("b_id"))
+          .filter(col("n_b").cast("double") >=
+            col("n_a").cast("double") * lit(PrefixJaccardT))
+          .filter(col("n_a").cast("double") >=
+            col("n_b").cast("double") * lit(PrefixJaccardT))
+          .localCheckpoint()
+        candLen
+          .join(postings.select(col("doc_id").as("a_id"), col("shingle")),
+            Seq("a_id"))
+          .join(postings.select(col("doc_id").as("b_id"), col("shingle")),
+            Seq("b_id", "shingle"))
+          .groupBy("a_id", "b_id", "n_a", "n_b")
+          .agg(count(lit(1)).as("n_common"))
+          .select(col("a_id"), col("b_id"), col("n_common"),
+            (col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+              .as("jaccard"))
+          .filter(col("jaccard") >= PrefixJaccardT)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH d AS (
+                 SELECT doc_id, list_distinct(list_transform(
+                   range(1, len(string_split(text,' ')) - 1),
+                   i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+                 FROM documents),
+               sz AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+               p AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+               f AS (SELECT shingle, count(*) AS df FROM p GROUP BY shingle),
+               r AS (
+                 SELECT p.doc_id, p.shingle,
+                   row_number() OVER (PARTITION BY p.doc_id
+                     ORDER BY f.df ASC, p.shingle ASC) AS r,
+                   sz.n_sh
+                 FROM p JOIN f USING (shingle) JOIN sz USING (doc_id)),
+               pre0 AS (
+                 SELECT r.doc_id, r.shingle FROM r JOIN f USING (shingle)
+                 WHERE r.r <= r.n_sh
+                     - CAST(CEIL(r.n_sh * $PrefixJaccardT) AS BIGINT) + 1
+                   AND f.df >= 2),
+               pre AS (
+                 SELECT doc_id, shingle FROM (
+                   SELECT doc_id, shingle,
+                     row_number() OVER (PARTITION BY shingle ORDER BY
+                       CAST(concat('0x', substr(md5(concat(shingle, ':',
+                         CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                         % 2147483647,
+                       doc_id) AS prn
+                   FROM pre0) t
+                 WHERE prn <= $PrefixPostingCap),
                cand AS (
                  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                  FROM pre a JOIN pre b USING (shingle)

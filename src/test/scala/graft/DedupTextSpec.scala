@@ -366,6 +366,33 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("capped prefix filter: subset of the exact form, exact jaccards, planted recall") {
+    // the sampled-posting collision join can only LOSE candidates, and
+    // every emitted pair carries its exact Jaccard (verification runs
+    // on the FULL posting relation)
+    val exact = Registry.byName("dedup_prefix_filter")
+      .run(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val capped = Registry.byName("dedup_prefix_filter_capped")
+      .run(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(capped.nonEmpty, "capped form found no pairs at test scale")
+    capped.foreach { case (pair, j) =>
+      assert(exact.contains(pair), s"pair $pair not in the exact relation")
+      assert(exact(pair) === j, s"jaccard drifted for $pair")
+    }
+    // on the planted corpus every shingle's df is far below the cap, so
+    // the capped form IS the exact form there
+    val planted = Registry.byName("dedup_prefix_filter_capped")
+      .run(spark, plantedDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard")))
+    assert(planted.length === 1)
+    assert(planted.head === ((0L, 1L, 1.0)))
+  }
+
   test("ngram novelty scores first occurrence 1.0 and exact dup 0.0") {
     val out = Registry.byName("text_ngram_novelty").run(spark, plantedDir)
       .collect()
