@@ -107,7 +107,17 @@ object GrowthBench {
     // probe path, index already persisted — refresh minus served
     // isolates the two corpus writes + two index builds
     "sim_ann_ivf_served" -> "~linear (probe persisted lists, serve-only)",
-    "graph_assortativity" -> "~linear (rides jaccardPairs + node-grain degree joins)")
+    "graph_assortativity" -> "~linear (rides jaccardPairs + node-grain degree joins)",
+    // round-10 waves: every new benched operator gets its 0.1->1 row
+    // the round it ships (house bar: no benched query without a decade)
+    "sample_kcenter" -> "~linear x k (map-only scoring vs broadcast centers)",
+    "q_dp_release" -> "linear (one hash agg + map-only CASE-ladder noise)",
+    "sample_token_budget" -> "~linear (k-row allocation + source-keyed cumsum window)",
+    "q_l_diversity" -> "linear (one count_distinct agg, QI-domain-bounded classes)",
+    "sim_ann_filtered" -> "~linear (pre-filtered inverted lists, broadcast queries)",
+    "q_snapshot_diff" -> "linear (one key-keyed full-outer join + 4-row agg)",
+    "q_attribution" -> "linear (one user-keyed window + channel agg)",
+    "q_clamped_balance" -> "linear (two stacked windows, one user shuffle)")
 
   /** sf dirs to measure, smallest first. Overridable so the 0.1->1
     * decade can run on generated same-seed corpora (round-7 verdict

@@ -1805,7 +1805,63 @@ object Analytics {
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
                   AS total_value
               FROM a WHERE event_type = 'purchase'
-              GROUP BY channel ORDER BY channel"""))
+              GROUP BY channel ORDER BY channel""")),
+
+    // Floor-at-zero running balance — the credits/inventory ledger
+    // semantics (y_i = max(0, y_{i-1} + Δ_i): a spend can empty the
+    // account but never overdraw it). The naive form is a per-row
+    // recurrence — state, not SQL — but the clamp has a closed form:
+    //   y_i = p_i − min(0, min_{j≤i} p_j)
+    // (p = plain prefix sum; proof by induction on whether the clamp
+    // fires), so the whole ledger is TWO stacked window functions over
+    // one user-keyed sort — declarative, codegen'd, one shuffle, and
+    // bit-identical on any engine because every operand is exact
+    // integer cents. Credits: signup +$10, view/click +$0.10,
+    // purchase −price. Output is event-grain (the full audited ledger).
+    QueryDef(
+      "q_clamped_balance",
+      (s, dir) => {
+        val delta = when(col("event_type") === "signup", 1000L)
+          .when(col("event_type").isin("view", "click"), 10L)
+          .when(col("event_type") === "purchase",
+            -(dec(col("value")) * 100).cast("long"))
+          .otherwise(0L)
+        val wRun = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.loadEvents(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            delta.as("delta_cents"))
+          .withColumn("p", sum(col("delta_cents")).over(wRun))
+          .withColumn("balance_cents",
+            col("p") - least(lit(0L), min(col("p")).over(wRun)))
+          .select(col("user_id"), col("event_id"), col("delta_cents"),
+            col("balance_cents"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+                  CASE WHEN event_type = 'signup' THEN 1000
+                       WHEN event_type IN ('view', 'click') THEN 10
+                       WHEN event_type = 'purchase' THEN
+                         -CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       ELSE 0 END AS delta_cents
+                FROM events),
+              pw AS (
+                SELECT user_id, t, event_id, delta_cents,
+                  sum(delta_cents) OVER (PARTITION BY user_id
+                    ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+                FROM e),
+              w AS (
+                SELECT user_id, event_id, delta_cents, p,
+                  min(p) OVER (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mp
+                FROM pw)
+              SELECT user_id, event_id, CAST(delta_cents AS BIGINT)
+                  AS delta_cents,
+                CAST(p - least(0, mp) AS BIGINT) AS balance_cents
+              FROM w ORDER BY user_id, event_id"""))
   )
 
   /** Count-min sketch geometry: 4 rows x 1024 counters = 32 KB. With

@@ -395,4 +395,40 @@ class AnalyticsSpec extends AnyFunSuite {
         manual.count(_ == ch).toLong, s"channel $ch")
     }
   }
+
+  test("clamped balance replays the max(0, y+delta) recurrence exactly") {
+    val rows = Registry.byName("q_clamped_balance")
+      .run(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("delta_cents"), r.getAs[Long]("balance_cents")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, b) => assert(b >= 0L, "overdrawn") }
+    // the closed form must equal the literal per-row recurrence; rows
+    // arrive ordered (user_id, event_id) and event time order matches
+    // event_id order within a user in this corpus only incidentally,
+    // so replay in the operator's own (ts, event_id) order
+    val order = Tables.loadEvents(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byBal = rows.map(t => (t._1, t._2) -> t._4).toMap
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      var y = 0L
+      g.sortBy(t => (order((u, t._2)), t._2)).foreach {
+        case (_, eid, d, _) =>
+          y = math.max(0L, y + d)
+          assert(byBal((u, eid)) === y, s"user $u event $eid")
+      }
+    }
+    // the clamp must actually fire somewhere (purchases exceed credits
+    // for some user) or the operator degenerates to a plain cumsum
+    val clampFires = rows.groupBy(_._1).exists { case (u, g) =>
+      val seq = g.sortBy(t => (order((u, t._2)), t._2))
+      var y = 0L
+      seq.exists { case (_, _, d, _) =>
+        val fired = y + d < 0L; y = math.max(0L, y + d); fired }
+    }
+    assert(clampFires, "fixture never exercises the floor")
+  }
 }
