@@ -2133,6 +2133,75 @@ object StreamOps {
               SELECT user_id, day, event_id, CAST(rk AS BIGINT) AS rk
               FROM r WHERE rk <= 3
               ORDER BY user_id, day, rk"""),
+      bench = false),
+
+    // Streaming SCD2 maintenance — the INCREMENTAL form of
+    // q_scd2_versions: a dimension attribute (the $50 spend band of
+    // each signup/purchase) tracked as type-2 history rows
+    // (value, valid_from, valid_to) maintained IN the stream, the way
+    // a production dimension table absorbs a CDC feed without a
+    // nightly rebuild. Per key, consecutive equal bands collapse
+    // (no-op updates produce no version); each change closes the open
+    // version and opens a new one. State is ONE (band, from) pair per
+    // key — the open version — never the history (closed versions are
+    // emitted and leave the store). With the whole corpus in one
+    // micro-batch the per-group sort makes version boundaries match
+    // the batch total order bit-for-bit, so the oracle is the plain
+    // lag/lead window chain.
+    QueryDef(
+      "stream_scd2_apply",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val sink = s"graft_stream_scd2_${nameCounter.incrementAndGet()}"
+        val q = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", graft.Tables.normTsCol(schema))
+          .filter(col("event_type").isin("signup", "purchase"))
+          .select(col("user_id").cast("long").as("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("event_id").cast("long").as("event_id"),
+            expr("""CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    div 5000""").as("band"))
+          .as[ScdEv]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState[(Long, Long), ScdVer](
+            OutputMode.Update, GroupStateTimeout.NoTimeout)(scd2State)
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink)
+          .select(col("user_id"), col("band"), col("valid_from_us"),
+            col("valid_to_us"))
+          .orderBy("user_id", "valid_from_us")
+      },
+      Some("""WITH e AS (
+                SELECT user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    // 5000 AS band
+                FROM events WHERE event_type IN ('signup', 'purchase')),
+              o AS (
+                SELECT user_id, us, event_id, band,
+                  lag(band) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS pband
+                FROM e),
+              c AS (
+                SELECT user_id, band, us, event_id FROM o
+                WHERE pband IS NULL OR band != pband),
+              v AS (
+                SELECT user_id, band, us AS valid_from_us,
+                  lead(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS valid_to_us
+                FROM c)
+              SELECT user_id, band, valid_from_us, valid_to_us
+              FROM v ORDER BY user_id, valid_from_us"""),
       bench = false)
   )
 
@@ -2151,6 +2220,40 @@ object StreamOps {
     * count already consumed by this (user, day); each micro-batch sorts
     * its group slice by event time (bounded: one principal's one-day
     * volume), continues the count, and admits ranks ≤ RateLimitN. */
+  /** One dimension-attribute observation for stream_scd2_apply. */
+  final case class ScdEv(user_id: Long, ts_us: Long, event_id: Long,
+      band: Long)
+
+  /** One emitted type-2 version row (valid_to_us = None while open). */
+  final case class ScdVer(user_id: Long, band: Long, valid_from_us: Long,
+      valid_to_us: Option[Long])
+
+  /** flatMapGroupsWithState body for stream_scd2_apply: state is the
+    * OPEN version's (band, valid_from); each micro-batch sorts its
+    * slice, collapses no-op updates, closes versions on change, and
+    * leaves exactly the open pair behind. */
+  def scd2State(key: Long, it: Iterator[ScdEv],
+      state: GroupState[(Long, Long)]): Iterator[ScdVer] = {
+    val sorted = it.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+    var open = state.getOption // (band, valid_from_us)
+    val out = Vector.newBuilder[ScdVer]
+    sorted.foreach { e =>
+      open match {
+        case Some((b, from)) if b != e.band =>
+          out += ScdVer(key, b, from, Some(e.ts_us))
+          open = Some((e.band, e.ts_us))
+        case None =>
+          open = Some((e.band, e.ts_us))
+        case _ => () // no-op update: same band, no version
+      }
+    }
+    open.foreach { o =>
+      state.update(o)
+      out += ScdVer(key, o._1, o._2, None)
+    }
+    out.result().iterator
+  }
+
   def rateLimitState(key: (Long, Long), it: Iterator[RlEv],
       state: GroupState[Long]): Iterator[RlAdmit] = {
     val taken = if (state.exists) state.get else 0L

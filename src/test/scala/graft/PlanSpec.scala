@@ -909,4 +909,15 @@ class PlanSpec extends AnyFunSuite {
       s"window not user-hashed:\n$p")
     assert(!p.contains("Join"), s"attribution must not self-join events:\n$p")
   }
+
+  test("clamped balance: one user shuffle, stacked windows, no join or recursion") {
+    val p = plan("q_clamped_balance")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"ledger windows not user-hashed:\n$p")
+    // the closed form means NO join, NO recursive plan node, NO
+    // driver-side loop — a per-row recurrence compiled to two windows
+    assert(!p.contains("Join") && !p.contains("Recursion"),
+      s"recurrence leaked out of the window form:\n$p")
+    assert("Window".r.findAllIn(p).size >= 1, s"no window:\n$p")
+  }
 }

@@ -556,4 +556,43 @@ class StreamCancelSpec extends AnyFunSuite {
     }.toSet
     assert(got.map(t => (t._1, t._2, t._3)).toSet === want)
   }
+
+  test("streaming SCD2 versions tile each user's timeline with no no-op rows") {
+    val rows = Registry.byName("stream_scd2_apply")
+      .run(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("band"),
+        r.getAs[Long]("valid_from_us"),
+        Option(r.get(r.fieldIndex("valid_to_us"))).map(_.asInstanceOf[Long])))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val vs = g.sortBy(_._3)
+      // exactly one open version, and it is the last
+      assert(vs.count(_._4.isEmpty) === 1, s"user $u open versions")
+      assert(vs.last._4.isEmpty, s"user $u open version not last")
+      // closed versions abut the successor exactly (no gap, no overlap)
+      vs.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4.contains(b._3), s"user $u: versions do not tile")
+          assert(a._2 !== b._2, s"user $u: consecutive equal bands kept")
+        case _ => ()
+      }
+    }
+    // version count replays the batch change-point count
+    val nChanges = Tables.loadEvents(spark, TestSpark.sf)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) div 5000")
+          .as("band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).values.map { g =>
+        val bands = g.sortBy(x => (x._2, x._3)).map(_._4).toSeq
+        1 + bands.sliding(2).count {
+          case Seq(a, b) => a != b
+          case _ => false
+        }
+      }.sum[Int]
+    assert(rows.length === nChanges)
+  }
 }
