@@ -41,6 +41,12 @@ object Clustering {
   private val PqK = K // PQ codes per subspace — the k-means seed set
   private val PqTopK = 5 // neighbors returned per query by the ADC search
   private val PqNumQueries = 10 // query set: vec_id < 10 (every SF has them)
+  // emb_dbscan: a point is CORE with >= this many epsilon-neighbors in
+  // the banded near-dup relation. 2 keeps the role split (core/border/
+  // noise) populated at every SF of this corpus; production tunes it
+  // with epsilon as usual. `final val` — interpolated into the oracle
+  // string, which `defs` captures at object init (the round-7 gotcha).
+  private final val DbscanMinPts = 2
   // k-center coreset size: 8 centers cover the 4-cluster synthetic
   // embedding space with visible within-cluster diversity; production
   // sets k to the annotation/distillation budget. DECLARED ABOVE defs:
@@ -623,5 +629,109 @@ object Clustering {
                      ORDER BY adist2, vec_id) AS rank
                  FROM pairs)
                SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adist2
-               FROM rk WHERE rank <= $PqTopK ORDER BY q_id, rank""")))
+               FROM rk WHERE rank <= $PqTopK ORDER BY q_id, rank""")),
+
+    // Density clustering (DBSCAN over the banded-LSH neighbor relation):
+    // the curation complement to k-means — clusters form wherever the
+    // embedding space is DENSE and everything sparse is labeled noise,
+    // with no k to choose. ε-neighbors come from the suite's standing
+    // near-dup relation (banded sign-bit LSH candidates + exact-cosine
+    // ≥ 0.4 verification — Similarity.nearDupPairs, the same capped
+    // generator sim_embed_neardup ships; the LSH approximation of the
+    // ε-ball is the documented production trade). Core = ≥ MinPts
+    // neighbors; clusters = connected components of the core-core
+    // subgraph (Dedup.connectedComponents — bucketed joins + pointer
+    // doubling, no driver graph state); border points attach to their
+    // minimum neighboring core's cluster; the rest is noise. Shape:
+    // one banded self-join (bucket-capped), one degree aggregate, CC on
+    // the core sliver, one border join — every stage bucketed or
+    // vertex-grain, nothing all-pairs.
+    QueryDef(
+      "emb_dbscan",
+      (s, dir) => {
+        val pairs = Similarity.nearDupPairs(s, dir)
+          .select("a_id", "b_id").localCheckpoint()
+        val deg = pairs.select(col("a_id").as("vec_id"))
+          .unionAll(pairs.select(col("b_id").as("vec_id")))
+          .groupBy("vec_id").agg(count(lit(1)).as("n_neighbors"))
+        val core = deg.filter(col("n_neighbors") >= DbscanMinPts)
+          .select("vec_id").localCheckpoint()
+        val corePairs = pairs
+          .join(core.select(col("vec_id").as("a_id")), Seq("a_id"))
+          .join(core.select(col("vec_id").as("b_id")), Seq("b_id"))
+        val cc = Dedup.connectedComponents(
+            core.select(col("vec_id").as("doc_id")), corePairs)
+          .select(col("doc_id").as("vec_id"), col("rep_id").as("cluster_id"))
+        // cores not touched by any core-core edge are their own cluster
+        val coreCluster = core.join(cc, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        // border: non-core with >= 1 core neighbor -> min core's cluster
+        val adj = pairs.select(col("a_id").as("vec_id"), col("b_id").as("nb"))
+          .unionAll(pairs.select(col("b_id").as("vec_id"), col("a_id").as("nb")))
+        val border = adj
+          .join(coreCluster.select(col("vec_id").as("nb"), col("cluster_id")),
+            Seq("nb"))
+          .join(core, Seq("vec_id"), "left_anti")
+          .groupBy("vec_id").agg(min(col("cluster_id")).as("cluster_id"))
+        val e = Tables.load(s, dir, "embeddings").select("vec_id")
+        e.join(deg, Seq("vec_id"), "left")
+          .join(coreCluster.select(col("vec_id"),
+            col("cluster_id").as("core_cl")), Seq("vec_id"), "left")
+          .join(border.select(col("vec_id"),
+            col("cluster_id").as("bord_cl")), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+            when(col("core_cl").isNotNull, "core")
+              .when(col("bord_cl").isNotNull, "border")
+              .otherwise("noise").as("role"),
+            coalesce(col("core_cl"), col("bord_cl")).as("cluster_id"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE ${Similarity.nearDupPairsSql()},
+               deg AS (
+                 SELECT vec_id, count(*) AS n_neighbors FROM (
+                   SELECT a_id AS vec_id FROM epairs
+                   UNION ALL SELECT b_id FROM epairs) GROUP BY vec_id),
+               core AS (
+                 SELECT vec_id FROM deg WHERE n_neighbors >= $DbscanMinPts),
+               cedges AS MATERIALIZED (
+                 SELECT p.a_id AS u, p.b_id AS v FROM epairs p
+                 JOIN core x ON x.vec_id = p.a_id
+                 JOIN core y ON y.vec_id = p.b_id
+                 UNION ALL
+                 SELECT p.b_id, p.a_id FROM epairs p
+                 JOIN core x ON x.vec_id = p.a_id
+                 JOIN core y ON y.vec_id = p.b_id),
+               reach(u, v) AS (
+                 SELECT u, v FROM cedges
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN cedges e ON r.v = e.u),
+               ccrep AS (
+                 SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+                 FROM reach GROUP BY u),
+               corecl AS (
+                 SELECT c.vec_id,
+                   coalesce(r.cluster_id, c.vec_id) AS cluster_id
+                 FROM core c LEFT JOIN ccrep r ON r.vec_id = c.vec_id),
+               adj AS (
+                 SELECT a_id AS vec_id, b_id AS nb FROM epairs
+                 UNION ALL SELECT b_id, a_id FROM epairs),
+               border AS (
+                 SELECT a.vec_id, min(k.cluster_id) AS cluster_id
+                 FROM adj a
+                 JOIN corecl k ON k.vec_id = a.nb
+                 WHERE a.vec_id NOT IN (SELECT vec_id FROM core)
+                 GROUP BY a.vec_id)
+               SELECT e.vec_id,
+                 CAST(coalesce(d.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+                 CASE WHEN c.cluster_id IS NOT NULL THEN 'core'
+                      WHEN b.cluster_id IS NOT NULL THEN 'border'
+                      ELSE 'noise' END AS role,
+                 coalesce(c.cluster_id, b.cluster_id) AS cluster_id
+               FROM embeddings e
+               LEFT JOIN deg d ON d.vec_id = e.vec_id
+               LEFT JOIN corecl c ON c.vec_id = e.vec_id
+               LEFT JOIN border b ON b.vec_id = e.vec_id
+               ORDER BY e.vec_id""")))
 }

@@ -101,4 +101,55 @@ class ClusteringSpec extends AnyFunSuite {
     }
     assert(got === exp)
   }
+
+  test("dbscan roles replay the density rules over the near-dup relation") {
+    val rows = Registry.byName("emb_dbscan").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_neighbors"),
+        r.getAs[String]("role"),
+        Option(r.get(r.fieldIndex("cluster_id"))).map(_.asInstanceOf[Long])))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).toSet.subsetOf(Set("core", "border", "noise")))
+    // all three roles must exist or the fixture is degenerate
+    assert(rows.map(_._3).toSet === Set("core", "border", "noise"))
+    // local replay from the same epsilon-neighbor relation
+    val pairs = graft.operators.Similarity.nearDupPairs(spark, TestSpark.sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val core = deg.filter(_._2 >= 2L).keySet
+    // union-find over core-core edges
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      if (core(a) && core(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val coreCluster = core.map(c => c -> find(c)).toMap
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (v, n, role, cl) =>
+      assert(n === deg.getOrElse(v, 0L), s"degree of $v")
+      if (core(v)) {
+        assert(role === "core", s"$v should be core")
+        assert(cl.contains(coreCluster(v)), s"core $v cluster")
+      } else {
+        val coreNbrs = nbrs.getOrElse(v, Set.empty).filter(core)
+        if (coreNbrs.nonEmpty) {
+          assert(role === "border", s"$v should be border")
+          assert(cl.contains(coreNbrs.map(coreCluster).min),
+            s"border $v cluster")
+        } else {
+          assert(role === "noise", s"$v should be noise")
+          assert(cl.isEmpty, s"noise $v has a cluster")
+        }
+      }
+    }
+  }
 }
