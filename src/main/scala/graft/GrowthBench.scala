@@ -118,7 +118,8 @@ object GrowthBench {
     "q_snapshot_diff" -> "linear (one key-keyed full-outer join + 4-row agg)",
     "q_attribution" -> "linear (one user-keyed window + channel agg)",
     "q_clamped_balance" -> "linear (two stacked windows, one user shuffle)",
-    "emb_dbscan" -> "~linear (banded candidates + core-sliver CC)")
+    "emb_dbscan" -> "~linear (banded candidates + core-sliver CC)",
+    "q_bootstrap_ci" -> "linear x B (map-only 32x expansion + one hash agg)")
 
   /** sf dirs to measure, smallest first. Overridable so the 0.1->1
     * decade can run on generated same-seed corpora (round-7 verdict

@@ -40,7 +40,125 @@ object Numerics {
   /** l_extendedprice in exact integer cents. */
   private def cents(c: Column): Column = (dec(c) * 100).cast("long")
 
+  /** q_bootstrap_ci: resample count and the Poisson(1) inverse-CDF
+    * threshold ladder on the 2^20 md5-uniform grid (the q_dp_release
+    * literal-table recipe — no transcendentals on the data path;
+    * P(k) = e^-1/k! computed ONCE on the driver). P(X ≤ 8) ≈ 1 − 1e-6,
+    * beyond the grid's resolution, so the ELSE arm caps at 8. */
+  private final val BootB = 32
+  private final val BootGrid = 1048576L
+  private lazy val BootLadder: Seq[(Long, Int)] = {
+    var cdf = 0.0
+    var fact = 1.0
+    (0 to 8).map { k =>
+      if (k > 0) fact *= k
+      cdf += math.exp(-1.0) / fact
+      (math.round(cdf * BootGrid), k)
+    }
+  }
+  private lazy val BootCaseSql: String =
+    BootLadder.map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Poisson-bootstrap confidence intervals — the ONE-PASS distributed
+    // bootstrap (classical resampling needs `n` draws WITH replacement
+    // per replicate — a shuffle per replicate; the Poisson trick gives
+    // each row an independent Poisson(1) multiplicity per replicate,
+    // which converges to the same bootstrap distribution and needs no
+    // resampling pass at all). B = 32 replicates of per-event-type
+    // purchase revenue: each row contributes w_b · cents to replicate b
+    // with w_b drawn from the driver-computed Poisson inverse-CDF
+    // ladder keyed on md5(b, event_id) — deterministic, engine-exact,
+    // log-free (the q_dp_release discipline). Report per type: the
+    // exact total, the replicate mean, and the [2nd, 31st] order
+    // statistics of the 32 replicate sums as the ~90% CI. Shape: one
+    // map-only 32× expansion fused into the scan, one (type, b) hash
+    // aggregate (map-side combined), then a 32-row-per-type window —
+    // the close is replicate-grain, never row-grain.
+    QueryDef(
+      "q_bootstrap_ci",
+      (s, dir) => {
+        val e = Tables.loadEvents(s, dir)
+          .filter(col("event_type").isin("purchase", "signup", "click"))
+          .select(col("event_type"), col("event_id"),
+            (dec(col("value")) * 100).cast("long").as("cents"))
+        // the 32× expansion is a plain explode and the draw is a
+        // PROJECTED column, so both the md5 and the ladder run inside
+        // whole-stage codegen exactly once per (row, replicate) — a
+        // transform() lambda here would re-run the md5 interpreted per
+        // CASE branch (the round-3 text_bpe_encode trap)
+        val expanded = e.select(col("event_type"), col("event_id"),
+          col("cents"), explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+        val u = graft.functions.EngineFns.hash31(
+          concat_ws("|", lit("boot"), col("b").cast("string"),
+            col("event_id").cast("string"))) % BootGrid
+        val wCol = BootLadder.init.foldRight(lit(8).cast("long")) {
+          case ((t, k), rest) => when(col("u") < t, k.toLong).otherwise(rest)
+        }
+        val sums = expanded
+          .withColumn("u", u)
+          .withColumn("w", wCol)
+          .groupBy(col("event_type"), col("b"))
+          // w·cents ≤ 8e7 per row but a 1e12-row type would wrap an
+          // int64 SUM — DECIMAL(38,0), the suite's standing discipline
+          .agg(sum((col("w") * col("cents")).cast("decimal(38,0)")).as("s"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("s").asc, col("b").asc)
+        val exact = e.groupBy("event_type")
+          .agg(sum(col("cents")).as("total_cents"))
+        sums
+          .withColumn("rk", row_number().over(w))
+          .groupBy("event_type").agg(
+            (sum(col("s")).cast("double") / BootB.toDouble).as("boot_mean_cents"),
+            max(when(col("rk") === 2, col("s"))).cast("long").as("ci_lo_cents"),
+            max(when(col("rk") === BootB - 1, col("s"))).cast("long")
+              .as("ci_hi_cents"))
+          .join(exact, Seq("event_type"))
+          .select(col("event_type"), col("total_cents"),
+            col("boot_mean_cents"), col("ci_lo_cents"), col("ci_hi_cents"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (
+                 SELECT event_type, event_id,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     AS cents
+                 FROM events
+                 WHERE event_type IN ('purchase', 'signup', 'click')),
+               x AS (
+                 SELECT e.event_type, e.cents, b.b,
+                   (CAST(concat('0x', substr(md5(concat('boot', '|',
+                       CAST(b.b AS VARCHAR), '|',
+                       CAST(e.event_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                     % 2147483647) % $BootGrid AS u
+                 FROM e CROSS JOIN
+                   (SELECT unnest(range(0, $BootB)) AS b) b),
+               sums AS (
+                 SELECT event_type, b,
+                   sum(CAST(($BootCaseSql) * cents AS HUGEINT)) AS s
+                 FROM x GROUP BY event_type, b),
+               rk AS (
+                 SELECT event_type, b, s, row_number() OVER
+                   (PARTITION BY event_type ORDER BY s ASC, b ASC) AS rk
+                 FROM sums),
+               agg AS (
+                 SELECT event_type,
+                   CAST(sum(s) AS DOUBLE) / $BootB AS boot_mean_cents,
+                   CAST(max(CASE WHEN rk = 2 THEN s END) AS BIGINT)
+                     AS ci_lo_cents,
+                   CAST(max(CASE WHEN rk = ${BootB - 1} THEN s END)
+                     AS BIGINT) AS ci_hi_cents
+                 FROM rk GROUP BY event_type),
+               ex AS (
+                 SELECT event_type, CAST(sum(cents) AS BIGINT)
+                   AS total_cents
+                 FROM e GROUP BY event_type)
+               SELECT a.event_type, ex.total_cents, a.boot_mean_cents,
+                 a.ci_lo_cents, a.ci_hi_cents
+               FROM agg a JOIN ex ON ex.event_type = a.event_type
+               ORDER BY a.event_type"""),
+      ),
 
     // Simple linear regression y~x per group from exact integer moment
     // sums (the regr_slope/regr_intercept/regr_r2 family) — one scan,

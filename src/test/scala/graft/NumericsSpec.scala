@@ -355,4 +355,53 @@ class NumericsSpec extends AnyFunSuite {
     assert(dfExp >= math.min(na - 1, nb - 1).toDouble - 1e-9)
     assert(dfExp <= (na + nb - 2).toDouble + 1e-9)
   }
+
+  test("poisson bootstrap CI replays the ladder draws exactly") {
+    val rows = Registry.byName("q_bootstrap_ci").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("total_cents"), r.getAs[Double]("boot_mean_cents"),
+          r.getAs[Long]("ci_lo_cents"), r.getAs[Long]("ci_hi_cents")))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, (total, mean, lo, hi)) =>
+      assert(lo < hi, s"$t: degenerate CI")
+      assert(lo <= total && total <= hi,
+        s"$t: exact total outside the 90% CI on this fixed draw")
+      assert(mean > 0.0)
+    }
+    // full local replay of one event type: ladder, draws, 32 sums
+    def hash31(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 2147483647L
+    }
+    val ladder = {
+      var cdf = 0.0; var fact = 1.0
+      (0 to 8).map { k =>
+        if (k > 0) fact *= k
+        cdf += math.exp(-1.0) / fact
+        (math.round(cdf * 1048576.0), k.toLong)
+      }
+    }
+    val ev = Tables.loadEvents(spark, TestSpark.sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sums = (0 until 32).map { b =>
+      ev.map { case (eid, c) =>
+        val u = hash31(s"boot|$b|$eid") % 1048576L
+        val w = ladder.find(u < _._1).map(_._2).getOrElse(8L)
+        w * c
+      }.sum
+    }
+    val sorted = sums.sorted
+    val (total, mean, lo, hi) = rows("purchase")
+    assert(total === ev.map(_._2).sum)
+    assert(mean === sums.sum.toDouble / 32.0)
+    assert(lo === sorted(1), "2nd order statistic")
+    assert(hi === sorted(30), "31st order statistic")
+  }
 }
