@@ -119,7 +119,8 @@ object GrowthBench {
     "q_attribution" -> "linear (one user-keyed window + channel agg)",
     "q_clamped_balance" -> "linear (two stacked windows, one user shuffle)",
     "emb_dbscan" -> "~linear (banded candidates + core-sliver CC)",
-    "q_bootstrap_ci" -> "linear x B (map-only 32x expansion + one hash agg)")
+    "q_bootstrap_ci" -> "linear x B (map-only 32x expansion + one hash agg)",
+    "emb_drift" -> "linear (two dim-grain aggs, label-grain fold)")
 
   /** sf dirs to measure, smallest first. Overridable so the 0.1->1
     * decade can run on generated same-seed corpora (round-7 verdict

@@ -834,6 +834,142 @@ object Similarity {
               GROUP BY label, i
               ORDER BY label, dim""")),
 
+    // Embedding drift monitor — the retraining tripwire: per label, the
+    // cosine between the centroid of one data half and the other
+    // (vec_id parity as the deterministic stand-in for yesterday/today;
+    // production keys the halves on an ingest date). Cosine is
+    // scale-invariant, so it runs on the SUM vectors directly — no
+    // per-dim division — with emb_centroid's bit-exact DECIMAL(38,25)
+    // summation recipe, the components then quantized to 2^18 integers
+    // (the kmeans discipline) so dot and norms are exact DECIMAL(38,0)
+    // folds and the single closing IEEE division is engine-identical.
+    // A raw half-vs-half cosine is UNINTERPRETABLE alone: for iid
+    // zero-mean vectors E‖Σv‖² = Σ‖v‖², so each half also reports its
+    // mean-mass ratio ‖Σv‖²/Σ‖v‖² — ≈1 when the label mean is sampling
+    // noise (the cosine is then meaningless and the dashboard must not
+    // alarm on it; THIS corpus's labels sit there by construction) and
+    // ≫1 when a real mean exists — the null calibration computed from
+    // the same exact integer folds, no distributions, no libm. An
+    // absent or zero-norm half reports NULL, never a throw. Shape:
+    // (label, half, dim)-grain and (label, half)-grain hash aggregates
+    // plus a label-grain fold — comparison state is labels × 64 dims
+    // regardless of corpus size.
+    QueryDef(
+      "emb_drift",
+      (s, dir) => {
+        val d38 = "decimal(38,0)"
+        val e = embParallel(s, dir)
+          .select(col("label").cast("long").as("label"),
+            pmod(col("vec_id"), lit(2L)).as("half"),
+            col("vec_id"), col("embedding"))
+        val sums = e
+          .select(col("label"), col("half"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "half", "dim")
+          .agg(sum(col("v").cast("double").cast("decimal(38,25)")).as("sd"))
+          .select(col("label"), col("half"), col("dim"),
+            floor(col("sd").cast("double") * 262144.0 + 0.5)
+              .cast("long").as("qd"))
+        val piv = sums.groupBy("label", "dim").agg(
+          max(when(col("half") === 0L, col("qd"))).as("qa"),
+          max(when(col("half") === 1L, col("qd"))).as("qb"))
+        val folded = piv.groupBy("label").agg(
+          sum((col("qa") * col("qb")).cast(d38)).as("dot"),
+          sum((col("qa") * col("qa")).cast(d38)).as("n2a"),
+          sum((col("qb") * col("qb")).cast(d38)).as("n2b"))
+        val cnt = e.groupBy("label").agg(
+          sum(when(col("half") === 0L, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n_b"))
+        // per-half total squared mass Σ‖v‖² on the same 2^18 grid — the
+        // null expectation of ‖Σv‖² for iid zero-mean vectors
+        val ssq = e
+          .select(col("label"), col("half"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("label"), col("half"),
+            floor(col("v").cast("double") * 262144.0 + 0.5)
+              .cast("long").as("qv"))
+          .groupBy("label")
+          .agg(
+            sum(when(col("half") === 0L,
+              (col("qv") * col("qv")).cast(d38)).otherwise(lit(0).cast(d38)))
+              .as("ssq_a"),
+            sum(when(col("half") === 1L,
+              (col("qv") * col("qv")).cast(d38)).otherwise(lit(0).cast(d38)))
+              .as("ssq_b"))
+        folded.join(cnt, Seq("label")).join(ssq, Seq("label"))
+          .select(col("label"), col("n_a"), col("n_b"),
+            when(col("ssq_a") === 0, lit(null)).otherwise(
+              coalesce(col("n2a"), lit(0).cast(d38)).cast("double") /
+                col("ssq_a").cast("double")).as("mean_mass_a"),
+            when(col("ssq_b") === 0, lit(null)).otherwise(
+              coalesce(col("n2b"), lit(0).cast(d38)).cast("double") /
+                col("ssq_b").cast("double")).as("mean_mass_b"),
+            when(coalesce(col("n2a"), lit(0)) === 0 ||
+                 coalesce(col("n2b"), lit(0)) === 0, lit(null))
+              .otherwise(col("dot").cast("double") /
+                sqrt(col("n2a").cast("double") * col("n2b").cast("double")))
+              .as("drift_cos"))
+          .orderBy("label")
+      },
+      Some("""WITH ex AS (
+                SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+                  i - 1 AS dim,
+                  CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR)
+                    AS DECIMAL(38,25)) AS v
+                FROM embeddings,
+                  (SELECT unnest(generate_series(1, 64)) AS i) idx),
+              sums AS (
+                SELECT label, half, dim,
+                  CAST(floor(CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE)
+                    * 262144.0 + 0.5) AS BIGINT) AS qd
+                FROM ex GROUP BY label, half, dim),
+              piv AS (
+                SELECT label, dim,
+                  max(CASE WHEN half = 0 THEN qd END) AS qa,
+                  max(CASE WHEN half = 1 THEN qd END) AS qb
+                FROM sums GROUP BY label, dim),
+              f AS (
+                SELECT label,
+                  sum(CAST(qa AS HUGEINT) * qb) AS dot,
+                  sum(CAST(qa AS HUGEINT) * qa) AS n2a,
+                  sum(CAST(qb AS HUGEINT) * qb) AS n2b
+                FROM piv GROUP BY label),
+              cnt AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+                FROM embeddings GROUP BY label),
+              qv AS (
+                SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE)
+                    * 262144.0 + 0.5) AS BIGINT) AS qv
+                FROM embeddings,
+                  (SELECT unnest(generate_series(1, 64)) AS i) idx),
+              ssq AS (
+                SELECT label,
+                  sum(CASE WHEN half = 0
+                    THEN CAST(qv AS HUGEINT) * qv ELSE 0 END) AS ssq_a,
+                  sum(CASE WHEN half = 1
+                    THEN CAST(qv AS HUGEINT) * qv ELSE 0 END) AS ssq_b
+                FROM qv GROUP BY label)
+              SELECT f.label, cnt.n_a, cnt.n_b,
+                CASE WHEN ssq.ssq_a = 0 THEN NULL
+                     ELSE CAST(coalesce(f.n2a, 0) AS DOUBLE)
+                       / CAST(ssq.ssq_a AS DOUBLE) END AS mean_mass_a,
+                CASE WHEN ssq.ssq_b = 0 THEN NULL
+                     ELSE CAST(coalesce(f.n2b, 0) AS DOUBLE)
+                       / CAST(ssq.ssq_b AS DOUBLE) END AS mean_mass_b,
+                CASE WHEN coalesce(f.n2a, 0) = 0 OR coalesce(f.n2b, 0) = 0
+                     THEN NULL
+                     ELSE CAST(f.dot AS DOUBLE)
+                       / sqrt(CAST(f.n2a AS DOUBLE)
+                              * CAST(f.n2b AS DOUBLE)) END AS drift_cos
+              FROM f JOIN cnt ON cnt.label = f.label
+              JOIN ssq ON ssq.label = f.label
+              ORDER BY f.label""")),
+
     // Out-of-distribution score per embedding — the mislabeled/outlier
     // flag a training-data curation loop runs before contrastive
     // training: each vector's cosine to its OWN label's centroid, with

@@ -438,4 +438,42 @@ class SimilaritySpec extends AnyFunSuite {
         (1L to g.length).toSeq, s"ranks not contiguous for query $q")
     }
   }
+
+  test("emb_drift replays the quantized half-centroid fold; null calibration holds") {
+    val rows = Registry.byName("emb_drift").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("mean_mass_a"), r.getAs[Double]("drift_cos")))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (na, nb, mm, cos) =>
+      assert(na > 0 && nb > 0)
+      assert(cos >= -1.0 - 1e-12 && cos <= 1.0 + 1e-12)
+      // this corpus's labels carry NO mean signal by construction, so
+      // the mean-mass ratio must sit at its iid null (~1), telling the
+      // dashboard the cosine is noise — the calibration the operator
+      // exists to ship
+      assert(mm > 0.3 && mm < 3.0, s"mean mass $mm outside the null band")
+    }
+    // exact local replay of one label's fold
+    val vecs = Tables.load(spark, TestSpark.sf, "embeddings")
+      .filter(col("label").cast("long") === 0L)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def q(x: Double): Long = math.floor(x * 262144.0 + 0.5).toLong
+    val dims = vecs.head._2.length
+    def sumHalf(h: Long): Array[Long] = (0 until dims).map { d =>
+      val s = vecs.filter(_._1 % 2 == h)
+        .map(v => BigDecimal(v._2(d).toDouble)).sum
+      q(s.toDouble)
+    }.toArray
+    val (sa, sb) = (sumHalf(0L), sumHalf(1L))
+    val dot = (0 until dims).map(d => BigInt(sa(d)) * BigInt(sb(d))).sum
+    val n2a = (0 until dims).map(d => BigInt(sa(d)) * BigInt(sa(d))).sum
+    val n2b = (0 until dims).map(d => BigInt(sb(d)) * BigInt(sb(d))).sum
+    val expCos = dot.toDouble / math.sqrt(n2a.toDouble * n2b.toDouble)
+    assert(math.abs(rows(0L)._4 - expCos) < 1e-9,
+      s"cos replay: got ${rows(0L)._4}, want $expCos")
+  }
 }
