@@ -35,9 +35,20 @@ def gate_log(**fields):
     try:
         root = next((p for p in ("/root/repo", ".")
                      if os.path.isdir(os.path.join(p, ".git"))), ".")
+        # caller identity (round-10 verdict nit: driver/builder/judge
+        # lines were indistinguishable). GATE_CALLER wins; else the
+        # parent process's cmdline.
+        try:
+            with open(f"/proc/{os.getppid()}/cmdline", "rb") as cf:
+                parent = cf.read().replace(b"\0", b" ").decode(
+                    "utf-8", "replace").strip()[:200] or "?"
+        except Exception:
+            parent = "?"
         rec = {"ts": datetime.datetime.now(datetime.timezone.utc)
                .isoformat(timespec="seconds"),
-               "tool": "check_oracle.py", **fields}
+               "tool": "check_oracle.py",
+               "caller": os.environ.get("GATE_CALLER", parent),
+               "cwd": os.getcwd(), **fields}
         rec.update({f"env.{k}": v for k, v in sorted(os.environ.items())
                     if k.startswith(("SPARK_GRAFT_", "CHECK_"))})
         with open(os.path.join(root, "GATE_LOG.jsonl"), "a") as f:

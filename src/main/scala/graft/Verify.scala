@@ -34,13 +34,28 @@ object Verify {
         ("env." + k, v)
     }.sortBy(_._1)
 
+  /** Who invoked the gate (round-10 verdict nit: driver, builder and
+    * judge lines were indistinguishable). GATE_CALLER env wins when
+    * set; otherwise the parent process's command line — the driver's
+    * harness, an sbt shell, or a bare bash — plus the cwd. */
+  private[graft] def gateCaller: Seq[(String, String)] = {
+    val parent = try {
+      ProcessHandle.current().parent()
+        .flatMap[String](p => p.info().commandLine())
+        .orElse("?")
+    } catch { case _: Throwable => "?" }
+    Seq(
+      "caller" -> sys.env.getOrElse("GATE_CALLER", parent.take(200)),
+      "cwd" -> sys.props.getOrElse("user.dir", "?"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     gateLog(Seq(
       "ts" -> java.time.Instant.now.toString,
       "tool" -> "graft.Verify", "phase" -> "start",
-      "args" -> args.mkString(" ")) ++ gateEnv: _*)
+      "args" -> args.mkString(" ")) ++ gateCaller ++ gateEnv: _*)
     // optional third arg: comma-separated query names — dump only those
     // (dev loop for a single operator; the driver passes two args)
     val only: Option[Set[String]] =
@@ -146,13 +161,14 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     println(s"[verify] wrote ${nWritten.get}/${selected.size} query dumps, " +
       s"${nFailed.get} failed, ${f"$wallS%.1f"}s, workers=$workers")
-    gateLog("ts" -> java.time.Instant.now.toString,
+    gateLog(Seq(
+      "ts" -> java.time.Instant.now.toString,
       "tool" -> "graft.Verify", "phase" -> "done",
       "args" -> args.mkString(" "),
       "n_written" -> nWritten.get.toString,
       "n_failed" -> nFailed.get.toString,
       "workers" -> workers.toString,
-      "wall_s" -> f"$wallS%.1f")
+      "wall_s" -> f"$wallS%.1f") ++ gateCaller: _*)
     // exit stays 0 even with per-query failures: the parquet dumps ARE
     // the record and the gate-side checker (check_oracle.py, or the
     // driver's comparator finding MISSING dirs) is where failure must

@@ -613,11 +613,19 @@ object Dedup {
           // zeroing the norms — Spark-4 ANSI throws on double /0 where
           // DuckDB returns NULL; ranks then fall to the dst tie-break
           // on BOTH engines (degenerate-corpus sweep, r8)
+          // cos2 is formed FACTOR-FIRST: each of dot/s_n2/d_n2 is < 1e19
+          // (pre-flight bound) < 2^64, a range where int->double casts
+          // are correctly rounded in BOTH engines, so dbl(dot)*dbl(dot)
+          // / (dbl(s_n2)*dbl(d_n2)) is one identical IEEE op sequence
+          // cross-engine. The previous product-first form converted the
+          // 38-digit products (dot^2 up to 1e38) via DuckDB's HUGEINT
+          // half-splitting cast, which is NOT correctly rounded there —
+          // a 1-ULP cos2 divergence surfaced on the round-11 Heaps
+          // corpus (and could silently flip the rank-1 tie-break).
           .withColumn("cos2",
-            expr("""CAST(CAST(dot AS DECIMAL(19,0)) *
-                         CAST(dot AS DECIMAL(19,0)) AS DOUBLE) /
-                    nullif(CAST(CAST(s_n2 AS DECIMAL(19,0)) *
-                         CAST(d_n2 AS DECIMAL(19,0)) AS DOUBLE), 0.0D)"""))
+            expr("""(CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
+                    nullif(CAST(s_n2 AS DOUBLE) *
+                         CAST(d_n2 AS DOUBLE), 0.0D)"""))
           .withColumn("rk", row_number().over(wv))
           .filter(col("rk") === 1)
           .select(col("src").as("doc_id"), col("dst").as("nn_id"),
@@ -656,8 +664,9 @@ object Dedup {
                  SELECT b_id, a_id, dot FROM dots),
                scored AS (
                  SELECT d.src, d.dst,
-                   CAST(CAST(d.dot AS HUGEINT) * d.dot AS DOUBLE) /
-                     CAST(CAST(sa.n2 AS HUGEINT) * sb.n2 AS DOUBLE) AS cos2
+                   (CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)) /
+                     nullif(CAST(sa.n2 AS DOUBLE) * CAST(sb.n2 AS DOUBLE),
+                       0.0) AS cos2
                  FROM directed d
                  JOIN norms sa ON d.src = sa.doc_id
                  JOIN norms sb ON d.dst = sb.doc_id),
@@ -746,11 +755,19 @@ object Dedup {
             "src")
           .join(norms.select(col("doc_id").as("dst"), col("n2").as("d_n2")),
             "dst")
+          // cos2 is formed FACTOR-FIRST: each of dot/s_n2/d_n2 is < 1e19
+          // (pre-flight bound) < 2^64, a range where int->double casts
+          // are correctly rounded in BOTH engines, so dbl(dot)*dbl(dot)
+          // / (dbl(s_n2)*dbl(d_n2)) is one identical IEEE op sequence
+          // cross-engine. The previous product-first form converted the
+          // 38-digit products (dot^2 up to 1e38) via DuckDB's HUGEINT
+          // half-splitting cast, which is NOT correctly rounded there —
+          // a 1-ULP cos2 divergence surfaced on the round-11 Heaps
+          // corpus (and could silently flip the rank-1 tie-break).
           .withColumn("cos2",
-            expr("""CAST(CAST(dot AS DECIMAL(19,0)) *
-                         CAST(dot AS DECIMAL(19,0)) AS DOUBLE) /
-                    nullif(CAST(CAST(s_n2 AS DECIMAL(19,0)) *
-                         CAST(d_n2 AS DECIMAL(19,0)) AS DOUBLE), 0.0D)"""))
+            expr("""(CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
+                    nullif(CAST(s_n2 AS DOUBLE) *
+                         CAST(d_n2 AS DOUBLE), 0.0D)"""))
           .withColumn("rk", row_number().over(wv))
           .filter(col("rk") === 1)
           .select(col("src").as("doc_id"), col("dst").as("nn_id"),
@@ -799,8 +816,9 @@ object Dedup {
                  SELECT b_id, a_id, dot FROM dots),
                scored AS (
                  SELECT d.src, d.dst,
-                   CAST(CAST(d.dot AS HUGEINT) * d.dot AS DOUBLE) /
-                     CAST(CAST(sa.n2 AS HUGEINT) * sb.n2 AS DOUBLE) AS cos2
+                   (CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)) /
+                     nullif(CAST(sa.n2 AS DOUBLE) * CAST(sb.n2 AS DOUBLE),
+                       0.0) AS cos2
                  FROM directed d
                  JOIN norms sa ON d.src = sa.doc_id
                  JOIN norms sb ON d.dst = sb.doc_id),
@@ -2220,8 +2238,187 @@ object Dedup {
         }
         LshTuneRows.map(leg).reduce(_ union _).orderBy("band_rows")
       },
-      Some(LshTuneOracleSql))
+      Some(LshTuneOracleSql)),
+
+    // Exact-vs-capped recall scorecard (round-11 verdict task #8): the
+    // cap discipline (PrefixPostingCap=32 sampled postings per prefix
+    // shingle) is what lets the SSJoin pipeline run at ANY corpus size
+    // — the sf10 saturation experiment proved the exact form dies —
+    // but until now its quality cost was a design argument, not a
+    // measured number. This operator runs BOTH forms over one shared
+    // shingle checkpoint and scores the capped candidate generator
+    // against the exact (lossless) one: n_hit / n_exact is the recall
+    // the cap trades for its V·cap² join bound. Because the capped
+    // prefix relation is a strict subset of the exact one and
+    // verification recounts every pair on the FULL posting relation,
+    // capped pairs ⊆ exact pairs structurally — the emitted
+    // precision = 1.0 row PROVES the subset property held on this
+    // corpus rather than asserting it. Shape: the two pipelines share
+    // one shingled()/postings scan; each leg is the established
+    // Σ prefix-df² (exact) / V·cap² (capped) join; the close is three
+    // 1-row broadcast aggregates (the dedup_lsh_tune recipe). On a
+    // Heaps-law corpus the viral tail past the cap carries no
+    // discrimination signal, so recall should sit near 1; on the
+    // saturated fixture vocabulary it measures the worst case.
+    QueryDef(
+      "dedup_cap_recall",
+      (s, dir) => {
+        val sh = shingled(s, dir).localCheckpoint()
+        val exact = prefixPairsFrom(sh, None)
+          .select("a_id", "b_id").localCheckpoint()
+        val capped = prefixPairsFrom(sh, Some(PrefixPostingCap))
+          .select("a_id", "b_id").localCheckpoint()
+        val nExact = exact.agg(count(lit(1)).as("n_exact"))
+        val nCapped = capped.agg(count(lit(1)).as("n_capped"))
+        val nHit = capped.join(exact, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nExact.crossJoin(broadcast(nCapped)).crossJoin(broadcast(nHit))
+          .select(col("n_exact"), col("n_capped"), col("n_hit"),
+            when(col("n_capped") === 0, lit(0.0))
+              .otherwise(col("n_hit").cast("double") /
+                col("n_capped").cast("double")).as("prec"),
+            when(col("n_exact") === 0, lit(0.0))
+              .otherwise(col("n_hit").cast("double") /
+                col("n_exact").cast("double")).as("recall"))
+      },
+      Some(CapRecallOracleSql))
   )
+
+  /** One SSJoin prefix-filter pipeline over a shared shingle frame —
+    * the dedup_prefix_filter body with the posting sample as a knob:
+    * cap=None is the exact (lossless) form, cap=Some(k) the pipeline
+    * form. Factored for dedup_cap_recall so the two legs it compares
+    * can never drift from the operators they score. */
+  private def prefixPairsFrom(sh: DataFrame, cap: Option[Int]): DataFrame = {
+    val postings = sh
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dfreq = postings.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+    val ranked = postings.join(dfreq, Seq("shingle"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("df").asc, col("shingle").asc)))
+      .join(sh.select(col("doc_id"), size(col("sh")).as("n_sh")),
+        Seq("doc_id"))
+    val pre0 = ranked
+      .filter(col("r") <= col("n_sh").cast("long")
+        - ceil(col("n_sh") * lit(PrefixJaccardT)) + 1)
+      .filter(col("df") >= 2)
+      .select("shingle", "doc_id")
+    val wSamp = Window.partitionBy("shingle").orderBy(
+      hash31(concat_ws(":", col("shingle"), col("doc_id"))).asc,
+      col("doc_id").asc)
+    val prefix = cap.fold(pre0) { k =>
+      pre0.withColumn("prn", row_number().over(wSamp))
+        .filter(col("prn") <= k).drop("prn")
+    }.localCheckpoint()
+    val cand = prefix.select(col("shingle"), col("doc_id").as("a_id"))
+      .join(prefix.select(col("shingle"), col("doc_id").as("b_id")),
+        Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val candLen = cand
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")),
+        Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")),
+        Seq("b_id"))
+      .filter(col("n_b").cast("double") >=
+        col("n_a").cast("double") * lit(PrefixJaccardT))
+      .filter(col("n_a").cast("double") >=
+        col("n_b").cast("double") * lit(PrefixJaccardT))
+      .localCheckpoint()
+    candLen
+      .join(postings.select(col("doc_id").as("a_id"), col("shingle")),
+        Seq("a_id"))
+      .join(postings.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("a_id"), col("b_id"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= PrefixJaccardT)
+  }
+
+  /** DuckDB replay of the scorecard: ONE shared shingle/posting/rank
+    * chain, the exact and capped prefix relations diverging only at
+    * the sample window (as in the Spark legs), each verified on the
+    * full posting relation, then the three counts. MATERIALIZED on the
+    * heavy CTEs per the bench-scale oracle discipline. */
+  private lazy val CapRecallOracleSql: String = {
+    def leg(tag: String, pre: String) =
+      s"""cand$tag AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM $pre a JOIN $pre b USING (shingle)
+           WHERE a.doc_id < b.doc_id),
+         candl$tag AS MATERIALIZED (
+           SELECT c.a_id, c.b_id, sa.n_sh AS n_a, sb.n_sh AS n_b
+           FROM cand$tag c
+           JOIN sz sa ON sa.doc_id = c.a_id
+           JOIN sz sb ON sb.doc_id = c.b_id
+           WHERE CAST(sb.n_sh AS DOUBLE)
+               >= CAST(sa.n_sh AS DOUBLE) * $PrefixJaccardT
+             AND CAST(sa.n_sh AS DOUBLE)
+               >= CAST(sb.n_sh AS DOUBLE) * $PrefixJaccardT),
+         pairs$tag AS MATERIALIZED (
+           SELECT cl.a_id, cl.b_id
+           FROM candl$tag cl
+           JOIN p pa ON pa.doc_id = cl.a_id
+           JOIN p pb ON pb.doc_id = cl.b_id AND pb.shingle = pa.shingle
+           GROUP BY cl.a_id, cl.b_id, cl.n_a, cl.n_b
+           HAVING CAST(count(*) AS DOUBLE)
+             / CAST(cl.n_a + cl.n_b - count(*) AS DOUBLE)
+             >= $PrefixJaccardT)"""
+    s"""WITH d AS MATERIALIZED (
+         SELECT doc_id, list_distinct(list_transform(
+           range(1, len(string_split(text,' ')) - 1),
+           i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+         FROM documents),
+       sz AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+       p AS MATERIALIZED (
+         SELECT doc_id, unnest(sh) AS shingle FROM d),
+       f AS (SELECT shingle, count(*) AS df FROM p GROUP BY shingle),
+       r AS (
+         SELECT p.doc_id, p.shingle,
+           row_number() OVER (PARTITION BY p.doc_id
+             ORDER BY f.df ASC, p.shingle ASC) AS r,
+           sz.n_sh
+         FROM p JOIN f USING (shingle) JOIN sz USING (doc_id)),
+       preE AS MATERIALIZED (
+         SELECT r.doc_id, r.shingle FROM r JOIN f USING (shingle)
+         WHERE r.r <= r.n_sh
+             - CAST(CEIL(r.n_sh * $PrefixJaccardT) AS BIGINT) + 1
+           AND f.df >= 2),
+       preC AS MATERIALIZED (
+         SELECT doc_id, shingle FROM (
+           SELECT doc_id, shingle,
+             row_number() OVER (PARTITION BY shingle ORDER BY
+               CAST(concat('0x', substr(md5(concat(shingle, ':',
+                 CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                 % 2147483647,
+               doc_id) AS prn
+           FROM preE) t
+         WHERE prn <= $PrefixPostingCap),
+       ${leg("E", "preE")},
+       ${leg("C", "preC")},
+       hit AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_hit
+         FROM pairsC c JOIN pairsE e
+           ON e.a_id = c.a_id AND e.b_id = c.b_id)
+       SELECT
+         (SELECT CAST(count(*) AS BIGINT) FROM pairsE) AS n_exact,
+         (SELECT CAST(count(*) AS BIGINT) FROM pairsC) AS n_capped,
+         hit.n_hit,
+         CASE WHEN (SELECT count(*) FROM pairsC) = 0 THEN 0.0
+           ELSE CAST(hit.n_hit AS DOUBLE)
+             / (SELECT CAST(count(*) AS DOUBLE) FROM pairsC) END AS prec,
+         CASE WHEN (SELECT count(*) FROM pairsE) = 0 THEN 0.0
+           ELSE CAST(hit.n_hit AS DOUBLE)
+             / (SELECT CAST(count(*) AS DOUBLE) FROM pairsE) END AS recall
+       FROM hit"""
+  }
 
   /** The rows-per-band settings the tuning curve sweeps — ONE list
     * shared by the Spark legs and the oracle generator (the Nprobes

@@ -112,6 +112,13 @@ object Numerics {
           .withColumn("rk", row_number().over(w))
           .groupBy("event_type").agg(
             (sum(col("s")).cast("double") / BootB.toDouble).as("boot_mean_cents"),
+            // the long cast is bounded, not decorative: w ≤ 8 and
+            // cents ≤ ~5e4 (value ≤ ~500), so a replicate sum fits
+            // int64 up to ~2.3e13 rows per event_type — ~75× past a
+            // 100 TB events estate (~1e12 rows / ~3e11 per type).
+            // Beyond that, Spark's non-ANSI cast would wrap silently
+            // while DuckDB's HUGEINT→BIGINT raises; keep the columns
+            // DECIMAL past ~1e13 rows/type.
             max(when(col("rk") === 2, col("s"))).cast("long").as("ci_lo_cents"),
             max(when(col("rk") === BootB - 1, col("s"))).cast("long")
               .as("ci_hi_cents"))

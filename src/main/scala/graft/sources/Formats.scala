@@ -366,7 +366,148 @@ object Formats {
       oracle = Some("""SELECT o_orderpriority, count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Corrupt-input salvage scan (round-11 verdict task #4): at 100 TB,
+    // truncated parquet footers and malformed rows are ROUTINE — a
+    // petabyte estate always has a few bad files in flight — and an
+    // engine that aborts the job on the first one doesn't run in
+    // production. This operator builds a 4-shard mixed estate from
+    // `events` (shards 0-2 JSON-lines via a partitionBy write, shard 3
+    // parquet), PLANTS deterministic corruption (7 malformed JSON lines
+    // appended into shard 1; the shard-3 parquet file truncated to half
+    // — footer destroyed, whole file unreadable), then runs the audited
+    // salvage scan: PERMISSIVE JSON with _corrupt_record capture, and a
+    // per-read ignoreCorruptFiles=true parquet scan (the read-local
+    // option, NOT the session conf — a lingering session flag would
+    // silently mask real corruption in later queries on the same
+    // Verify worker session). The audit reconciles salvaged rows per
+    // shard against the expected counts from the source relation and
+    // classifies each shard from OBSERVATION: zero salvaged with
+    // nonzero expected => corrupt_file (quarantine = the whole shard's
+    // expected rows), _corrupt_record rows => malformed_rows
+    // (quarantine = the bad-line count), else clean. The oracle replays
+    // the classification arithmetic over the intact source — the
+    // salvage path must lose EXACTLY the planted rows and nothing else.
+    // Scale shape: one partitionBy write + two file scans + one
+    // group-by; the quarantined rows never route through the driver.
+    QueryDef(
+      "q_corrupt_salvage",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val scratch = scratchFor("salvage")
+        val jsonDir = s"$scratch/json_estate"
+        val pqDir = s"$scratch/pq_estate"
+        val ev = Tables.loadEvents(s, dir).select(
+          col("event_id").cast("long").as("event_id"),
+          col("event_type").cast("string").as("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"),
+          pmod(col("event_id"), lit(4)).cast("int").as("shard"))
+        ev.filter(col("shard") < 3)
+          .write.mode("overwrite").partitionBy("shard").json(jsonDir)
+        ev.filter(col("shard") === 3).drop("shard")
+          .coalesce(1).write.mode("overwrite").parquet(pqDir)
+        // plant the corruption — deterministic bytes, planted AFTER the
+        // writes so overwrite-mode re-runs (bench passes) are idempotent
+        val badShardDir = java.nio.file.Paths.get(jsonDir, "shard=1")
+        java.nio.file.Files.createDirectories(badShardDir)
+        val badLines = (1 to 7)
+          .map(i => s"""{"event_id": $i, "event_type": "click", "cen""")
+          .mkString("", "\n", "\n")
+        java.nio.file.Files.write(
+          badShardDir.resolve("part-99999-malformed.json"),
+          badLines.getBytes("UTF-8"))
+        listParquet(pqDir).foreach { f =>
+          val ch = java.nio.channels.FileChannel.open(f.toPath,
+            java.nio.file.StandardOpenOption.WRITE)
+          try ch.truncate(math.max(1L, f.length() / 2)) finally ch.close()
+        }
+        // salvage scan: clean rows out, corrupt captured — never abort
+        val jsonSchema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("cents", LongType),
+          StructField("_corrupt_record", StringType)))
+        val salvagedJson = s.read.schema(jsonSchema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(jsonDir)
+          .select(col("shard").cast("long").as("shard"), col("cents"),
+            col("_corrupt_record").isNotNull.as("bad"))
+        val salvagedPq = s.read
+          .schema(StructType(jsonSchema.dropRight(1)))
+          .option("ignoreCorruptFiles", "true")
+          .parquet(pqDir)
+          .select(lit(3L).as("shard"), col("cents"), lit(false).as("bad"))
+        val observed = salvagedJson.unionByName(salvagedPq)
+          .groupBy("shard").agg(
+            count(when(!col("bad"), 1)).as("n_salvaged"),
+            count(when(col("bad"), 1)).as("n_bad_rows"),
+            sum(when(!col("bad"), col("cents"))).as("salvaged_cents"))
+        val expected = ev.groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_expected"))
+        // 4-row spine so the audit emits every shard even when a whole
+        // shard (or the whole source) vanished
+        val spine = s.range(4).select(col("id").as("shard"))
+        spine.join(expected, Seq("shard"), "left")
+          .join(observed, Seq("shard"), "left")
+          .select(col("shard"),
+            coalesce(col("n_expected"), lit(0L)).as("n_expected"),
+            coalesce(col("n_salvaged"), lit(0L)).as("n_salvaged"),
+            coalesce(col("n_bad_rows"), lit(0L)).as("n_bad_rows"),
+            coalesce(col("salvaged_cents"), lit(0L)).as("salvaged_cents"))
+          .withColumn("error_class",
+            when(col("n_salvaged") === 0 && col("n_expected") > 0,
+              lit("corrupt_file"))
+              .when(col("n_bad_rows") > 0, lit("malformed_rows"))
+              .otherwise(lit("clean")))
+          .withColumn("n_quarantined",
+            when(col("error_class") === "corrupt_file", col("n_expected"))
+              .when(col("error_class") === "malformed_rows",
+                col("n_bad_rows"))
+              .otherwise(lit(0L)))
+          .select("shard", "n_expected", "n_salvaged", "n_quarantined",
+            "salvaged_cents", "error_class")
+          .orderBy("shard")
+      },
+      bench = false, // write-dominated like q_bucketed_join; the scan paths it proves are benched via q_fmt_*
+      oracle = Some("""WITH ev AS (
+                SELECT event_id % 4 AS shard,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    AS cents
+                FROM events),
+              spine AS (SELECT unnest(range(0, 4)) AS shard),
+              agg AS (
+                SELECT shard, count(*) AS n_expected,
+                  sum(cents) AS s_cents
+                FROM ev GROUP BY shard),
+              audit AS (
+                SELECT sp.shard,
+                  COALESCE(a.n_expected, 0) AS n_expected,
+                  -- shard 3's file is truncated: ignoreCorruptFiles
+                  -- drops it whole; shards 0-2 salvage every real row
+                  CASE WHEN sp.shard = 3 THEN 0
+                    ELSE COALESCE(a.n_expected, 0) END AS n_salvaged,
+                  -- shard 1 carries the 7 planted malformed lines
+                  CASE WHEN sp.shard = 1 THEN 7 ELSE 0 END AS n_bad_rows,
+                  CASE WHEN sp.shard = 3 THEN 0
+                    ELSE COALESCE(a.s_cents, 0) END AS salvaged_cents
+                FROM spine sp LEFT JOIN agg a ON a.shard = sp.shard)
+              SELECT CAST(shard AS BIGINT) AS shard,
+                CAST(n_expected AS BIGINT) AS n_expected,
+                CAST(n_salvaged AS BIGINT) AS n_salvaged,
+                CAST(CASE
+                  WHEN n_salvaged = 0 AND n_expected > 0 THEN n_expected
+                  WHEN n_bad_rows > 0 THEN n_bad_rows
+                  ELSE 0 END AS BIGINT) AS n_quarantined,
+                CAST(salvaged_cents AS BIGINT) AS salvaged_cents,
+                CASE
+                  WHEN n_salvaged = 0 AND n_expected > 0
+                    THEN 'corrupt_file'
+                  WHEN n_bad_rows > 0 THEN 'malformed_rows'
+                  ELSE 'clean' END AS error_class
+              FROM audit ORDER BY shard""")))
 
   /** All part-*.parquet files under a local scratch dir. */
   private def listParquet(path: String): Seq[java.io.File] = {

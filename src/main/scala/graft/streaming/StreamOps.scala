@@ -2176,7 +2176,17 @@ object StreamOps {
           .queryName(sink)
           .start()
         try q.processAllAvailable() finally q.stop()
+        // the memory sink APPENDS update-mode emissions: across 2+
+        // micro-batches the open version (valid_to_us NULL) emitted in
+        // batch k is not retracted when batch k+1 closes it, so the
+        // sink can hold both rows for one (user_id, valid_from_us).
+        // Collapse to the latest: max(valid_to_us) ignores NULL and
+        // keeps the close when one exists; band is identical across
+        // the pair (a version's value never changes, only its close).
         s.table(sink)
+          .groupBy(col("user_id"), col("valid_from_us"))
+          .agg(max(col("band")).as("band"),
+            max(col("valid_to_us")).as("valid_to_us"))
           .select(col("user_id"), col("band"), col("valid_from_us"),
             col("valid_to_us"))
           .orderBy("user_id", "valid_from_us")
@@ -2216,10 +2226,6 @@ object StreamOps {
   final case class RlAdmit(user_id: Long, day_us: Long, event_id: Long,
       rk: Long)
 
-  /** flatMapGroupsWithState body for stream_rate_limit: state is the
-    * count already consumed by this (user, day); each micro-batch sorts
-    * its group slice by event time (bounded: one principal's one-day
-    * volume), continues the count, and admits ranks ≤ RateLimitN. */
   /** One dimension-attribute observation for stream_scd2_apply. */
   final case class ScdEv(user_id: Long, ts_us: Long, event_id: Long,
       band: Long)
@@ -2254,6 +2260,10 @@ object StreamOps {
     out.result().iterator
   }
 
+  /** flatMapGroupsWithState body for stream_rate_limit: state is the
+    * count already consumed by this (user, day); each micro-batch sorts
+    * its group slice by event time (bounded: one principal's one-day
+    * volume), continues the count, and admits ranks ≤ RateLimitN. */
   def rateLimitState(key: (Long, Long), it: Iterator[RlEv],
       state: GroupState[Long]): Iterator[RlAdmit] = {
     val taken = if (state.exists) state.get else 0L
