@@ -120,7 +120,12 @@ object GrowthBench {
     "q_clamped_balance" -> "linear (two stacked windows, one user shuffle)",
     "emb_dbscan" -> "~linear (banded candidates + core-sliver CC)",
     "q_bootstrap_ci" -> "linear x B (map-only 32x expansion + one hash agg)",
-    "emb_drift" -> "linear (two dim-grain aggs, label-grain fold)")
+    "emb_drift" -> "linear (two dim-grain aggs, label-grain fold)",
+    // round-11 wave (Heaps-corpus science + scorecards)
+    "dedup_cap_recall" -> "exact leg: sum prefix-df^2; capped leg V x cap^2 (scorecard over both)",
+    "dedup_planted_recall" -> "~linear (banded LSH candidates + in-band truth join)",
+    "text_heaps_curve" -> "~linear (one vocab-grain agg + 8-row broadcast spine)",
+    "text_zipf_curve" -> "~linear (vocab-grain agg + distributed top-4096)")
 
   /** sf dirs to measure, smallest first. Overridable so the 0.1->1
     * decade can run on generated same-seed corpora (round-7 verdict

@@ -2281,7 +2281,100 @@ object Dedup {
               .otherwise(col("n_hit").cast("double") /
                 col("n_exact").cast("double")).as("recall"))
       },
-      Some(CapRecallOracleSql))
+      Some(CapRecallOracleSql)),
+
+    // Recall against PLANTED ground truth (round-11, rides the Heaps
+    // corpus): the heaps CorpusGen mode writes dup provenance IN-BAND —
+    // a planted near-duplicate's `source` column is 'dupof<src_id>' —
+    // so ground truth is recoverable from the data alone, by ANY
+    // evaluator, with no generator-seed knowledge. This scores the
+    // LSH banding candidate generator (the 100 TB scale path: 8 bands
+    // × 2 rows over 16 minhash perms) against that truth: did the
+    // bucketed generator surface the pairs we KNOW are near-dups?
+    // dedup_lsh_tune scores candidates against the THRESHOLDED Jaccard
+    // relation (self-referential truth — whatever the corpus happens
+    // to contain); this is the independent, generator-planted answer
+    // key. On corpora without dupof markers truth is empty and the
+    // zero-convention row documents that. Shape: signature pipeline +
+    // band-bucket equi-join + three 1-row broadcast aggregates — no
+    // all-pairs anything.
+    QueryDef(
+      "dedup_planted_recall",
+      (s, dir) => {
+        val sh = shingled(s, dir).localCheckpoint()
+        val withSig = signaturesFrom(sh)
+        val bands = withSig.select(
+          col("doc_id"),
+          explode(array((0 until NumPerms / BandRows).map { b =>
+            struct(
+              lit(b.toLong).as("band_id"),
+              concat_ws(",", slice(col("sig"), b * BandRows + 1, BandRows))
+                .as("band_key"))
+          }: _*)).as("band"))
+          .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band_id") === col("y.band_id") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct().localCheckpoint()
+        val truth = Tables.load(s, dir, "documents")
+          .filter(col("source").startsWith("dupof"))
+          .select(
+            least(col("doc_id"),
+              substring(col("source"), 6, 30).cast("long")).as("a_id"),
+            greatest(col("doc_id"),
+              substring(col("source"), 6, 30).cast("long")).as("b_id"))
+          .localCheckpoint()
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val nHit = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nTruth.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+          .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+            when(col("n_truth") === 0, lit(0.0))
+              .otherwise(col("n_hit").cast("double") /
+                col("n_truth").cast("double")).as("recall"))
+      },
+      Some(s"""WITH d AS (
+             SELECT doc_id, list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 1),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+             FROM documents),
+           sig AS (
+             SELECT doc_id, list_transform(range(0, $NumPerms), p ->
+               list_aggregate(list_transform(sh, s ->
+                 ((2*p + 3) * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) + p) % 2147483647),
+               'min')) AS sg
+             FROM d),
+           bands AS (
+             SELECT doc_id, b,
+               array_to_string(sg[$BandRows*b + 1 : $BandRows*b + $BandRows],
+                 ',') AS band_key
+             FROM sig, (SELECT unnest(range(0, ${NumPerms / BandRows})) AS b) bs),
+           cand AS (
+             SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM bands x JOIN bands y
+               ON x.b = y.b AND x.band_key = y.band_key
+                AND x.doc_id < y.doc_id),
+           truth AS (
+             SELECT least(doc_id,
+                 CAST(substr(source, 6) AS BIGINT)) AS a_id,
+               greatest(doc_id,
+                 CAST(substr(source, 6) AS BIGINT)) AS b_id
+             FROM documents WHERE source LIKE 'dupof%'),
+           c AS (
+             SELECT
+               (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+               (SELECT CAST(count(*) AS BIGINT) FROM truth t
+                  WHERE EXISTS (SELECT 1 FROM cand c
+                    WHERE c.a_id = t.a_id AND c.b_id = t.b_id)) AS n_hit)
+           SELECT n_truth, n_candidates, n_hit,
+             CASE WHEN n_truth = 0 THEN 0.0
+               ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+               END AS recall
+           FROM c"""))
   )
 
   /** One SSJoin prefix-filter pipeline over a shared shingle frame —

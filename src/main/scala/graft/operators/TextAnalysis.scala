@@ -1930,7 +1930,131 @@ object TextAnalysis {
                 CAST(sum_pad_waste AS DOUBLE)
                   / CAST(sum_tokens + sum_pad_waste AS DOUBLE)
                   AS waste_share
-              FROM g ORDER BY bucket"""))
+              FROM g ORDER BY bucket""")),
+
+    // Vocabulary-growth (Heaps) curve (round-11, the corpus-science
+    // companion of the heaps CorpusGen mode): distinct-vocabulary size
+    // measured at 8 doubling corpus prefixes in doc_id order. The naive
+    // form — a distinct count per prefix — is 8 corpus-wide distincts;
+    // this is ONE: a token's first_doc = min(doc_id) determines exactly
+    // which prefixes count it, so one vocabulary-grain aggregate plus
+    // an 8-row broadcast spine yields every prefix's (n_docs, n_tokens,
+    // n_vocab) triple. All outputs are exact BIGINTs — the log-log
+    // slope (Heaps' β) is one ln-ratio away, but transcendentals stay
+    // OFF the cross-engine data path (the q_dp_release discipline).
+    // Shape: one explode + one (token) hash agg + two tiny
+    // broadcast-spine aggregates; prefix bounds come from the doc_id
+    // range (contiguous in every corpus this suite generates), via one
+    // 1-row min/max aggregate.
+    QueryDef(
+      "text_heaps_curve",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+        val stats = d.agg(min(col("doc_id")).as("lo"),
+          max(col("doc_id")).as("hi"))
+        // k = 1..8 → prefix of ceil(n / 2^(8-k)) docs (sizes n/128 … n)
+        val spine = s.range(1, 9).select(col("id").as("k"))
+          .crossJoin(broadcast(stats))
+          .select(col("k"),
+            (col("lo") + ceil((col("hi") - col("lo") + 1).cast("double") /
+              pow(lit(2.0), (lit(8) - col("k")).cast("double")))
+              .cast("long") - 1).as("bound"))
+        val tokens = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val firstDoc = tokens.groupBy("w")
+          .agg(min(col("doc_id")).as("first_doc"))
+        val perPrefixDocs = d.crossJoin(broadcast(spine))
+          .filter(col("doc_id") <= col("bound"))
+          .groupBy("k").agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"))
+        val perPrefixVocab = firstDoc.crossJoin(broadcast(spine))
+          .filter(col("first_doc") <= col("bound"))
+          .groupBy("k").agg(count(lit(1)).as("n_vocab"))
+        s.range(1, 9).select(col("id").as("k"))
+          .join(perPrefixDocs, Seq("k"), "left")
+          .join(perPrefixVocab, Seq("k"), "left")
+          .select(col("k").as("prefix_id"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_vocab"), lit(0L)).as("n_vocab"))
+          .orderBy("prefix_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+                FROM documents),
+              st AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM d),
+              spine AS (
+                SELECT k, lo + CAST(CEIL(
+                    CAST(hi - lo + 1 AS DOUBLE) / POWER(2.0, 8 - k))
+                  AS BIGINT) - 1 AS bound
+                FROM st, (SELECT unnest(range(1, 9)) AS k) ks),
+              toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+              fd AS (SELECT w, min(doc_id) AS first_doc
+                     FROM toks GROUP BY w),
+              pd AS (
+                SELECT s.k, count(*) AS n_docs,
+                  CAST(sum(d.n_toks) AS BIGINT) AS n_tokens
+                FROM d JOIN spine s ON d.doc_id <= s.bound GROUP BY s.k),
+              pv AS (
+                SELECT s.k, count(*) AS n_vocab
+                FROM fd JOIN spine s ON fd.first_doc <= s.bound
+                GROUP BY s.k)
+              SELECT ks.k AS prefix_id,
+                COALESCE(pd.n_docs, 0) AS n_docs,
+                COALESCE(pd.n_tokens, 0) AS n_tokens,
+                COALESCE(pv.n_vocab, 0) AS n_vocab
+              FROM (SELECT unnest(range(1, 9)) AS k) ks
+              LEFT JOIN pd ON pd.k = ks.k
+              LEFT JOIN pv ON pv.k = ks.k
+              ORDER BY prefix_id""")),
+
+    // Rank-frequency (Zipf) curve: the corpus's word-frequency
+    // distribution probed at 13 doubling ranks (1, 2, 4, … 4096) —
+    // the standard log-log diagnostic for whether a corpus (or a
+    // synthetic generator, like the heaps mode whose inverse-CDF draw
+    // targets pdf ∝ 1/rank) actually follows a power law. Rank ties
+    // break by token text so the probe is deterministic. Exact counts
+    // only; the slope fit stays off the data path. Shape: one explode
+    // + one (token) hash agg, then a TakeOrderedAndProject top-4096
+    // (per-partition 4096-row heaps merged on the driver — NEVER a
+    // global sort or a vocabulary-wide single-partition window; a
+    // 100 TB corpus's vocabulary is ~10^8 tokens under Heaps) and the
+    // rank window runs inside that bounded 4096-row set.
+    QueryDef(
+      "text_zipf_curve",
+      (s, dir) => {
+        val freq = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+        val top = freq
+          .orderBy(col("freq").desc, col("w").asc).limit(4096)
+        val ranked = top.withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("w").asc))
+            .cast("long"))
+        ranked
+          .filter(col("rank").isin((0 to 12).map(1L << _): _*))
+          .select(col("rank"), col("w").as("word"), col("freq"))
+          .orderBy("rank")
+      },
+      Some("""WITH f AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS freq
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents) t
+                GROUP BY w),
+              r AS (
+                SELECT w, freq, CAST(row_number() OVER (
+                    ORDER BY freq DESC, w ASC) AS BIGINT) AS rank
+                FROM f)
+              SELECT rank, w AS word, freq
+              FROM r
+              WHERE rank IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+                1024, 2048, 4096)
+              ORDER BY rank"""))
   )
 
   /** Run the BPE merge-training rounds corpus-parallel; returns the

@@ -233,7 +233,12 @@ object CorpusGen {
                 ${tok("id", "i", 500)},
                 ${tok("src_id", "i", 0)})), ' ')""").as("text"),
         pick(Langs, "dlang", seed).as("lang"),
-        concat(lit("src"), pm("dsrc", seed, 20)).as("source"))
+        // planted provenance is IN-BAND: a dup doc declares its source
+        // in the `source` column, so ground truth is recoverable from
+        // the data alone (dedup_planted_recall) — no knowledge of the
+        // generator seed needed by any evaluator
+        when(col("is_dup"), concat(lit("dupof"), col("src_id")))
+          .otherwise(concat(lit("src"), pm("dsrc", seed, 20))).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 

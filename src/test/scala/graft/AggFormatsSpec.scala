@@ -199,6 +199,31 @@ class AggFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_corrupt_salvage quarantines exactly the planted corruption") {
+    // round-11 verdict task #4 done-criterion: the quarantine counts
+    // must equal what the operator itself planted — 7 malformed JSON
+    // lines in shard 1, the whole of shard 3 behind a truncated
+    // parquet footer — and nothing else may be lost.
+    val rows = Registry.byName("q_corrupt_salvage").run(spark, TestSpark.sf)
+      .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    val expected = Tables.loadEvents(spark, TestSpark.sf)
+      .groupBy(pmod(col("event_id"), lit(4)).cast("long").as("shard"))
+      .count().collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("count")).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L))
+    Seq(0L, 2L).foreach { sh =>
+      assert(rows(sh).getAs[String]("error_class") === "clean")
+      assert(rows(sh).getAs[Long]("n_quarantined") === 0L)
+      assert(rows(sh).getAs[Long]("n_salvaged") === expected(sh))
+    }
+    assert(rows(1L).getAs[String]("error_class") === "malformed_rows")
+    assert(rows(1L).getAs[Long]("n_quarantined") === 7L)
+    assert(rows(1L).getAs[Long]("n_salvaged") === expected(1L))
+    assert(rows(3L).getAs[String]("error_class") === "corrupt_file")
+    assert(rows(3L).getAs[Long]("n_quarantined") === expected(3L))
+    assert(rows(3L).getAs[Long]("n_salvaged") === 0L)
+  }
+
   test("stream_topk equals the batch per-hour top-3") {
     val streamed = Registry.byName("stream_topk").run(spark, TestSpark.sf)
       .collect().map(_.toString).toSeq

@@ -393,6 +393,66 @@ class DedupTextSpec extends AnyFunSuite {
     assert(planted.head === ((0L, 1L, 1.0)))
   }
 
+  test("dedup_cap_recall scorecard agrees with the two pipelines it scores") {
+    // the scorecard must equal counting the operators directly — and
+    // its precision column is the subset-property proof (capped pairs
+    // are verified on the full posting relation, so they can never be
+    // pairs the exact form rejects)
+    val row = Registry.byName("dedup_cap_recall")
+      .run(spark, TestSpark.sf).collect().head
+    val nExact = Registry.byName("dedup_prefix_filter")
+      .run(spark, TestSpark.sf).count()
+    val nCapped = Registry.byName("dedup_prefix_filter_capped")
+      .run(spark, TestSpark.sf).count()
+    assert(row.getAs[Long]("n_exact") === nExact)
+    assert(row.getAs[Long]("n_capped") === nCapped)
+    assert(row.getAs[Long]("n_hit") === row.getAs[Long]("n_capped"))
+    if (nCapped > 0) assert(row.getAs[Double]("prec") === 1.0)
+    assert(row.getAs[Double]("recall") <= 1.0)
+  }
+
+  test("heaps corpus: vocabulary grows with scale, planted dups recoverable") {
+    // round-11 verdict task #1: the growth corpora's text/dedup decade
+    // exponents are only transferable if the vocabulary actually obeys
+    // Heaps' law — distinct-token count must grow ~sqrt(corpus) — and
+    // the planted near-dup structure (doc_id % 20 == 19 copies a source
+    // 1-18 back with ~5% mutations) must be recoverable as
+    // above-threshold Jaccard pairs.
+    def vocabOf(scale: Double): (Long, Long) = {
+      val docs = graft.sources.CorpusGen
+        .heapsTables(spark, scale, 7L).toMap.apply("documents")
+      val v = docs.select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct(col("w"))).head.getLong(0)
+      (v, docs.count())
+    }
+    val (v1, n1) = vocabOf(0.002)
+    val (v2, n2) = vocabOf(0.02)
+    assert(n2 === n1 * 10)
+    // sqrt growth: a decade of corpus should give ~3.2x vocab; allow
+    // saturation slack at tiny scales (observed ~2.4-2.9x)
+    assert(v2 > v1 * 2, s"vocab did not grow: $v1 -> $v2")
+    assert(v2 < v1 * 6, s"vocab grew too fast for Heaps: $v1 -> $v2")
+    // planted dups: every doc_id%20==19 doc shares >= threshold Jaccard
+    // trigram overlap with at least one doc in [id-18, id-1]
+    val docs = graft.sources.CorpusGen
+      .heapsTables(spark, 0.002, 7L).toMap.apply("documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("t")
+          .sliding(3).map(_.mkString(" ")).toSet)
+      .toMap
+    val dupIds = docs.keys.filter(id => id % 20 == 19 && id >= 19)
+    assert(dupIds.nonEmpty)
+    dupIds.foreach { id =>
+      val best = (math.max(0L, id - 18) until id).map { s =>
+        val (a, b) = (docs(id), docs(s))
+        a.intersect(b).size.toDouble / a.union(b).size.toDouble
+      }.max
+      assert(best > 0.3, s"dup $id has no near-source (best J=$best)")
+    }
+  }
+
   test("ngram novelty scores first occurrence 1.0 and exact dup 0.0") {
     val out = Registry.byName("text_ngram_novelty").run(spark, plantedDir)
       .collect()
