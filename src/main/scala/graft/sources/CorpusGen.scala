@@ -236,7 +236,12 @@ object CorpusGen {
         // planted provenance is IN-BAND: a dup doc declares its source
         // in the `source` column, so ground truth is recoverable from
         // the data alone (dedup_planted_recall) — no knowledge of the
-        // generator seed needed by any evaluator
+        // generator seed needed by any evaluator. Side effect, accepted:
+        // `source` cardinality grows with the corpus (~5% of docs are
+        // unique dupof values) instead of the healthy mode's fixed 20 —
+        // closer to real web-corpus domain keys; the source-keyed
+        // samplers' per-source state is rows-in-an-aggregate, not
+        // driver memory, so the posture holds
         when(col("is_dup"), concat(lit("dupof"), col("src_id")))
           .otherwise(concat(lit("src"), pm("dsrc", seed, 20))).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
