@@ -1973,8 +1973,8 @@ object TextAnalysis {
           .filter(col("first_doc") <= col("bound"))
           .groupBy("k").agg(count(lit(1)).as("n_vocab"))
         s.range(1, 9).select(col("id").as("k"))
-          .join(perPrefixDocs, Seq("k"), "left")
-          .join(perPrefixVocab, Seq("k"), "left")
+          .join(broadcast(perPrefixDocs), Seq("k"), "left")
+          .join(broadcast(perPrefixVocab), Seq("k"), "left")
           .select(col("k").as("prefix_id"),
             coalesce(col("n_docs"), lit(0L)).as("n_docs"),
             coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),

@@ -953,6 +953,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"attribution must not self-join events:\n$p")
   }
 
+  test("zipf curve: distributed top-k, no global sort below the rank window") {
+    // the vocabulary aggregate must feed a TakeOrdered top-4096 (per-
+    // partition heaps merged on the driver), never a vocabulary-wide
+    // global Sort or a single-partition window over the full vocab —
+    // at 100 TB the vocabulary is ~10^8 tokens under Heaps
+    val p = plan("text_zipf_curve")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-4096 is not a distributed TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("heaps curve: one token aggregate, 8-row broadcast spine, no shuffle join") {
+    // prefix membership attaches via a broadcast of the 8-row spine —
+    // the token-grain relation must never shuffle for a join, and the
+    // 8 prefixes must NOT cost 8 distinct-counts (one first_doc
+    // aggregate serves all of them)
+    val p = plan("text_heaps_curve")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"spine join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token-grain relation shuffled for a join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("planted recall: band-bucket equi-join and a broadcast close, no all-pairs") {
+    // candidates come from the (band_id, band_key) equi-join; the
+    // truth join is key-keyed; the only nested-loop joins allowed are
+    // the three 1-row count aggregates composing the scorecard row
+    val p = plan("dedup_planted_recall")
+    assert(!p.contains("CartesianProduct"), s"all-pairs in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join found:\n$p")
+  }
+
+  test("cap recall: both SSJoin legs are equi-joins, close is broadcast 1-rows") {
+    val p = plan("dedup_cap_recall")
+    assert(!p.contains("CartesianProduct"), s"all-pairs in:\n$p")
+    // the two legs' collision joins + verify joins are all keyed
+    assert(p.contains("Join"), s"no join at all?:\n$p")
+  }
+
   test("clamped balance: one user shuffle, stacked windows, no join or recursion") {
     val p = plan("q_clamped_balance")
     assert(p.contains("hashpartitioning(user_id"),
