@@ -50,7 +50,7 @@ object GrowthBench {
     "sample_dsir" -> "linear (64-bucket stats + map-only gate)",
     "graph_modularity" -> "~linear x LPA iters (equi-join per round)",
     "mm_keyframe" -> "linear (one doc_id exchange, two windows)",
-    "dedup_prefix_filter" -> "sum prefix-df^2 (reporting class since r10: saturated-vocab sf10 is unmeasurable single-node)",
+    "dedup_prefix_filter" -> "sum prefix-df^2 (reporting class: unmeasurable at SATURATED-vocab sf10; on the r11 Heaps corpus it completes sf10 at e=0.47)",
     "dedup_prefix_filter_capped" -> "~linear (V x cap^2 sampled prefix-posting join)",
     "graph_hits" -> "~linear x iters (equi-join per half-step)",
     "mm_cdc_match" -> "~linear x chunk collisions (DF-capped chunk join)",

@@ -1002,7 +1002,11 @@ object Dedup {
       // oracle-checked as the exact SSJoin reporting form (prefix
       // filtering is LOSSLESS for J ≥ t, the property the capped form
       // trades away); the benched pipeline form is
-      // dedup_prefix_filter_capped below.
+      // dedup_prefix_filter_capped below. Round-11 counterpoint: on the
+      // Heaps-law corpus (realistic vocabulary, Σdf² = 2.4×10⁸ at sf10)
+      // this exact form COMPLETES sf10 in 22.7 s at e(1→10)=0.47 — the
+      // df² blowup is a property of saturated vocabularies, not of the
+      // operator (SCALE.md round-11).
       bench = false),
 
     // The PIPELINE form of the SSJoin prefix filter — identical ranking,
