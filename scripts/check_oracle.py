@@ -44,11 +44,18 @@ def gate_log(**fields):
                     "utf-8", "replace").strip()[:200] or "?"
         except Exception:
             parent = "?"
+        # schema note (r10 verdict nit, now load-bearing — the round-11
+        # record was read back out of this log): Verify.gateLog writes
+        # every value as a JSON string, so stringify here too and keep
+        # the two tools' lines uniformly string-valued.
         rec = {"ts": datetime.datetime.now(datetime.timezone.utc)
                .isoformat(timespec="seconds"),
                "tool": "check_oracle.py",
                "caller": os.environ.get("GATE_CALLER", parent),
-               "cwd": os.getcwd(), **fields}
+               "cwd": os.getcwd(),
+               **{k: (v if isinstance(v, str) else
+                      " ".join(map(str, v)) if isinstance(v, (list, tuple))
+                      else str(v)) for k, v in fields.items()}}
         rec.update({f"env.{k}": v for k, v in sorted(os.environ.items())
                     if k.startswith(("SPARK_GRAFT_", "CHECK_"))})
         with open(os.path.join(root, "GATE_LOG.jsonl"), "a") as f:
