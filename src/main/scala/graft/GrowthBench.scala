@@ -122,7 +122,7 @@ object GrowthBench {
     "q_bootstrap_ci" -> "linear x B (map-only 32x expansion + one hash agg)",
     "emb_drift" -> "linear (two dim-grain aggs, label-grain fold)",
     // round-11 wave (Heaps-corpus science + scorecards)
-    "dedup_cap_recall" -> "exact leg: sum prefix-df^2; capped leg V x cap^2 (scorecard over both)",
+    "dedup_cap_recall" -> "exact leg: sum prefix-df^2; capped leg V x cap^2 (scorecard over both; bench=false r12 — run via SPARK_GRAFT_ONLY on Heaps corpora only, the exact leg dies on saturated vocab)",
     "dedup_planted_recall" -> "~linear (banded LSH candidates + in-band truth join)",
     "text_heaps_curve" -> "~linear (one vocab-grain agg + 8-row broadcast spine)",
     "text_zipf_curve" -> "~linear (vocab-grain agg + distributed top-4096)")

@@ -550,15 +550,19 @@ object Dedup {
       (s, dir) => {
         val d = docsParallel(s, dir)
         val toks = split(col("text"), " ")
-        // Pre-flight weight-magnitude guard (round-5 task): the cos²
-        // step casts dot/norms to DECIMAL(19,0), and idf grows with the
+        // Pre-flight weight-magnitude guard (round-5 task): norm/dot
+        // sums accumulate in DECIMAL(38,0), and idf grows with the
         // corpus (df=1 ceiling: 1000*(2N-1) div 3), so at some corpus
-        // size the cast overflows — ANSI makes that a THROW (loud, never
-        // wrong), but a stack trace is a poor diagnosis. Bound the worst
-        // case up front: per-doc Σw <= maxW * maxTokens, and both n2 and
-        // dot are <= (Σw)² by Cauchy-Schwarz, so requiring
-        // maxW * maxTokens < sqrt(10^19) guarantees every DECIMAL(19,0)
-        // value fits. Two bounded driver scalars, same discipline as
+        // size the accumulation overflows — ANSI makes that a THROW
+        // (loud, never wrong), but a stack trace is a poor diagnosis.
+        // Bound the worst case up front: per-doc Σw <= maxW * maxTokens,
+        // and both n2 and dot are <= (Σw)² by Cauchy-Schwarz, so
+        // requiring maxW * maxTokens < sqrt(10^37) guarantees every
+        // DECIMAL(38,0) accumulator fits. (This bound does NOT keep the
+        // factors inside the < 2^64 correctly-rounded int→double cast
+        // range — that tighter, per-VALUE bound is enforced loudly by
+        // the DECIMAL(19,0) routing at the cos2 step below; r12 advice.)
+        // Two bounded driver scalars, same discipline as
         // requireAllPairsSmall.
         val pre = d.agg(count(lit(1)).as("n"),
           max(size(toks)).cast("long").as("mt")).head()
@@ -569,8 +573,8 @@ object Dedup {
         require(maxW * maxToks < BigInt("3162277660168379331"),
           s"dedup_tfidf_nn: idf-weight bound maxW*maxTokens = " +
             s"${maxW * maxToks} (n_docs=$nDocs, max_tokens=$maxToks) " +
-            "exceeds the DECIMAL(19,0) cos2 range — lower the idf scale " +
-            "factor or widen the cos2 casts to DECIMAL(38,0)")
+            "exceeds the sqrt(10^37) DECIMAL(38,0) accumulation range — " +
+            "lower the idf scale factor")
         val sh = d.filter(size(toks) >= 3).select(col("doc_id"),
           explode(transform(sequence(lit(0), size(toks) - lit(3)), i =>
             array_join(slice(toks, i + 1, lit(3)), " "))).as("shingle"))
@@ -613,19 +617,27 @@ object Dedup {
           // zeroing the norms — Spark-4 ANSI throws on double /0 where
           // DuckDB returns NULL; ranks then fall to the dst tie-break
           // on BOTH engines (degenerate-corpus sweep, r8)
-          // cos2 is formed FACTOR-FIRST: each of dot/s_n2/d_n2 is < 1e19
-          // (pre-flight bound) < 2^64, a range where int->double casts
-          // are correctly rounded in BOTH engines, so dbl(dot)*dbl(dot)
+          // cos2 is formed FACTOR-FIRST, each factor ROUTED THROUGH
+          // DECIMAL(19,0) before the double cast: values < 1e19 < 2^64
+          // sit in the range where int->double casts are correctly
+          // rounded in BOTH engines (DuckDB's HUGEINT half-splitting is
+          // exact when the upper 64-bit limb is 0), so dbl(dot)*dbl(dot)
           // / (dbl(s_n2)*dbl(d_n2)) is one identical IEEE op sequence
-          // cross-engine. The previous product-first form converted the
-          // 38-digit products (dot^2 up to 1e38) via DuckDB's HUGEINT
+          // cross-engine — and a factor >= 1e19 overflows the
+          // DECIMAL(19,0) cast LOUDLY on both engines (Spark ANSI throw,
+          // DuckDB conversion error) instead of silently re-entering the
+          // half-splitting range (r12 advice: the sqrt(10^37) pre-flight
+          // bounds the 38-digit accumulators, not these factors).
+          // The previous product-first form converted the 38-digit
+          // products (dot^2 up to 1e38) via DuckDB's HUGEINT
           // half-splitting cast, which is NOT correctly rounded there —
           // a 1-ULP cos2 divergence surfaced on the round-11 Heaps
           // corpus (and could silently flip the rank-1 tie-break).
           .withColumn("cos2",
-            expr("""(CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
-                    nullif(CAST(s_n2 AS DOUBLE) *
-                         CAST(d_n2 AS DOUBLE), 0.0D)"""))
+            expr("""(CAST(CAST(dot AS DECIMAL(19,0)) AS DOUBLE) *
+                     CAST(CAST(dot AS DECIMAL(19,0)) AS DOUBLE)) /
+                    nullif(CAST(CAST(s_n2 AS DECIMAL(19,0)) AS DOUBLE) *
+                         CAST(CAST(d_n2 AS DECIMAL(19,0)) AS DOUBLE), 0.0D)"""))
           .withColumn("rk", row_number().over(wv))
           .filter(col("rk") === 1)
           .select(col("src").as("doc_id"), col("dst").as("nn_id"),
@@ -664,8 +676,10 @@ object Dedup {
                  SELECT b_id, a_id, dot FROM dots),
                scored AS (
                  SELECT d.src, d.dst,
-                   (CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)) /
-                     nullif(CAST(sa.n2 AS DOUBLE) * CAST(sb.n2 AS DOUBLE),
+                   (CAST(CAST(d.dot AS DECIMAL(19,0)) AS DOUBLE) *
+                    CAST(CAST(d.dot AS DECIMAL(19,0)) AS DOUBLE)) /
+                     nullif(CAST(CAST(sa.n2 AS DECIMAL(19,0)) AS DOUBLE) *
+                       CAST(CAST(sb.n2 AS DECIMAL(19,0)) AS DOUBLE),
                        0.0) AS cos2
                  FROM directed d
                  JOIN norms sa ON d.src = sa.doc_id
@@ -705,8 +719,10 @@ object Dedup {
       (s, dir) => {
         val d = docsParallel(s, dir)
         val toks = split(col("text"), " ")
-        // same DECIMAL(19,0) pre-flight bound as the exact form — the
-        // sampled norms/dots are dominated by the uncapped worst case
+        // same sqrt(10^37) DECIMAL(38,0)-accumulation pre-flight as the
+        // exact form — the sampled norms/dots are dominated by the
+        // uncapped worst case; the per-factor < 1e19 double-cast range
+        // is enforced by the DECIMAL(19,0) routing at the cos2 step
         val pre = d.agg(count(lit(1)).as("n"),
           max(size(toks)).cast("long").as("mt")).head()
         val nDocs = pre.getLong(0)
@@ -715,7 +731,7 @@ object Dedup {
         require(maxW * maxToks < BigInt("3162277660168379331"),
           s"dedup_tfidf_nn_capped: idf-weight bound maxW*maxTokens = " +
             s"${maxW * maxToks} (n_docs=$nDocs, max_tokens=$maxToks) " +
-            "exceeds the DECIMAL(19,0) cos2 range")
+            "exceeds the sqrt(10^37) DECIMAL(38,0) accumulation range")
         val sh = d.filter(size(toks) >= 3).select(col("doc_id"),
           explode(transform(sequence(lit(0), size(toks) - lit(3)), i =>
             array_join(slice(toks, i + 1, lit(3)), " "))).as("shingle"))
@@ -755,19 +771,16 @@ object Dedup {
             "src")
           .join(norms.select(col("doc_id").as("dst"), col("n2").as("d_n2")),
             "dst")
-          // cos2 is formed FACTOR-FIRST: each of dot/s_n2/d_n2 is < 1e19
-          // (pre-flight bound) < 2^64, a range where int->double casts
-          // are correctly rounded in BOTH engines, so dbl(dot)*dbl(dot)
-          // / (dbl(s_n2)*dbl(d_n2)) is one identical IEEE op sequence
-          // cross-engine. The previous product-first form converted the
-          // 38-digit products (dot^2 up to 1e38) via DuckDB's HUGEINT
-          // half-splitting cast, which is NOT correctly rounded there —
-          // a 1-ULP cos2 divergence surfaced on the round-11 Heaps
-          // corpus (and could silently flip the rank-1 tie-break).
+          // cos2 factor-first with DECIMAL(19,0) routing — see
+          // dedup_tfidf_nn: keeps every int->double cast input < 2^64
+          // (correctly rounded on both engines) and overflows LOUDLY
+          // past 1e19 instead of silently re-entering DuckDB's
+          // half-splitting range (r12 advice)
           .withColumn("cos2",
-            expr("""(CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
-                    nullif(CAST(s_n2 AS DOUBLE) *
-                         CAST(d_n2 AS DOUBLE), 0.0D)"""))
+            expr("""(CAST(CAST(dot AS DECIMAL(19,0)) AS DOUBLE) *
+                     CAST(CAST(dot AS DECIMAL(19,0)) AS DOUBLE)) /
+                    nullif(CAST(CAST(s_n2 AS DECIMAL(19,0)) AS DOUBLE) *
+                         CAST(CAST(d_n2 AS DECIMAL(19,0)) AS DOUBLE), 0.0D)"""))
           .withColumn("rk", row_number().over(wv))
           .filter(col("rk") === 1)
           .select(col("src").as("doc_id"), col("dst").as("nn_id"),
@@ -816,8 +829,10 @@ object Dedup {
                  SELECT b_id, a_id, dot FROM dots),
                scored AS (
                  SELECT d.src, d.dst,
-                   (CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)) /
-                     nullif(CAST(sa.n2 AS DOUBLE) * CAST(sb.n2 AS DOUBLE),
+                   (CAST(CAST(d.dot AS DECIMAL(19,0)) AS DOUBLE) *
+                    CAST(CAST(d.dot AS DECIMAL(19,0)) AS DOUBLE)) /
+                     nullif(CAST(CAST(sa.n2 AS DECIMAL(19,0)) AS DOUBLE) *
+                       CAST(CAST(sb.n2 AS DECIMAL(19,0)) AS DOUBLE),
                        0.0) AS cos2
                  FROM directed d
                  JOIN norms sa ON d.src = sa.doc_id
@@ -874,77 +889,28 @@ object Dedup {
     // a prefix-postings self-join, and a verify join of the ~matches-
     // sized candidate set against the checkpointed shingle arrays —
     // work ∝ corpus shingles + prefix collisions, never |docs|².
+    // Body lives in prefixPairsFrom (cap=None — the lossless form);
+    // shared verbatim with the capped pipeline form and both
+    // dedup_cap_recall legs. Pipeline notes that apply here:
+    // - df=1 shingles drop before the self-join (a candidate needs the
+    //   SAME shingle in both prefixes; a df=1 shingle can never collide)
+    //   — on word-soup corpora that lossless prune cuts the join input
+    //   to the df>=2 sliver.
+    // - the post-prune prefix relation is checkpointed: the self-join's
+    //   alias renames would otherwise defeat subtree reuse and run the
+    //   df-count + rank-window pipeline TWICE (plan-audited).
+    // - SSJoin's length filter drops size-incompatible candidates
+    //   LOSSLESSLY before verification (J >= t forces t·max(n_a,n_b)
+    //   <= min(n_a,n_b)).
+    // - verification COUNTS common shingles via two codegen'd
+    //   equi-joins back to the posting relation — never a per-pair
+    //   interpreted array_intersect (~70% of the query's CPU in the
+    //   first formulation).
     QueryDef(
       "dedup_prefix_filter",
-      (s, dir) => {
-        // the shingle frame feeds the postings pipeline AND both verify
-        // sides — checkpoint once (same discipline as jaccardPairs)
-        val sh = shingled(s, dir).localCheckpoint()
-        val postings = sh
-          .select(col("doc_id"), explode(col("sh")).as("shingle"))
-        val dfreq = postings.groupBy("shingle")
-          .agg(count(lit(1)).as("df"))
-        val ranked = postings.join(dfreq, Seq("shingle"))
-          .withColumn("r", row_number().over(
-            Window.partitionBy("doc_id")
-              .orderBy(col("df").asc, col("shingle").asc)))
-          .join(sh.select(col("doc_id"), size(col("sh")).as("n_sh")),
-            Seq("doc_id"))
-        // a candidate needs the SAME shingle in both prefixes, and a
-        // df=1 shingle exists in one doc only — it fills its doc's
-        // prefix slots (so it must survive RANKING) but can never
-        // collide, so it drops out before the self-join. On word-soup
-        // corpora most shingles are unique: this lossless prune cuts
-        // the join input to the df>=2 sliver.
-        // checkpoint the (tiny, post-prune) prefix relation: the self-
-        // join's alias renames would otherwise defeat subtree reuse and
-        // run the whole df-count + rank-window pipeline TWICE (plan-
-        // audited: the un-checkpointed form duplicated nodes 1-24)
-        val prefix = ranked
-          .filter(col("r") <= col("n_sh").cast("long")
-            - ceil(col("n_sh") * lit(PrefixJaccardT)) + 1)
-          .filter(col("df") >= 2)
-          .select("shingle", "doc_id")
-          .localCheckpoint()
-        val cand = prefix.select(col("shingle"), col("doc_id").as("a_id"))
-          .join(prefix.select(col("shingle"), col("doc_id").as("b_id")),
-            Seq("shingle"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        // SSJoin's length filter, applied before verification: J >= t
-        // forces t·max(n_a,n_b) <= min(n_a,n_b), so size-incompatible
-        // candidates drop LOSSLESSLY (63% of this corpus's candidate
-        // mass — rare-shingle noise pairs between unlike-sized docs).
-        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-        val candLen = cand
-          .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")),
-            Seq("a_id"))
-          .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")),
-            Seq("b_id"))
-          .filter(col("n_b").cast("double") >=
-            col("n_a").cast("double") * lit(PrefixJaccardT))
-          .filter(col("n_a").cast("double") >=
-            col("n_b").cast("double") * lit(PrefixJaccardT))
-          .localCheckpoint() // feeds both posting joins of the verify
-        // COUNTING verification (the jaccardPairs discipline): common
-        // shingles per surviving pair via two codegen'd equi-joins back
-        // to the posting relation — never a per-pair interpreted
-        // array_intersect over materialized shingle arrays (the first
-        // formulation; it was ~70% of the query's CPU).
-        candLen
-          .join(postings.select(col("doc_id").as("a_id"), col("shingle")),
-            Seq("a_id"))
-          .join(postings.select(col("doc_id").as("b_id"), col("shingle")),
-            Seq("b_id", "shingle"))
-          .groupBy("a_id", "b_id", "n_a", "n_b")
-          .agg(count(lit(1)).as("n_common"))
-          .select(col("a_id"), col("b_id"), col("n_common"),
-            (col("n_common").cast("double") /
-              (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-              .as("jaccard"))
-          .filter(col("jaccard") >= PrefixJaccardT)
-          .orderBy("a_id", "b_id")
-      },
+      (s, dir) =>
+        prefixPairsFrom(shingled(s, dir).localCheckpoint(), None)
+          .orderBy("a_id", "b_id"),
       Some(s"""WITH d AS (
                  SELECT doc_id, list_distinct(list_transform(
                    range(1, len(string_split(text,' ')) - 1),
@@ -1022,63 +988,16 @@ object Dedup {
     // that carries no discrimination signal anyway. Verification still
     // counts common shingles on the FULL posting relation: every
     // emitted pair carries its exact Jaccard.
+    // Body lives in prefixPairsFrom (cap=Some — the pipeline form); the
+    // sample window shares the shingle partitioning with the collision
+    // join it feeds, so at scale the sample and the join share one
+    // exchange.
     QueryDef(
       "dedup_prefix_filter_capped",
-      (s, dir) => {
-        val sh = shingled(s, dir).localCheckpoint()
-        val postings = sh
-          .select(col("doc_id"), explode(col("sh")).as("shingle"))
-        val dfreq = postings.groupBy("shingle")
-          .agg(count(lit(1)).as("df"))
-        val ranked = postings.join(dfreq, Seq("shingle"))
-          .withColumn("r", row_number().over(
-            Window.partitionBy("doc_id")
-              .orderBy(col("df").asc, col("shingle").asc)))
-          .join(sh.select(col("doc_id"), size(col("sh")).as("n_sh")),
-            Seq("doc_id"))
-        // the sample window shares the shingle partitioning with the
-        // collision join it feeds — no extra exchange at scale
-        val wSamp = Window.partitionBy("shingle").orderBy(
-          hash31(concat_ws(":", col("shingle"), col("doc_id"))).asc,
-          col("doc_id").asc)
-        val prefix = ranked
-          .filter(col("r") <= col("n_sh").cast("long")
-            - ceil(col("n_sh") * lit(PrefixJaccardT)) + 1)
-          .filter(col("df") >= 2)
-          .select("shingle", "doc_id")
-          .withColumn("prn", row_number().over(wSamp))
-          .filter(col("prn") <= PrefixPostingCap).drop("prn")
-          .localCheckpoint()
-        val cand = prefix.select(col("shingle"), col("doc_id").as("a_id"))
-          .join(prefix.select(col("shingle"), col("doc_id").as("b_id")),
-            Seq("shingle"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-        val candLen = cand
-          .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")),
-            Seq("a_id"))
-          .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")),
-            Seq("b_id"))
-          .filter(col("n_b").cast("double") >=
-            col("n_a").cast("double") * lit(PrefixJaccardT))
-          .filter(col("n_a").cast("double") >=
-            col("n_b").cast("double") * lit(PrefixJaccardT))
-          .localCheckpoint()
-        candLen
-          .join(postings.select(col("doc_id").as("a_id"), col("shingle")),
-            Seq("a_id"))
-          .join(postings.select(col("doc_id").as("b_id"), col("shingle")),
-            Seq("b_id", "shingle"))
-          .groupBy("a_id", "b_id", "n_a", "n_b")
-          .agg(count(lit(1)).as("n_common"))
-          .select(col("a_id"), col("b_id"), col("n_common"),
-            (col("n_common").cast("double") /
-              (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-              .as("jaccard"))
-          .filter(col("jaccard") >= PrefixJaccardT)
-          .orderBy("a_id", "b_id")
-      },
+      (s, dir) =>
+        prefixPairsFrom(shingled(s, dir).localCheckpoint(),
+            Some(PrefixPostingCap))
+          .orderBy("a_id", "b_id"),
       Some(s"""WITH d AS (
                  SELECT doc_id, list_distinct(list_transform(
                    range(1, len(string_split(text,' ')) - 1),
@@ -2285,7 +2204,17 @@ object Dedup {
               .otherwise(col("n_hit").cast("double") /
                 col("n_exact").cast("double")).as("recall"))
       },
-      Some(CapRecallOracleSql)),
+      Some(CapRecallOracleSql),
+      // bench=false (r12 advice): the exact leg is the same
+      // Σ prefix-df² self-join that makes dedup_prefix_filter
+      // bench=false — on the SATURATED fixture vocabulary at sf10 that
+      // join provably dies (77 GB spill, r10), and a default growth
+      // sweep would rerun the blowup inside the scorecard. Same
+      // reporting-class posture as dedup_prefix_filter: oracle-checked
+      // on every gate corpus, and its decade rows are measured
+      // explicitly (SPARK_GRAFT_ONLY) on Heaps-law corpora where the
+      // exact leg is known to run (SCALE.md r11: e(1→10)=0.42).
+      bench = false),
 
     // Recall against PLANTED ground truth (round-11, rides the Heaps
     // corpus): the heaps CorpusGen mode writes dup provenance IN-BAND —
@@ -2381,11 +2310,15 @@ object Dedup {
            FROM c"""))
   )
 
-  /** One SSJoin prefix-filter pipeline over a shared shingle frame —
-    * the dedup_prefix_filter body with the posting sample as a knob:
-    * cap=None is the exact (lossless) form, cap=Some(k) the pipeline
-    * form. Factored for dedup_cap_recall so the two legs it compares
-    * can never drift from the operators they score. */
+  /** THE SSJoin prefix-filter pipeline over a shared shingle frame,
+    * with the posting sample as a knob: cap=None is the exact
+    * (lossless) form, cap=Some(k) the pipeline form. This is the ONE
+    * implementation — dedup_prefix_filter, dedup_prefix_filter_capped,
+    * AND both legs of the dedup_cap_recall scorecard call it (r12
+    * advice: it used to be a third copy, with agreement only
+    * test-enforced; now the scorecard structurally scores the exact
+    * operators it claims to). Emits (a_id, b_id, n_common, jaccard)
+    * for pairs with verified Jaccard >= PrefixJaccardT. */
   private def prefixPairsFrom(sh: DataFrame, cap: Option[Int]): DataFrame = {
     val postings = sh
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -2432,7 +2365,7 @@ object Dedup {
         Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id", "n_a", "n_b")
       .agg(count(lit(1)).as("n_common"))
-      .select(col("a_id"), col("b_id"),
+      .select(col("a_id"), col("b_id"), col("n_common"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .as("jaccard"))

@@ -186,9 +186,13 @@ object CorpusGen {
     * distribution no real corpus has. This mode regrows the vocabulary
     * with the corpus (Heaps' law, V = K·Tᵝ with K=30, β=0.5 — mid-range
     * of the published English fits) and draws each token Zipf(1) over
-    * it via the inverse-CDF identity rank = 1+⌊exp(u·ln V)⌋ (pdf ∝ 1/r,
-    * transcendentals only at GENERATION time — operators never see
-    * them). sf0.01 → V≈5k, sf0.1 → ≈16k, sf1 → ≈50k, sf10 → ≈157k.
+    * it via the inverse-CDF identity rank = ⌊exp(u·ln V)⌋ for u∈[0,1)
+    * (P(rank=r) = ln(1+1/r)/ln V ∝ 1/r from rank 1; ranks span
+    * 1..V−1 — the r11 form added a spurious +1, shifting the head to
+    * rank 2 and making the effective vocabulary V−1 off-brand, r12
+    * advice). Transcendentals only at GENERATION time — operators
+    * never see them. sf0.01 → V≈5k, sf0.1 → ≈16k, sf1 → ≈50k,
+    * sf10 → ≈157k.
     *
     * Near-dup ground truth is PLANTED, not accidental: docs with
     * doc_id % 20 == 19 (5%) re-derive the base token stream of a source
@@ -213,7 +217,7 @@ object CorpusGen {
     // `o` offset gives mutated positions a fresh draw decoupled from
     // the copied position index
     def tok(id: String, pos: String, o: Int) =
-      s"""concat('z', 1 + int(exp(
+      s"""concat('z', int(exp(
          |  (pmod(xxhash64($id, $pos + $o, ${seed}L), ${grid}L) / ${grid}.0D)
          |  * ${lnV}D)))""".stripMargin.replaceAll("\n", " ")
     spark.range(nDocs)
