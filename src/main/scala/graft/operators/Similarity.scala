@@ -28,6 +28,11 @@ object Similarity {
   private val NearDupThreshold = 0.4
   private val NumHyperplanes = 8 // 256 buckets
   private val KnnGraphK = 3 // neighbors per vector in the k-NN graph
+  // Planted near-neighbor id base of the clustered CorpusGen mode — the
+  // in-band marker: vec_id >= PlantBase declares "perturbed copy of
+  // vec_id − PlantBase". Declared ABOVE defs (interpolated into oracle
+  // SQL at defs-init time; a val below defs would read as 0).
+  private val PlantBase: Long = graft.sources.CorpusGen.PlantBase
   private val BeamWidth = 8 // graph-search beam (> TopK + 1: self-cut room)
   private val GraphSearchRounds = 3 // synchronous beam expansions
 
@@ -1389,7 +1394,120 @@ object Similarity {
         }
         Nprobes.map(leg).reduce(_ union _).orderBy("nprobe")
       },
-      Some(IvfTradeoffOracleSql))
+      Some(IvfTradeoffOracleSql)),
+
+    // Recall against PLANTED ground truth (round-12 verdict task #1,
+    // the dedup_planted_recall recipe applied to vectors): the
+    // clustered CorpusGen mode plants near-neighbor provenance IN-BAND
+    // — a planted perturbed copy's vec_id is PlantBase + src_id, so
+    // ground truth is recoverable from the data alone, by ANY
+    // evaluator, with no generator-seed knowledge. This scores the
+    // registry's three candidate-generation scale paths — did the
+    // bucketed/probed generator co-locate the pairs we KNOW are
+    // nearest neighbors? One row per method: the 8-hyperplane LSH
+    // bucket (sim_ann_lsh's generator) and the IVF inverted lists at
+    // nprobe=1/2 (sim_ann_ivf's). sim_ann_recall scores ANN against
+    // brute force on 10 FIXED queries; this is corpus-wide recall
+    // against an independent, generator-planted answer key — the
+    // number that was previously only measurable on uniform-sphere
+    // vectors where every cell is equidistant and the knob degenerate.
+    // On corpora without planted ids truth is empty and the
+    // zero-convention rows document that. Shape: the bucket/assignment
+    // pipelines are the registry's own building blocks (bucketCol,
+    // ivfCentroids/ivfAssign — single definition, can't drift);
+    // truth is ~5% of corpus rows; every probe is a vec_id- or
+    // list-keyed equi-join; the close is three 1-row broadcast
+    // aggregates. No all-pairs anything.
+    QueryDef(
+      "sim_planted_recall",
+      (s, dir) => {
+        val e = embParallel(s, dir)
+        val truth = e.filter(col("vec_id") >= PlantBase)
+          .select((col("vec_id") - PlantBase).as("src"),
+            col("vec_id").as("dup"))
+          .localCheckpoint()
+        val buck = e.withColumn("bucket", bucketCol.cast("long"))
+          .select("vec_id", "bucket")
+        // arn <= 2 covers both nprobe legs from ONE assignment pass
+        val ranked = ivfAssign(s, e, broadcast(ivfCentroids(s, dir)))
+          .filter(col("arn") <= 2).select("vec_id", "c_id", "arn")
+          .localCheckpoint()
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val lshHit = truth
+          .join(buck.select(col("vec_id").as("dup"),
+            col("bucket").as("bd")), "dup")
+          .join(buck.select(col("vec_id").as("src"),
+            col("bucket").as("bs")), "src")
+          .filter(col("bd") === col("bs"))
+          .agg(count(lit(1)).as("n_hit"))
+        val srcList = ranked.filter(col("arn") === 1)
+          .select(col("vec_id").as("src"), col("c_id").as("src_list"))
+        val iv = truth.join(srcList, "src")
+          .join(ranked.select(col("vec_id").as("dup"),
+            col("c_id").as("probe"), col("arn")), "dup")
+          .groupBy("dup")
+          .agg(
+            max(when(col("arn") === 1 && col("probe") === col("src_list"),
+              1L).otherwise(0L)).as("h1"),
+            max(when(col("probe") === col("src_list"), 1L).otherwise(0L))
+              .as("h2"))
+          .localCheckpoint()
+        def row(m: String, hits: DataFrame) =
+          nTruth.crossJoin(broadcast(hits))
+            .select(lit(m).as("method"), col("n_truth"), col("n_hit"),
+              when(col("n_truth") === 0, lit(0.0))
+                .otherwise(col("n_hit").cast("double") /
+                  col("n_truth").cast("double")).as("recall"))
+        row("ivf_nprobe1",
+            iv.agg(coalesce(sum("h1"), lit(0L)).cast("long").as("n_hit")))
+          .unionAll(row("ivf_nprobe2",
+            iv.agg(coalesce(sum("h2"), lit(0L)).cast("long").as("n_hit"))))
+          .unionAll(row("lsh_bucket", lshHit))
+          .orderBy("method")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+                      FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (SELECT e.vec_id, cent.c_id,
+                     ${cosineSql("e.embedding", "cent.c_emb")} AS c_cos
+                   FROM embeddings e, cent),
+        ranked AS (
+          SELECT vec_id, c_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY c_cos DESC, c_id) AS arn
+          FROM scored),
+        b AS (SELECT vec_id, $bucketSql AS bucket FROM embeddings),
+        truth AS (SELECT vec_id - $PlantBase AS src, vec_id AS dup
+                  FROM embeddings WHERE vec_id >= $PlantBase),
+        lsh AS (SELECT t.dup
+                FROM truth t
+                JOIN b bd ON bd.vec_id = t.dup
+                JOIN b bs ON bs.vec_id = t.src
+                WHERE bd.bucket = bs.bucket),
+        sl AS (SELECT vec_id, c_id AS src_list FROM ranked WHERE arn = 1),
+        iv AS (SELECT t.dup,
+                 max(CASE WHEN r.arn = 1 AND r.c_id = s.src_list
+                     THEN 1 ELSE 0 END) AS h1,
+                 max(CASE WHEN r.c_id = s.src_list THEN 1 ELSE 0 END) AS h2
+               FROM truth t
+               JOIN sl s ON s.vec_id = t.src
+               JOIN ranked r ON r.vec_id = t.dup AND r.arn <= 2
+               GROUP BY t.dup),
+        c AS (SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+                (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS lsh_hit,
+                (SELECT CAST(coalesce(sum(h1), 0) AS BIGINT) FROM iv)
+                  AS iv1_hit,
+                (SELECT CAST(coalesce(sum(h2), 0) AS BIGINT) FROM iv)
+                  AS iv2_hit)
+        SELECT method, n_truth, n_hit,
+          CASE WHEN n_truth = 0 THEN 0.0
+            ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+            END AS recall
+        FROM (
+          SELECT 'ivf_nprobe1' AS method, n_truth, iv1_hit AS n_hit FROM c
+          UNION ALL SELECT 'ivf_nprobe2', n_truth, iv2_hit FROM c
+          UNION ALL SELECT 'lsh_bucket', n_truth, lsh_hit FROM c)
+        ORDER BY method"""))
   )
 
   /** The probe counts the tradeoff curve sweeps — ONE list shared by the

@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * is per-partition and would not be).
   *
   * Usage: runMain graft.sources.CorpusGen <outDir> [scale=0.01] [seed=7]
-  *        [mode=healthy|heaps|minimal|skew|edgeless]  (degenerate: see below)
+  *        [mode=healthy|heaps|clustered|minimal|skew|edgeless]
   */
 object CorpusGen {
 
@@ -262,6 +262,85 @@ object CorpusGen {
     }
   }
 
+  /** Planted near-neighbor ids live at PlantBase + src_id — the in-band
+    * marker for the clustered-embeddings corpus: `vec_id >= PlantBase`
+    * IS the declaration "this row is a planted perturbed copy of
+    * vec_id − PlantBase", recoverable by any evaluator (Spark or the
+    * DuckDB oracle) from the data alone, no generator-seed knowledge —
+    * the `dupof` discipline of the heaps corpus without a schema
+    * change. Far above any source id (sf1000 would be 5×10⁷ vectors)
+    * and never selected by the deterministic seed/centroid samplers
+    * (vec_id % 50 == 0 etc.): PlantBase + v with v ≡ 19 (mod 20) is
+    * odd. */
+  val PlantBase = 1000000000L
+
+  /** Mixture-of-clusters embeddings with planted near-neighbor ground
+    * truth (round-12 verdict task #1 — the heaps treatment for the
+    * ANN/embedding family). The healthy/seed-7 embeddings are uniform
+    * on the 64-dim sphere: on such data IVF cells are equidistant,
+    * nprobe trade-offs degenerate, and kmeans/silhouette/dbscan measure
+    * noise — so every sim_ / emb_ recall and clustering number
+    * transferred poorly to real (heavily clustered) embedding estates.
+    *
+    * This mode draws vectors from k = max(8, ⌊√n⌋) corpus-scaled
+    * clusters (topic count grows with corpus size, the Heaps analogy
+    * for vectors): cluster centers are hash-derived points with
+    * components uniform in [-1,1] (pairwise near-orthogonal at 64
+    * dims), members are center + 0.5·noise then unit-normalized —
+    * within-cluster cosine ≈ 0.8, between ≈ 0 ± 0.12. `label` IS the
+    * cluster id (so label-grain ops measure real structure and
+    * clustering quality has a ground-truth partition to score against).
+    *
+    * Near-neighbor truth is PLANTED: every source with vec_id ≡ 19
+    * (mod 20) gets a companion row at PlantBase + vec_id whose vector
+    * is the source's raw vector + 0.05·perturbation (cos ≈ 0.997 —
+    * far above the ≈ 0.8 in-cluster background, so each planted pair
+    * is mutually rank-1) and whose label is the source's cluster.
+    * Every coordinate is a pure hash of (cluster | base id | vec id,
+    * dim, seed): generation is distributed, partition-count-
+    * independent, reproducible, and the planted copy is a closed-form
+    * recomputation — no join at generation time. All non-embeddings
+    * tables stay healthy. */
+  def clusteredEmbeddings(spark: SparkSession, nVecs: Long, seed: Long)
+      : DataFrame = {
+    val k = math.max(8L, math.round(math.sqrt(nVecs.toDouble)))
+    val src = spark.range(nVecs).select(
+      col("id").as("vec_id"), col("id").as("base_id"),
+      lit(false).as("planted"))
+    val dup = spark.range(nVecs).filter(col("id") % 20 === 19).select(
+      (col("id") + PlantBase).as("vec_id"), col("id").as("base_id"),
+      lit(true).as("planted"))
+    src.unionAll(dup)
+      .withColumn("c",
+        pmod(xxhash64(col("base_id"), lit("eclu"), lit(seed)), lit(k)))
+      .withColumn("raw", expr(s"""transform(sequence(0, 63), i ->
+           (pmod(xxhash64(c, i, 'ecent', ${seed}L), 2001) - 1000) / 1000.0
+           + 0.5 * ((pmod(xxhash64(base_id, i, 'enoz', ${seed}L), 2001)
+                     - 1000) / 1000.0)
+           + if(planted,
+               0.05 * ((pmod(xxhash64(vec_id, i, 'epert', ${seed}L), 2001)
+                        - 1000) / 1000.0),
+               0.0D))"""))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(raw, 0.0D, (acc, x) -> acc + x * x))"))
+      .select(
+        col("vec_id"),
+        expr("transform(raw, x -> float(x / nrm))").as("embedding"),
+        col("c").cast("int").as("label"))
+  }
+
+  /** The healthy tables with `embeddings` regrown as a planted-truth
+    * cluster mixture. */
+  def clusteredTables(spark: SparkSession, scale: Double, seed: Long)
+      : Seq[(String, DataFrame)] = {
+    val nVecs = math.max((50000 * scale).toLong, 50L)
+    tables(spark, scale, seed).map {
+      case ("embeddings", _) =>
+        "embeddings" -> clusteredEmbeddings(spark, nVecs, seed)
+      case other => other
+    }
+  }
+
   /** Degenerate corpora (round-7 verdict task #2): every green to date
     * is a healthy-distribution green — these two modes exercise the
     * boundaries production data actually hits (guarded divisions,
@@ -367,6 +446,7 @@ object CorpusGen {
     val ts = mode match {
       case "healthy" => tables(spark, scale, seed)
       case "heaps" => heapsTables(spark, scale, seed)
+      case "clustered" => clusteredTables(spark, scale, seed)
       case other => degenerate(spark, other, scale, seed)
     }
     ts.foreach { case (name, df) =>

@@ -995,6 +995,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), s"no join at all?:\n$p")
   }
 
+  test("planted vector recall: keyed equi-joins and broadcast close, no all-pairs") {
+    val p = plan("sim_planted_recall")
+    assert(!p.contains("CartesianProduct"), s"all-pairs in:\n$p")
+    // the truth/bucket/list probes are vec_id- or list-keyed joins;
+    // the only nested-loop shapes allowed are the broadcast 1-row
+    // aggregate closes (these compile to BroadcastNestedLoopJoin over
+    // single-row sides, never over the corpus)
+    assert(p.contains("Join"), s"no join at all?:\n$p")
+  }
+
   test("clamped balance: one user shuffle, stacked windows, no join or recursion") {
     val p = plan("q_clamped_balance")
     assert(p.contains("hashpartitioning(user_id"),

@@ -476,4 +476,71 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(rows(0L)._4 - expCos) < 1e-9,
       s"cos replay: got ${rows(0L)._4}, want $expCos")
   }
+
+  test("clustered corpus: mixture structure, planted pairs mutually rank-1") {
+    // round-12 verdict task #1: the clustered CorpusGen mode must
+    // produce (a) k ~ sqrt(n) clusters with within-cluster cosine far
+    // above between-cluster, (b) planted rows at PlantBase + src whose
+    // vectors are their source's nearest neighbor BY FAR — the ground
+    // truth every sim_/emb_ recall number is scored against.
+    val base = graft.sources.CorpusGen.PlantBase
+    val e = graft.sources.CorpusGen.clusteredEmbeddings(spark, 200L, 7L)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Int]("label")))
+    assert(e.length === 210) // 200 sources + 10 planted (id % 20 == 19)
+    val k = e.map(_._3).distinct.length
+    assert(k >= 8 && k <= 15, s"cluster count $k not ~sqrt(200)")
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val src = e.filter(_._1 < base)
+    val within = for {
+      a <- src; b <- src if a._1 < b._1 && a._3 == b._3
+    } yield cos(a._2, b._2)
+    val between = for {
+      a <- src; b <- src if a._1 < b._1 && a._3 != b._3
+    } yield cos(a._2, b._2)
+    assert(within.sum / within.size > 0.6,
+      s"within-cluster cos too low: ${within.sum / within.size}")
+    assert(math.abs(between.sum / between.size) < 0.2,
+      s"between-cluster cos not ~0: ${between.sum / between.size}")
+    // every planted row: cos to its source > 0.99 and source is rank-1
+    val byId = e.map(v => v._1 -> v).toMap
+    e.filter(_._1 >= base).foreach { d =>
+      val s = byId(d._1 - base)
+      val cSrc = cos(d._2, s._2)
+      assert(cSrc > 0.99, s"planted ${d._1} cos to source $cSrc")
+      assert(s._3 === d._3, "planted label != source cluster")
+      val bestOther = e.filter(v => v._1 != d._1 && v._1 != s._1)
+        .map(v => cos(d._2, v._2)).max
+      assert(cSrc > bestOther,
+        s"planted ${d._1} has a nearer non-source neighbor")
+    }
+  }
+
+  test("sim_planted_recall: probe widening never loses recall; empty truth honored") {
+    val d = Files.createTempDirectory("graft_clu").toString
+    graft.sources.CorpusGen.clusteredEmbeddings(spark, 500L, 7L)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val m = Registry.byName("sim_planted_recall").run(spark, d).collect()
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("n_truth"), r.getAs[Long]("n_hit"),
+          r.getAs[Double]("recall")))).toMap
+    assert(m.keySet === Set("ivf_nprobe1", "ivf_nprobe2", "lsh_bucket"))
+    assert(m("ivf_nprobe1")._1 === 25L) // 500/20 planted pairs
+    // widening the probe set can only ADD candidate lists
+    assert(m("ivf_nprobe2")._3 >= m("ivf_nprobe1")._3)
+    m.foreach { case (meth, (_, _, r)) =>
+      assert(r >= 0.8 && r <= 1.0,
+        s"$meth recall $r outside the designed band")
+    }
+    // the fixture corpus plants nothing: truth empty, recall 0 by
+    // convention on all three rows
+    Registry.byName("sim_planted_recall").run(spark, TestSpark.sf)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("n_truth") === 0L)
+        assert(r.getAs[Double]("recall") === 0.0)
+      }
+  }
 }
