@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * is per-partition and would not be).
   *
   * Usage: runMain graft.sources.CorpusGen <outDir> [scale=0.01] [seed=7]
-  *        [mode=healthy|heaps|clustered|minimal|skew|edgeless]
+  *        [mode=healthy|heaps|clique|clustered|minimal|skew|edgeless]
   */
 object CorpusGen {
 
@@ -206,8 +206,13 @@ object CorpusGen {
     * the planted pair set (dup_id, dup_id − off) is recoverable by any
     * evaluator from doc_id arithmetic alone. All non-document tables
     * stay healthy. */
-  def heapsDocuments(spark: SparkSession, nDocs: Long, seed: Long)
-      : DataFrame = {
+  /** Template doc id of the `clique` mode's viral family. 57 ≡ 17
+    * (mod 20), so clique ids (≡ 57 mod 100) are arithmetically disjoint
+    * from the regular planted-dup ids (≡ 19 mod 20). */
+  val CliqueTemplate = 57L
+
+  def heapsDocuments(spark: SparkSession, nDocs: Long, seed: Long,
+      clique: Boolean = false): DataFrame = {
     val meanWords = (10 + 99) / 2.0
     val vocab = math.max(500L,
       math.round(30.0 * math.sqrt(nDocs * meanWords)))
@@ -221,10 +226,25 @@ object CorpusGen {
          |  (pmod(xxhash64($id, $pos + $o, ${seed}L), ${grid}L) / ${grid}.0D)
          |  * ${lnV}D)))""".stripMargin.replaceAll("\n", " ")
     spark.range(nDocs)
+      // viral-clique overlay (round-12 verdict task #2): 1% of docs
+      // (id ≡ 57 mod 100, the single most common real-world dedup
+      // pathology — one boilerplate template duplicated ∝ corpus) are
+      // near-identical copies of ONE template with ~1% own mutations,
+      // so member-pairwise trigram Jaccard ≈ 0.98²·³ ≈ 0.89 — above
+      // PrefixJaccardT and far above JaccardThreshold. The true
+      // near-dup pair relation gains a C(m,2) clique component that
+      // grows QUADRATICALLY with the corpus — pair-materializing forms
+      // must, by correctness, emit it; cluster-representative forms
+      // must collapse it to one family.
+      .withColumn("is_clq", lit(clique) &&
+        col("id") % 100 === CliqueTemplate &&
+        col("id") =!= CliqueTemplate)
       .withColumn("is_dup",
         col("id") % 20 === 19 && col("id") >= 19)
-      .withColumn("src_id", when(col("is_dup"),
-        col("id") - 1 - pm("hoff", seed, 18)).otherwise(col("id")))
+      .withColumn("src_id",
+        when(col("is_clq"), lit(CliqueTemplate))
+          .when(col("is_dup"), col("id") - 1 - pm("hoff", seed, 18))
+          .otherwise(col("id")))
       // n_words follows the SOURCE (a near-dup keeps its source's
       // length); same 10..99 domain as the healthy mode
       .withColumn("n_words",
@@ -235,7 +255,9 @@ object CorpusGen {
         expr(s"""array_join(transform(sequence(1, n_words), i ->
              if(is_dup AND pmod(xxhash64(id, i, 'hmut', ${seed}L), 100) < 5,
                 ${tok("id", "i", 500)},
-                ${tok("src_id", "i", 0)})), ' ')""").as("text"),
+                if(is_clq AND pmod(xxhash64(id, i, 'cmut', ${seed}L), 100) < 1,
+                   ${tok("id", "i", 700)},
+                   ${tok("src_id", "i", 0)}))), ' ')""").as("text"),
         pick(Langs, "dlang", seed).as("lang"),
         // planted provenance is IN-BAND: a dup doc declares its source
         // in the `source` column, so ground truth is recoverable from
@@ -245,19 +267,26 @@ object CorpusGen {
         // unique dupof values) instead of the healthy mode's fixed 20 —
         // closer to real web-corpus domain keys; the source-keyed
         // samplers' per-source state is rows-in-an-aggregate, not
-        // driver memory, so the posture holds
-        when(col("is_dup"), concat(lit("dupof"), col("src_id")))
+        // driver memory, so the posture holds. Clique members declare
+        // the shared template, so the planted truth for them is the
+        // (member, template) star — the C(m,2) member-pair relation is
+        // deliberately NOT declared (it is what the pair generators
+        // must discover, and what makes them quadratic here).
+        when(col("is_clq"),
+          concat(lit("dupof"), lit(CliqueTemplate)))
+          .when(col("is_dup"), concat(lit("dupof"), col("src_id")))
           .otherwise(concat(lit("src"), pm("dsrc", seed, 20))).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
-  /** The healthy tables with `documents` regrown under Heaps/Zipf. */
-  def heapsTables(spark: SparkSession, scale: Double, seed: Long)
-      : Seq[(String, DataFrame)] = {
+  /** The healthy tables with `documents` regrown under Heaps/Zipf;
+    * clique=true additionally plants the viral template family. */
+  def heapsTables(spark: SparkSession, scale: Double, seed: Long,
+      clique: Boolean = false): Seq[(String, DataFrame)] = {
     val nDocs = math.max((50000 * scale).toLong, 50L)
     tables(spark, scale, seed).map {
       case ("documents", _) =>
-        "documents" -> heapsDocuments(spark, nDocs, seed)
+        "documents" -> heapsDocuments(spark, nDocs, seed, clique)
       case other => other
     }
   }
@@ -446,6 +475,7 @@ object CorpusGen {
     val ts = mode match {
       case "healthy" => tables(spark, scale, seed)
       case "heaps" => heapsTables(spark, scale, seed)
+      case "clique" => heapsTables(spark, scale, seed, clique = true)
       case "clustered" => clusteredTables(spark, scale, seed)
       case other => degenerate(spark, other, scale, seed)
     }
