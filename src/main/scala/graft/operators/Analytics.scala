@@ -491,7 +491,18 @@ object Analytics {
         val dsy = col("sy").cast("double")
         val dsxy = col("sxy").cast("double")
         val dsx2 = col("sx2").cast("double")
-        val dsy2 = col("sy2").cast("double")
+        // sy2 = sum(cents^2) is the registry's tightest 2^64 margin
+        // (r12 cast audit: 7.4e18 at sf0.1, 2.5x headroom) and a 100 TB
+        // group legitimately exceeds 2^64, where DuckDB's direct
+        // HUGEINT->DOUBLE half-splitting cast is not correctly rounded.
+        // Split-cast hi/lo at 2^32 on BOTH engines: each cast input
+        // stays < 2^64 (correctly rounded) up to sy2 < 2^96, the float
+        // sequence is identical cross-engine, and nothing throws at
+        // scale. For sy2 < 2^53 this reconstructs the direct cast
+        // bit-exactly.
+        val dsy2 =
+          expr("CAST(sy2 DIV 4294967296 AS DOUBLE) * 4294967296.0D" +
+            " + CAST(sy2 % 4294967296 AS DOUBLE)")
         // nullif guards: n=1 groups zero the (n-1) sample denominator,
         // and constant columns zero the variance product — Spark-4 ANSI
         // throws on double /0 where DuckDB returns NULL (degenerate
@@ -523,7 +534,9 @@ object Analytics {
                 SELECT l_returnflag, n,
                   CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
                   CAST(sy AS DOUBLE) AS dsy, CAST(sxy AS DOUBLE) AS dsxy,
-                  CAST(sx2 AS DOUBLE) AS dsx2, CAST(sy2 AS DOUBLE) AS dsy2
+                  CAST(sx2 AS DOUBLE) AS dsx2,
+                  CAST(sy2 // 4294967296 AS DOUBLE) * 4294967296.0
+                    + CAST(sy2 % 4294967296 AS DOUBLE) AS dsy2
                 FROM m)
               SELECT l_returnflag, n,
                 (dsxy - dsx*dsy/dn)/(dn - 1.0) AS covar_xy,

@@ -952,13 +952,25 @@ object Multimodal {
             col("sum_sq_bytes"),
             (col("sum_bytes").cast("double") / col("n_bytes").cast("double"))
               .as("mean"),
-            // variance numerator in DECIMAL(38,0)/HUGEINT: ssq·n − s²
-            // is ~N²·var and wraps a BIGINT near 10^8 corpus bytes
-            sqrt((col("sum_sq_bytes").cast("decimal(38,0)") * col("n_bytes")
-              - col("sum_bytes").cast("decimal(38,0)") * col("sum_bytes"))
-              .cast("double") /
-              (col("n_bytes").cast("decimal(38,0)") * col("n_bytes"))
-                .cast("double")).as("std"))
+            // variance FACTOR-FIRST (r12 cast audit): the exact-integer
+            // numerator ssq·n − s² is ~N²·var and crosses 2^64 near
+            // 5×10^8 corpus bytes (sf10), where DuckDB's HUGEINT→DOUBLE
+            // half-splitting cast is not correctly rounded — a 1-ULP
+            // cross-engine divergence (the dedup_tfidf_nn class). The
+            // FACTORS are bounded forever: n ≤ corpus chars, s ≤ 255·n,
+            // ssq ≤ 255²·n — all < 2^64 to ~280 TB of text — so casting
+            // them first keeps every int→double conversion in the
+            // correctly-rounded range on both engines, and the float
+            // sequence is identical cross-engine. greatest(0): float
+            // rounding can push a ~zero-variance numerator a hair
+            // negative (the skew corpus's identical texts); clamp on
+            // BOTH engines before sqrt.
+            sqrt(greatest(lit(0.0),
+              col("sum_sq_bytes").cast("double") * col("n_bytes").cast("double")
+                - col("sum_bytes").cast("double") *
+                  col("sum_bytes").cast("double")) /
+              (col("n_bytes").cast("double") * col("n_bytes").cast("double")))
+              .as("std"))
           .orderBy("format")
       },
       Some("""WITH b AS (
@@ -983,9 +995,10 @@ object Multimodal {
                 FROM b GROUP BY format)
               SELECT format, n_bytes, sum_bytes, sum_sq_bytes,
                 CAST(sum_bytes AS DOUBLE) / CAST(n_bytes AS DOUBLE) AS mean,
-                sqrt(CAST(CAST(sum_sq_bytes AS HUGEINT) * n_bytes
-                        - CAST(sum_bytes AS HUGEINT) * sum_bytes AS DOUBLE)
-                     / CAST(CAST(n_bytes AS HUGEINT) * n_bytes AS DOUBLE))
+                sqrt(greatest(0.0,
+                       CAST(sum_sq_bytes AS DOUBLE) * CAST(n_bytes AS DOUBLE)
+                     - CAST(sum_bytes AS DOUBLE) * CAST(sum_bytes AS DOUBLE))
+                     / (CAST(n_bytes AS DOUBLE) * CAST(n_bytes AS DOUBLE)))
                   AS std
               FROM g ORDER BY format""")),
 
