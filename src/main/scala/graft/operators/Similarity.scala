@@ -1254,63 +1254,31 @@ object Similarity {
     // build AND every beam round bit-for-bit.
     QueryDef(
       "sim_ann_graph_search",
+      (s, dir) => graphBeamSearch(s, dir,
+        knnGraphEdges(s, embParallel(s, dir))
+          .localCheckpoint()), // all rounds expand against ONE build
+      Some(graphSearchSql())),
+
+    // The graph family's SERVED form (r12, adjudication #5 follow-up):
+    // sim_ann_graph_search rebuilds the k-NN graph inline on every
+    // execution, so its measured wall is ~95% graph BUILD (the band
+    // self-join + pairwise cosine over collisions) and only ~5% the
+    // beam search the operator exists to demonstrate — the one place
+    // the graph family's cost model still diverged from serving, and
+    // the root of the operator's 2.6–3.8 s high-variance watch row
+    // (12 small re-planned stages riding a rebuilt graph). This form
+    // persists the edge relation once per corpus (the ivfIndexDir
+    // build-once/save/load lifecycle verbatim) and serves every query
+    // from the loaded parquet: measured passes price pure navigation —
+    // the per-query constant cost a serving fleet actually pays.
+    // Results are bit-identical to the inline form (same oracle).
+    QueryDef(
+      "sim_ann_graph_served",
       (s, dir) => {
-        val e = embParallel(s, dir)
-        // the sim_knn_graph edge relation (src_id, nbr_id), rank-capped
-        val knn = {
-          val bands = cappedBands(bandKeys(e))
-          val cand = bands.as("x").join(bands.as("y"),
-              col("x.band") === col("y.band") &&
-                col("x.band_val") === col("y.band_val") &&
-                col("x.vec_id") =!= col("y.vec_id"))
-            .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("nbr_id"))
-            .distinct()
-          val w = Window.partitionBy(col("src_id"))
-            .orderBy(col("cos").desc, col("nbr_id"))
-          cand
-            .join(e.select(col("vec_id").as("src_id"),
-              col("embedding").as("s_emb")), Seq("src_id"))
-            .join(e.select(col("vec_id").as("nbr_id"),
-              col("embedding").as("n_emb")), Seq("nbr_id"))
-            .select(col("src_id"), col("nbr_id"),
-              CosineSimilarity(s, col("s_emb"), col("n_emb")).as("cos"))
-            .withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= KnnGraphK)
-            .select("src_id", "nbr_id")
-            .localCheckpoint() // all rounds expand against ONE build
-        }
-        val q = e.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val cv = e.select(col("vec_id").as("cand"),
-          col("embedding").as("c_emb"))
-        val entry = e.agg(min(col("vec_id")).as("cand"))
-        var beam = q.select("q_id").crossJoin(broadcast(entry))
-        var scored: DataFrame = null
-        for (_ <- 1 to GraphSearchRounds) {
-          val expand = broadcast(beam)
-            .join(knn, col("cand") === col("src_id"))
-            .select(col("q_id"), col("nbr_id").as("cand"))
-          val cands = beam.union(expand).distinct()
-          scored = cands
-            .join(q, Seq("q_id"))
-            .join(cv, Seq("cand"))
-            .select(col("q_id"), col("cand"),
-              CosineSimilarity(s, col("q_emb"), col("c_emb")).as("cos"))
-          val w = Window.partitionBy(col("q_id"))
-            .orderBy(col("cos").desc, col("cand"))
-          beam = scored.withColumn("rn", row_number().over(w))
-            .filter(col("rn") <= BeamWidth).select("q_id", "cand")
-        }
-        // top-k of the final round's candidate set = top-k of the final
-        // beam (BeamWidth > TopK + 1 leaves room for the self-match cut)
-        val wf = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("cand"))
-        scored.filter(col("cand") =!= col("q_id"))
-          .withColumn("rank", row_number().over(wf).cast("long"))
-          .filter(col("rank") <= TopK)
-          .select(col("q_id"), col("cand").as("vec_id"),
-            col("cos"), col("rank"))
-          .orderBy("q_id", "rank")
+        val idx = knnIndexDir(s, dir)
+        val knn = s.read.schema("src_id BIGINT, nbr_id BIGINT")
+          .parquet(s"$idx/edges")
+        graphBeamSearch(s, dir, knn)
       },
       Some(graphSearchSql())),
 
@@ -1927,6 +1895,107 @@ object Similarity {
     * beam round as a cand/scored/beam CTE triple, built programmatically
     * so the Spark loop and the oracle can never disagree on round count
     * (the graph_pagerank oracle discipline). */
+  /** The sim_knn_graph edge relation (src_id, nbr_id), rank-capped to
+    * KnnGraphK per source — ONE definition feeding the inline search,
+    * the served index build, and (via the same shape) sim_knn_graph. */
+  private def knnGraphEdges(s: SparkSession, e: DataFrame): DataFrame = {
+    val bands = cappedBands(bandKeys(e))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("nbr_id"))
+      .distinct()
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    cand
+      .join(e.select(col("vec_id").as("src_id"),
+        col("embedding").as("s_emb")), Seq("src_id"))
+      .join(e.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("n_emb")), Seq("nbr_id"))
+      .select(col("src_id"), col("nbr_id"),
+        CosineSimilarity(s, col("s_emb"), col("n_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnGraphK)
+      .select("src_id", "nbr_id")
+  }
+
+  /** Build-once/save/load cache for the k-NN graph index — the
+    * ivfIndexDir lifecycle applied to the graph family: keyed on the
+    * corpus file-metadata fingerprint so an in-place rewrite rebuilds. */
+  private val knnIndexDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private[graft] def knnIndexDir(s: SparkSession, dir: String): String =
+    knnIndexDirs.getOrElseUpdate(
+      graft.Tables.corpusFingerprint(dir, "embeddings"), {
+      val p = java.nio.file.Files.createTempDirectory("graft_knn_index")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        if (Files.exists(p)) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      }
+      knnGraphEdges(s, embParallel(s, dir))
+        .write.mode("overwrite").parquet(s"$p/edges")
+      p.toString
+    })
+
+  /** GraphSearchRounds synchronous beam expansions over a prebuilt edge
+    * relation, then the closing top-k — the serving half of the graph
+    * ANN family, shared by the inline and served registry entries.
+    *
+    * The beam's lineage is truncated EVERY round (r12, adjudication
+    * #5): each round references the previous beam TWICE (expand + the
+    * union), so the lazy plan duplicated round N−1's subtree 2^N-ish
+    * times — ~12 small re-planned, re-broadcast stages whose driver
+    * scheduling was the inline operator's 2.6–3.8 s variance band. The
+    * beam is ≤ |Q|·BeamWidth rows; materializing it per round
+    * (1 partition) makes every round one flat tiny job and the
+    * per-round broadcast input a materialized ~80-row partition
+    * instead of a nested subplan. Deterministic — contents unchanged,
+    * same oracle. */
+  private def graphBeamSearch(s: SparkSession, dir: String,
+      knn: DataFrame): DataFrame = {
+    val e = embParallel(s, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cv = e.select(col("vec_id").as("cand"),
+      col("embedding").as("c_emb"))
+    val entry = e.agg(min(col("vec_id")).as("cand"))
+    var beam = q.select("q_id").crossJoin(broadcast(entry))
+    var scored: DataFrame = null
+    for (_ <- 1 to GraphSearchRounds) {
+      val expand = broadcast(beam)
+        .join(knn, col("cand") === col("src_id"))
+        .select(col("q_id"), col("nbr_id").as("cand"))
+      val cands = beam.union(expand).distinct()
+      scored = cands
+        .join(q, Seq("q_id"))
+        .join(cv, Seq("cand"))
+        .select(col("q_id"), col("cand"),
+          CosineSimilarity(s, col("q_emb"), col("c_emb")).as("cos"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("cand"))
+      beam = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= BeamWidth).select("q_id", "cand")
+        .coalesce(1).localCheckpoint()
+    }
+    // top-k of the final round's candidate set = top-k of the final
+    // beam (BeamWidth > TopK + 1 leaves room for the self-match cut)
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand"))
+    scored.filter(col("cand") =!= col("q_id"))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("cand").as("vec_id"),
+        col("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   private def graphSearchSql(): String = {
     val rounds = (1 to GraphSearchRounds).map { t =>
       val prev = if (t == 1) "beam0" else s"beam${t - 1}"

@@ -477,6 +477,17 @@ class SimilaritySpec extends AnyFunSuite {
       s"cos replay: got ${rows(0L)._4}, want $expCos")
   }
 
+  test("served graph search equals the inline form bit-for-bit") {
+    // the served form loads the build-once edge index (knnIndexDir);
+    // navigation must reproduce the inline rebuild exactly — same
+    // contract as sim_ann_ivf_served vs sim_ann_ivf
+    val inline = Registry.byName("sim_ann_graph_search")
+      .run(spark, TestSpark.sf).collect().toSeq
+    val served = Registry.byName("sim_ann_graph_served")
+      .run(spark, TestSpark.sf).collect().toSeq
+    assert(served === inline)
+  }
+
   test("clustered corpus: mixture structure, planted pairs mutually rank-1") {
     // round-12 verdict task #1: the clustered CorpusGen mode must
     // produce (a) k ~ sqrt(n) clusters with within-cluster cosine far
