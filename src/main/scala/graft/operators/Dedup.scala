@@ -2235,22 +2235,7 @@ object Dedup {
       "dedup_planted_recall",
       (s, dir) => {
         val sh = shingled(s, dir).localCheckpoint()
-        val withSig = signaturesFrom(sh)
-        val bands = withSig.select(
-          col("doc_id"),
-          explode(array((0 until NumPerms / BandRows).map { b =>
-            struct(
-              lit(b.toLong).as("band_id"),
-              concat_ws(",", slice(col("sig"), b * BandRows + 1, BandRows))
-                .as("band_key"))
-          }: _*)).as("band"))
-          .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band_id") === col("y.band_id") &&
-              col("x.band_key") === col("y.band_key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct().localCheckpoint()
+        val cand = bandCandidatesFrom(sh).localCheckpoint()
         val truth = Tables.load(s, dir, "documents")
           .filter(col("source").startsWith("dupof"))
           .select(
@@ -2307,8 +2292,171 @@ object Dedup {
              CASE WHEN n_truth = 0 THEN 0.0
                ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
                END AS recall
-           FROM c"""))
+           FROM c""")),
+
+    // Per-J recall CURVE for the banding generator (round-12 stretch
+    // task #8) — the final calibration artifact for the 100 TB banding
+    // parameters: dedup_planted_recall reports ONE aggregate recall;
+    // this buckets the planted truth pairs by their TRUE trigram
+    // Jaccard (computed exactly from the texts — the pairs are ~5% of
+    // docs, so the verify join is linear) into deciles and scores the
+    // 8-band × 2-row LSH candidate generator per decile, next to the
+    // analytic S-curve 1 − (1 − J²)^8 evaluated at each decile's mean J
+    // (the x8 power is three squarings — one identical IEEE sequence on
+    // both engines; per-pair J is quantized to 1e-6 before the decile
+    // mean so the mean is an integer sum, partition-order-free). An
+    // engineer reads this table to see exactly WHERE the banding knee
+    // sits versus where their dup families live. Shape: the planted
+    // truth relation + two posting equi-joins (exact J), the band
+    // self-join candidates (shared generator code with
+    // dedup_planted_recall), one decile hash aggregate. No all-pairs.
+    QueryDef(
+      "dedup_recall_curve",
+      (s, dir) => {
+        val sh = shingled(s, dir).localCheckpoint()
+        val cand = bandCandidatesFrom(sh).localCheckpoint()
+        val truth = Tables.load(s, dir, "documents")
+          .filter(col("source").startsWith("dupof"))
+          .select(
+            least(col("doc_id"),
+              substring(col("source"), 6, 30).cast("long")).as("a_id"),
+            greatest(col("doc_id"),
+              substring(col("source"), 6, 30).cast("long")).as("b_id"))
+          .localCheckpoint()
+        val posts = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+        val common = truth
+          .join(posts.select(col("doc_id").as("a_id"), col("shingle")),
+            Seq("a_id"))
+          .join(posts.select(col("doc_id").as("b_id"), col("shingle")),
+            Seq("b_id", "shingle"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+        // inner size joins: a truth side with < 3 tokens has no shingle
+        // row and drops — unreachable on planted corpora (n_words >= 10)
+        val withJ = truth
+          .join(common, Seq("a_id", "b_id"), "left")
+          .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")),
+            Seq("a_id"))
+          .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")),
+            Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (coalesce(col("n_common"), lit(0L)).cast("double") /
+              (col("n_a") + col("n_b")
+                - coalesce(col("n_common"), lit(0L))).cast("double")).as("j"))
+          .join(cand.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
+          .withColumn("hit", coalesce(col("hit"), lit(0L)))
+          .withColumn("jq", floor(col("j") * 1000000.0).cast("long"))
+          .withColumn("j_lo", floor(col("j") * 10.0) / 10.0)
+        val agg = withJ.groupBy("j_lo").agg(
+          count(lit(1)).as("n_truth"),
+          sum(col("hit")).as("n_hit"),
+          sum(col("jq")).as("sum_jq"))
+        agg
+          .withColumn("avg_j",
+            (col("sum_jq").cast("double") / col("n_truth").cast("double"))
+              / 1000000.0)
+          .withColumn("recall",
+            col("n_hit").cast("double") / col("n_truth").cast("double"))
+          // analytic banding S-curve at the decile mean: three squarings
+          // — the same IEEE op sequence as the oracle text
+          .withColumn("x1", lit(1.0) - col("avg_j") * col("avg_j"))
+          .withColumn("x8", col("x1") * col("x1") * (col("x1") * col("x1"))
+            * (col("x1") * col("x1") * (col("x1") * col("x1"))))
+          .select(col("j_lo"), col("n_truth"), col("n_hit"), col("avg_j"),
+            col("recall"), (lit(1.0) - col("x8")).as("expected"))
+          .orderBy("j_lo")
+      },
+      Some(s"""WITH d AS (
+             SELECT doc_id, list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 1),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+             FROM documents),
+           sig AS (
+             SELECT doc_id, list_transform(range(0, $NumPerms), p ->
+               list_aggregate(list_transform(sh, s ->
+                 ((2*p + 3) * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) + p) % 2147483647),
+               'min')) AS sg
+             FROM d),
+           bands AS (
+             SELECT doc_id, b,
+               array_to_string(sg[$BandRows*b + 1 : $BandRows*b + $BandRows],
+                 ',') AS band_key
+             FROM sig, (SELECT unnest(range(0, ${NumPerms / BandRows})) AS b) bs),
+           cand AS (
+             SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM bands x JOIN bands y
+               ON x.b = y.b AND x.band_key = y.band_key
+                AND x.doc_id < y.doc_id),
+           truth AS (
+             SELECT least(doc_id,
+                 CAST(substr(source, 6) AS BIGINT)) AS a_id,
+               greatest(doc_id,
+                 CAST(substr(source, 6) AS BIGINT)) AS b_id
+             FROM documents WHERE source LIKE 'dupof%'),
+           sz AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+           p AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+           com AS (
+             SELECT t.a_id, t.b_id, count(*) AS n_common
+             FROM truth t
+             JOIN p pa ON pa.doc_id = t.a_id
+             JOIN p pb ON pb.doc_id = t.b_id AND pb.shingle = pa.shingle
+             GROUP BY t.a_id, t.b_id),
+           wj AS (
+             SELECT t.a_id, t.b_id,
+               CAST(coalesce(c.n_common, 0) AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - coalesce(c.n_common, 0)
+                     AS DOUBLE) AS j,
+               CASE WHEN EXISTS (SELECT 1 FROM cand cd
+                 WHERE cd.a_id = t.a_id AND cd.b_id = t.b_id)
+                 THEN 1 ELSE 0 END AS hit
+             FROM truth t
+             LEFT JOIN com c ON c.a_id = t.a_id AND c.b_id = t.b_id
+             JOIN sz sa ON sa.doc_id = t.a_id
+             JOIN sz sb ON sb.doc_id = t.b_id),
+           bkt AS (
+             SELECT floor(j * 10.0) / 10.0 AS j_lo,
+               CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(sum(hit) AS BIGINT) AS n_hit,
+               CAST(sum(CAST(floor(j * 1000000.0) AS BIGINT)) AS BIGINT)
+                 AS sum_jq
+             FROM wj GROUP BY 1),
+           fin AS (
+             SELECT j_lo, n_truth, n_hit,
+               (CAST(sum_jq AS DOUBLE) / CAST(n_truth AS DOUBLE))
+                 / 1000000.0 AS avg_j,
+               CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+             FROM bkt)
+           SELECT j_lo, n_truth, n_hit, avg_j, recall,
+             1.0 - ((1.0 - avg_j * avg_j) * (1.0 - avg_j * avg_j)
+                 * ((1.0 - avg_j * avg_j) * (1.0 - avg_j * avg_j))
+                 * ((1.0 - avg_j * avg_j) * (1.0 - avg_j * avg_j)
+                 * ((1.0 - avg_j * avg_j) * (1.0 - avg_j * avg_j))))
+               AS expected
+           FROM fin ORDER BY j_lo"""))
   )
+
+  /** The 8-band × 2-row minhash banding candidate generator over a
+    * shared shingle frame — ONE definition for dedup_planted_recall and
+    * dedup_recall_curve (the same can't-drift discipline as
+    * prefixPairsFrom). */
+  private def bandCandidatesFrom(sh: DataFrame): DataFrame = {
+    val withSig = signaturesFrom(sh)
+    val bands = withSig.select(
+      col("doc_id"),
+      explode(array((0 until NumPerms / BandRows).map { b =>
+        struct(
+          lit(b.toLong).as("band_id"),
+          concat_ws(",", slice(col("sig"), b * BandRows + 1, BandRows))
+            .as("band_key"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
 
   /** THE SSJoin prefix-filter pipeline over a shared shingle frame,
     * with the posting sample as a knob: cap=None is the exact

@@ -498,6 +498,32 @@ class DedupTextSpec extends AnyFunSuite {
       s"clique split across representatives: $memberReps")
   }
 
+  test("recall curve: deciles ordered, recall and S-curve in [0,1], truth totals match") {
+    // round-12 stretch: the per-J banding scorecard on a planted corpus
+    val d = java.nio.file.Files.createTempDirectory("graft_curve").toString
+    graft.sources.CorpusGen.heapsDocuments(spark, 1000L, 7L)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.byName("dedup_recall_curve").run(spark, d).collect()
+    assert(rows.nonEmpty)
+    val los = rows.map(_.getAs[Double]("j_lo"))
+    assert(los.sorted.toSeq === los.toSeq) // ordered by decile
+    rows.foreach { r =>
+      val (lo, aj) = (r.getAs[Double]("j_lo"), r.getAs[Double]("avg_j"))
+      assert(aj >= lo && aj < lo + 0.1 + 1e-9, s"mean $aj outside [$lo, ${lo + 0.1})")
+      val (rec, exp) = (r.getAs[Double]("recall"), r.getAs[Double]("expected"))
+      assert(rec >= 0.0 && rec <= 1.0 && exp >= 0.0 && exp <= 1.0)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_truth"))
+    }
+    // decile totals = the planted-pair population (47 dups in 1000 docs:
+    // ids 19,39,...,999 — every one lands in exactly one bucket)
+    val planted = Registry.byName("dedup_planted_recall").run(spark, d)
+      .collect().head.getAs[Long]("n_truth")
+    assert(rows.map(_.getAs[Long]("n_truth")).sum === planted)
+    // the fixture corpus plants nothing: empty curve
+    assert(Registry.byName("dedup_recall_curve")
+      .run(spark, TestSpark.sf).count() === 0L)
+  }
+
   test("ngram novelty scores first occurrence 1.0 and exact dup 0.0") {
     val out = Registry.byName("text_ngram_novelty").run(spark, plantedDir)
       .collect()
