@@ -125,7 +125,22 @@ object GrowthBench {
     "dedup_cap_recall" -> "exact leg: sum prefix-df^2; capped leg V x cap^2 (scorecard over both; bench=false r12 — run via SPARK_GRAFT_ONLY on Heaps corpora only, the exact leg dies on saturated vocab)",
     "dedup_planted_recall" -> "~linear (banded LSH candidates + in-band truth join)",
     "text_heaps_curve" -> "~linear (one vocab-grain agg + 8-row broadcast spine)",
-    "text_zipf_curve" -> "~linear (vocab-grain agg + distributed top-4096)")
+    "text_zipf_curve" -> "~linear (vocab-grain agg + distributed top-4096)",
+    // round-12 wave: the clustered-embeddings corpus re-measurements
+    // (verdict task #1) + the round's new operators
+    "sim_planted_recall" -> "~linear (bucket/assignment equi-joins + in-band truth probes)",
+    "sim_ann_graph_served" -> "~linear serve-only (persisted edges; Q x B x K bounded navigation)",
+    "dedup_recall_curve" -> "~linear (banded candidates + linear truth verify, decile agg)",
+    "sim_ann_ivf_nprobe2" -> "~linear (2 probed cells, fixed queries)",
+    "sim_ivf_tradeoff" -> "~linear (exact 10-query broadcast leg + both probe legs)",
+    "sim_ann_recall" -> "~linear (brute-force leg + bucket leg, fixed queries)",
+    "emb_kmeans" -> "~linear x (iters x k) (broadcast-centroid scoring)",
+    "sim_semdedup" -> "~linear x within-cluster density (banded candidates + verify)",
+    // round-12: viral-clique stress (verdict task #2) — the pair forms
+    // are clique-quadratic BY CORRECTNESS (the emitted pair relation is
+    // ~m^2/2 of the largest family); cluster forms must stay ~linear
+    "dedup_minhash_pairs" -> "banded LSH + verify: output ~ m^2 of the largest dup family (clique-quadratic by correctness)",
+    "dedup_minhash_bbit" -> "packed-signature bands + rational re-estimate: output ~ m^2 of the largest family")
 
   /** sf dirs to measure, smallest first. Overridable so the 0.1->1
     * decade can run on generated same-seed corpora (round-7 verdict
