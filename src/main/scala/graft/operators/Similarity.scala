@@ -33,6 +33,23 @@ object Similarity {
   // vec_id − PlantBase". Declared ABOVE defs (interpolated into oracle
   // SQL at defs-init time; a val below defs would read as 0).
   private val PlantBase: Long = graft.sources.CorpusGen.PlantBase
+
+  /** IVF coarse-quantizer stride, √N-scaled (r12): the original fixed
+    * `vec_id % 50` sample made the centroid count 2% OF THE CORPUS, so
+    * the assignment pass was N·(N/50) cosines — O(N²/50), the scale bug
+    * the clustered sf10 decade run exposed (525 k vectors × 10.5 k
+    * centroids ≈ 5.5 × 10⁹ cosines, unmeasurable). The standard IVF
+    * sizing is k ≈ √N lists (the FAISS 4√N–16√N guideline), i.e.
+    * stride = max(50, ⌊√N⌋): assignment is N^1.5, probe lists stay
+    * ~√N-sized, and at the gate scales (N ≤ 2500) the floor keeps the
+    * sample at the historical stride-50 so every small-corpus result is
+    * unchanged. Engine-portable: both sides compute ⌊√N⌋ with the
+    * correctly-rounded IEEE sqrt of an exact BIGINT count. */
+  private val CentStrideSql =
+    "(SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+
+  private def centStride(e: DataFrame): Long =
+    math.max(50L, math.floor(math.sqrt(e.count().toDouble)).toLong)
   private val BeamWidth = 8 // graph-search beam (> TopK + 1: self-cut room)
   private val GraphSearchRounds = 3 // synchronous beam expansions
 
@@ -519,7 +536,7 @@ object Similarity {
           assigned.join(allowed, Seq("vec_id"))))
       },
       Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
-                      FROM embeddings WHERE vec_id % 50 = 0),
+                      FROM embeddings WHERE vec_id % $CentStrideSql = 0),
         scored AS (SELECT e.vec_id, e.embedding, cent.c_id,
                      ${cosineSql("e.embedding", "cent.c_emb")} AS c_cos
                    FROM embeddings e, cent),
@@ -601,7 +618,7 @@ object Similarity {
           .orderBy("list_id")
       },
       Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
-                             FROM embeddings WHERE vec_id % 50 = 0),
+                             FROM embeddings WHERE vec_id % $CentStrideSql = 0),
                scored AS (SELECT e.vec_id, cent.c_id,
                             ${cosineSql("e.embedding", "cent.c_emb")} AS c_cos
                           FROM embeddings e, cent),
@@ -702,7 +719,7 @@ object Similarity {
           .orderBy("q_id", "rank")
       },
       Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
-                             FROM embeddings WHERE vec_id % 50 = 0),
+                             FROM embeddings WHERE vec_id % $CentStrideSql = 0),
                scored AS (SELECT e.vec_id, e.embedding, cent.c_id,
                             ${cosineSql("e.embedding", "cent.c_emb")} AS c_cos
                           FROM embeddings e, cent),
@@ -1434,7 +1451,7 @@ object Similarity {
           .orderBy("method")
       },
       Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
-                      FROM embeddings WHERE vec_id % 50 = 0),
+                      FROM embeddings WHERE vec_id % $CentStrideSql = 0),
         scored AS (SELECT e.vec_id, cent.c_id,
                      ${cosineSql("e.embedding", "cent.c_emb")} AS c_cos
                    FROM embeddings e, cent),
@@ -1524,7 +1541,7 @@ object Similarity {
                  FROM ec),
           exact AS (SELECT q_id, vec_id FROM er WHERE rank <= $TopK),
           cent AS (SELECT vec_id AS c_id, embedding AS c_emb
-                   FROM embeddings WHERE vec_id % 50 = 0),
+                   FROM embeddings WHERE vec_id % $CentStrideSql = 0),
           scored AS (SELECT e.vec_id, e.embedding, cent.c_id,
                        ${cosineSql("e.embedding", "cent.c_emb")} AS c_cos
                      FROM embeddings e, cent),
@@ -1620,9 +1637,13 @@ object Similarity {
 
   /** The deterministic centroid sample (c_id, c_emb) — the index's
     * coarse quantizer. */
-  private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
-    embParallel(s, dir).filter(col("vec_id") % 50 === 0)
+  private def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = embParallel(s, dir)
+    // √N stride (see CentStrideSql): a bounded driver scalar, the same
+    // pre-flight discipline as requireAllPairsSmall
+    e.filter(col("vec_id") % centStride(e) === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+  }
 
   /** Search given a (possibly LOADED) index: corpus-side inverted lists
     * (vec_id, embedding, list_id) + centroids for query routing. Query
@@ -1732,7 +1753,7 @@ object Similarity {
   /** DuckDB mirror of ivfTopK at the given probe count. */
   private[graft] def ivfOracleSql(nprobe: Int): String =
     s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
-                      FROM embeddings WHERE vec_id % 50 = 0),
+                      FROM embeddings WHERE vec_id % $CentStrideSql = 0),
         scored AS (SELECT e.vec_id, e.embedding, cent.c_id,
                      ${cosineSql("e.embedding", "cent.c_emb")} AS c_cos
                    FROM embeddings e, cent),
