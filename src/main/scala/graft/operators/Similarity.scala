@@ -524,9 +524,7 @@ object Similarity {
       (s, dir) => {
         val e = embParallel(s, dir)
         val centroids = ivfCentroids(s, dir)
-        val assigned = ivfAssign(s, e, broadcast(centroids))
-          .filter(col("arn") === 1)
-          .select(col("vec_id"), col("embedding"), col("c_id").as("list_id"))
+        val assigned = ivfAssignTop1(s, e, broadcast(centroids))
         val allowed = e
           .filter(pmod(col("label").cast("long"), lit(2L)) === 0L)
           .select(col("vec_id"))
@@ -1413,8 +1411,18 @@ object Similarity {
           .localCheckpoint()
         val buck = e.withColumn("bucket", bucketCol.cast("long"))
           .select("vec_id", "bucket")
-        // arn <= 2 covers both nprobe legs from ONE assignment pass
-        val ranked = ivfAssign(s, e, broadcast(ivfCentroids(s, dir)))
+        // arn <= 2 covers both nprobe legs from ONE assignment pass.
+        // Assignment input is RESTRICTED to the rows the scorecard
+        // touches (truth dups + their sources, ~10% of the corpus) via
+        // one id semi-join BEFORE the window: per-row centroid ranks
+        // are row-local, so filtering first is lossless — and it keeps
+        // the arn<=2 window (which cannot map-side combine) off the
+        // full N x sqrt(N) scored relation (r12 assignment-shuffle fix)
+        val involved = truth.select(col("src").as("vec_id"))
+          .unionAll(truth.select(col("dup").as("vec_id")))
+        val ranked = ivfAssign(s,
+            e.join(involved, Seq("vec_id"), "left_semi"),
+            broadcast(ivfCentroids(s, dir)))
           .filter(col("arn") <= 2).select("vec_id", "c_id", "arn")
           .localCheckpoint()
         val nTruth = truth.agg(count(lit(1)).as("n_truth"))
@@ -1635,6 +1643,28 @@ object Similarity {
       .withColumn("arn", row_number().over(wAssign))
   }
 
+  /** CORPUS-side rank-1 assignment as a map-side-combined argmax
+    * (r12): the window form shuffles the full vec × centroid scored
+    * relation — N·√N rows CARRYING THE EMBEDDING (≈ 114 GB at the
+    * clustered sf10: 525 k × 725 centroids — measured 728 s, all
+    * shuffle/spill). max_by over (c_cos, −c_id) partial-aggregates
+    * inside the scoring stage, so only N rows ever shuffle; the
+    * ordering struct replays the window's (c_cos DESC, c_id ASC)
+    * tie-break exactly (c_id is unique, so the ordering is total and
+    * the argmax deterministic — same oracle). Queries keep the window
+    * form (they need arn ≤ nprobe and are NumQueries-sized). */
+  private def ivfAssignTop1(s: SparkSession, df: DataFrame,
+      centroids: DataFrame): DataFrame =
+    df.join(centroids)
+      .select(col("vec_id"),
+        struct(col("c_id"), col("embedding")).as("v"),
+        struct(CosineSimilarity(s, col("embedding"), col("c_emb"))
+          .as("c_cos"), (lit(0L) - col("c_id")).as("nid")).as("ord"))
+      .groupBy("vec_id")
+      .agg(max_by(col("v"), col("ord")).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.c_id").as("list_id"))
+
   /** The deterministic centroid sample (c_id, c_emb) — the index's
     * coarse quantizer. */
   private def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
@@ -1665,9 +1695,7 @@ object Similarity {
   private[graft] def ivfCandidatesFor(s: SparkSession, dir: String,
       nprobe: Int, queries: DataFrame): DataFrame = {
     val centroids = ivfCentroids(s, dir)
-    val assigned = ivfAssign(s, embParallel(s, dir), broadcast(centroids))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("list_id"))
+    val assigned = ivfAssignTop1(s, embParallel(s, dir), broadcast(centroids))
     ivfCandidatesOn(s, nprobe, queries, centroids, assigned)
   }
 
@@ -1706,9 +1734,7 @@ object Similarity {
       val centroids = ivfCentroids(s, dir)
       centroids.coalesce(1).write.mode("overwrite")
         .parquet(s"$p/centroids")
-      ivfAssign(s, embParallel(s, dir), broadcast(centroids))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id").as("list_id"))
+      ivfAssignTop1(s, embParallel(s, dir), broadcast(centroids))
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(s"$p/lists")
       p.toString

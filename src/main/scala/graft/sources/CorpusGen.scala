@@ -297,10 +297,12 @@ object CorpusGen {
     * vec_id − PlantBase", recoverable by any evaluator (Spark or the
     * DuckDB oracle) from the data alone, no generator-seed knowledge —
     * the `dupof` discipline of the heaps corpus without a schema
-    * change. Far above any source id (sf1000 would be 5×10⁷ vectors)
-    * and never selected by the deterministic seed/centroid samplers
-    * (vec_id % 50 == 0 etc.): PlantBase + v with v ≡ 19 (mod 20) is
-    * odd. */
+    * change. Far above any source id (sf1000 would be 5×10⁷ vectors).
+    * Planted ids are odd (PlantBase + v with v ≡ 19 mod 20), so the
+    * historical even samplers (stride-50 seeds, vec_id % 2) never pick
+    * them; the r12 √N-strided IVF quantizer CAN sample a planted row
+    * at odd strides — harmless (a centroid is just a sample point) and
+    * mirrored exactly by the oracle. */
   val PlantBase = 1000000000L
 
   /** Mixture-of-clusters embeddings with planted near-neighbor ground
