@@ -34,7 +34,7 @@ object GrowthBench {
     "dedup_tfidf_nn" -> "superlinear in collisions (sum df^2)",
     "dedup_cluster" -> "~linear x log(diameter) (pointer doubling)",
     "sim_ann_lsh" -> "~linear (bucket join, fixed queries)",
-    "sim_ann_ivf" -> "~linear (probed cells, fixed queries)",
+    "sim_ann_ivf" -> "superlinear by design: N^1.5 coarse-quantizer assignment (k=sqrt(N) lists, r12) + ~linear probed-cell serve; the served row isolates the serve term",
     "sim_topk_bruteforce" -> "linear (fixed 10-query broadcast)",
     "graph_pagerank" -> "~linear x iters (equi-join per iter)",
     "graph_triangles" -> "edges^1.5 worst case (oriented wedges)",
@@ -128,11 +128,11 @@ object GrowthBench {
     "text_zipf_curve" -> "~linear (vocab-grain agg + distributed top-4096)",
     // round-12 wave: the clustered-embeddings corpus re-measurements
     // (verdict task #1) + the round's new operators
-    "sim_planted_recall" -> "~linear (bucket/assignment equi-joins + in-band truth probes)",
+    "sim_planted_recall" -> "~N^1.5 x 0.1: arn<=2 assignment restricted to the ~10% truth rows; bucket/truth probes ~linear",
     "sim_ann_graph_served" -> "~linear serve-only (persisted edges; Q x B x K bounded navigation)",
     "dedup_recall_curve" -> "~linear (banded candidates + linear truth verify, decile agg)",
-    "sim_ann_ivf_nprobe2" -> "~linear (2 probed cells, fixed queries)",
-    "sim_ivf_tradeoff" -> "~linear (exact 10-query broadcast leg + both probe legs)",
+    "sim_ann_ivf_nprobe2" -> "superlinear by design: shares the N^1.5 assignment; 2 probed cells serve",
+    "sim_ivf_tradeoff" -> "superlinear by design: shares the N^1.5 assignment; exact leg + both probe legs ~linear",
     "sim_ann_recall" -> "~linear (brute-force leg + bucket leg, fixed queries)",
     "emb_kmeans" -> "~linear x (iters x k) (broadcast-centroid scoring)",
     "sim_semdedup" -> "~linear x within-cluster density (banded candidates + verify)",

@@ -1643,27 +1643,37 @@ object Similarity {
       .withColumn("arn", row_number().over(wAssign))
   }
 
-  /** CORPUS-side rank-1 assignment as a map-side-combined argmax
-    * (r12): the window form shuffles the full vec × centroid scored
-    * relation — N·√N rows CARRYING THE EMBEDDING (≈ 114 GB at the
-    * clustered sf10: 525 k × 725 centroids — measured 728 s, all
-    * shuffle/spill). max_by over (c_cos, −c_id) partial-aggregates
-    * inside the scoring stage, so only N rows ever shuffle; the
-    * ordering struct replays the window's (c_cos DESC, c_id ASC)
-    * tie-break exactly (c_id is unique, so the ordering is total and
-    * the argmax deterministic — same oracle). Queries keep the window
-    * form (they need arn ≤ nprobe and are NumQueries-sized). */
+  /** CORPUS-side rank-1 assignment as a THIN partial-aggregated argmax
+    * (r12): the window form shuffled and sorted the full vec × centroid
+    * scored relation CARRYING THE EMBEDDING — N·√N rows × ~300 B
+    * (≈ 114 GB at the clustered sf10: 525 k × 725 centroids — measured
+    * 710–728 s, all in the fat sort). Two changes: (a) the scored
+    * relation is projected down to (vec_id, c_id, c_cos) BEFORE any
+    * wide operator, so the N·√N stream is 24 B/row (~9 GB at sf10) and
+    * the chosen embedding joins back at N-row cost afterwards; (b) the
+    * argmax is max_by over (c_cos, −c_id) — its struct ordering buffer
+    * compiles to a partial-then-final SortAggregate, so only N rows
+    * cross the exchange, and the ordering replays the window's
+    * (c_cos DESC, c_id ASC) tie-break exactly (c_id unique → total
+    * order → deterministic; same oracle). Queries keep the window form
+    * (they need arn ≤ nprobe and are NumQueries-sized). */
   private def ivfAssignTop1(s: SparkSession, df: DataFrame,
-      centroids: DataFrame): DataFrame =
-    df.join(centroids)
-      .select(col("vec_id"),
-        struct(col("c_id"), col("embedding")).as("v"),
-        struct(CosineSimilarity(s, col("embedding"), col("c_emb"))
-          .as("c_cos"), (lit(0L) - col("c_id")).as("nid")).as("ord"))
+      centroids: DataFrame): DataFrame = {
+    val thin = df.join(centroids)
+      .select(col("vec_id"), col("c_id"),
+        CosineSimilarity(s, col("embedding"), col("c_emb")).as("c_cos"))
       .groupBy("vec_id")
-      .agg(max_by(col("v"), col("ord")).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.c_id").as("list_id"))
+      .agg(max_by(col("c_id"),
+        struct(col("c_cos"), (lit(0L) - col("c_id")).as("nid")))
+        .as("list_id"))
+      // materialize the N-row assignment ONCE: downstream sort-sampling
+      // and join planning otherwise re-execute the N·√N scoring subtree
+      // 2–3× inside one query (measured 264 s vs 83 s for the aggregate
+      // itself at the clustered sf10)
+      .localCheckpoint()
+    thin.join(df.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+  }
 
   /** The deterministic centroid sample (c_id, c_emb) — the index's
     * coarse quantizer. */
