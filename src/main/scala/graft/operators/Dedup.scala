@@ -2351,7 +2351,7 @@ object Dedup {
           count(lit(1)).as("n_truth"),
           sum(col("hit")).as("n_hit"),
           sum(col("jq")).as("sum_jq"))
-        agg
+        val curve = agg
           .withColumn("avg_j",
             (col("sum_jq").cast("double") / col("n_truth").cast("double"))
               / 1000000.0)
@@ -2364,7 +2364,15 @@ object Dedup {
             * (col("x1") * col("x1") * (col("x1") * col("x1"))))
           .select(col("j_lo"), col("n_truth"), col("n_hit"), col("avg_j"),
             col("recall"), (lit(1.0) - col("x8")).as("expected"))
-          .orderBy("j_lo")
+        // zero-convention row on corpora without planted truth (the
+        // dedup_planted_recall discipline): the curve is empty, and one
+        // all-zero row documents that instead of an empty relation
+        val fallback = truth.agg(count(lit(1)).as("nt"))
+          .filter(col("nt") === 0)
+          .select(lit(0.0).as("j_lo"), lit(0L).as("n_truth"),
+            lit(0L).as("n_hit"), lit(0.0).as("avg_j"),
+            lit(0.0).as("recall"), lit(0.0).as("expected"))
+        curve.unionAll(fallback).orderBy("j_lo")
       },
       Some(s"""WITH d AS (
              SELECT doc_id, list_distinct(list_transform(
@@ -2432,7 +2440,11 @@ object Dedup {
                  * ((1.0 - avg_j * avg_j) * (1.0 - avg_j * avg_j)
                  * ((1.0 - avg_j * avg_j) * (1.0 - avg_j * avg_j))))
                AS expected
-           FROM fin ORDER BY j_lo"""))
+           FROM fin
+           UNION ALL
+           SELECT 0.0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0, 0.0, 0.0
+           WHERE (SELECT count(*) FROM truth) = 0
+           ORDER BY j_lo"""))
   )
 
   /** The 8-band × 2-row minhash banding candidate generator over a

@@ -519,9 +519,10 @@ class DedupTextSpec extends AnyFunSuite {
     val planted = Registry.byName("dedup_planted_recall").run(spark, d)
       .collect().head.getAs[Long]("n_truth")
     assert(rows.map(_.getAs[Long]("n_truth")).sum === planted)
-    // the fixture corpus plants nothing: empty curve
-    assert(Registry.byName("dedup_recall_curve")
-      .run(spark, TestSpark.sf).count() === 0L)
+    // the fixture corpus plants nothing: one zero-convention row
+    val zr = Registry.byName("dedup_recall_curve")
+      .run(spark, TestSpark.sf).collect()
+    assert(zr.length === 1 && zr.head.getAs[Long]("n_truth") === 0L)
   }
 
   test("ngram novelty scores first occurrence 1.0 and exact dup 0.0") {
