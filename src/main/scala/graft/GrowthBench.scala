@@ -140,7 +140,11 @@ object GrowthBench {
     // are clique-quadratic BY CORRECTNESS (the emitted pair relation is
     // ~m^2/2 of the largest family); cluster forms must stay ~linear
     "dedup_minhash_pairs" -> "banded LSH + verify: output ~ m^2 of the largest dup family (clique-quadratic by correctness)",
-    "dedup_minhash_bbit" -> "packed-signature bands + rational re-estimate: output ~ m^2 of the largest family")
+    "dedup_minhash_bbit" -> "packed-signature bands + rational re-estimate: output ~ m^2 of the largest family",
+    // round-13 wave: the capped text-banding generator (verdict task
+    // #2) and the declarative-hamming pipeline (task #7)
+    "dedup_minhash_pairs_capped" -> "~linear (viral band buckets dropped: candidates ~ N x cap, never m^2)",
+    "dedup_simhash_declarative" -> "~linear x log(diameter) (rule-rewritten chunk equi-joins + pointer doubling)")
 
   /** sf dirs to measure, smallest first. Overridable so the 0.1->1
     * decade can run on generated same-seed corpora (round-7 verdict

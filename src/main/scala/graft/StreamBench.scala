@@ -182,6 +182,23 @@ object StreamBench {
       else Vector.empty[Row]
     val decadeBy = decade.map(r => r.name -> r).toMap
 
+    // Adversarial-corpus leg (r13, verdict task #5): the banding/ANN
+    // state carriers re-run on same-SCALE adversarial corpora — a
+    // viral-template family (clique mode) stresses per-bucket banding
+    // state exactly where the batch side proved it matters, clustered
+    // vectors stress the ANN probe state. SPARK_GRAFT_ADV_DIRS is a
+    // comma list of tag=dir ("" disables); rows compare to the healthy
+    // base at the SAME sf, so the interesting column is STATE growth
+    // at flat input — does watermark eviction keep the template
+    // family's bucket state bounded?
+    val advDirs = sys.env.getOrElse("SPARK_GRAFT_ADV_DIRS", "")
+      .split(',').toSeq.filter(_.contains('='))
+      .map { kv => val a = kv.split("=", 2); (a(0).trim, a(1).trim) }
+    val advOps = Set("stream_neardup", "stream_paragraph_dedup",
+      "stream_ann_probe").intersect(defs.map(_.name).toSet)
+    val advLegs = advDirs.map { case (tag, dir) =>
+      (tag, dir, sweep(dir, advOps, s"adv-$tag")) }
+
     val sb = new StringBuilder
     sb ++= "# STREAM_BENCH — micro-batch latency per streaming operator\n\n"
     sb ++= s"Corpus: `$sfDir`, local[$cpus], warm pass discarded, pass 2 " +
@@ -193,7 +210,7 @@ object StreamBench {
     sb ++= f"fsync pre-check (standing r11 protocol): 4 KB write+fsync " +
       f"median **$fsyncUs us** — healthy is sub-ms; a multi-ms probe " +
       "means the run sits in a page-flush wake and state-commit-heavy " +
-      "walls are inflated (observed up to +265%%).\n\n"
+      "walls are inflated (observed up to +265%).\n\n"
     sb ++= "| operator | wall s | batches | p50 ms | p95 ms | max ms " +
       "| input rows | state rows | state MB |\n"
     sb ++= "|---|---|---|---|---|---|---|---|---|\n"
@@ -228,6 +245,33 @@ object StreamBench {
         sb ++= f"| ${b.name} | ${d.wallS}%.2f | $wallX%.1f | ${d.rows} " +
           f"| $rowsX%.1f | ${d.stateRows} | $stateX%.1f " +
           f"| ${d.stateBytes / 1e6}%.2f | $verdict |\n"
+      }
+    }
+    val baseBy = report.map(r => r.name -> r).toMap
+    advLegs.filter(_._3.nonEmpty).foreach { case (tag, dir, rows) =>
+      sb ++= s"\n## Adversarial corpus `$tag`: dedup/ANN state carriers at `$dir`\n\n"
+      sb ++= "Same scale as base (input-row x ≈ 1 expected) — the " +
+        "column that matters is STATE rows/bytes vs the healthy " +
+        "corpus: bounded state under a viral template / clustered " +
+        "vectors is the 100 TB streaming claim.\n\n"
+      sb ++= "| operator | wall s | wall x | input rows | rows x " +
+        "| state rows | state x | state MB | verdict |\n"
+      sb ++= "|---|---|---|---|---|---|---|---|---|\n"
+      rows.filter(r => baseBy.contains(r.name)).foreach { a =>
+        val b = baseBy(a.name)
+        val wallX = if (b.wallS > 0) a.wallS / b.wallS else 0.0
+        val rowsX =
+          if (b.rows > 0) a.rows.toDouble / b.rows.toDouble else 0.0
+        val stateX = if (b.stateRows > 0)
+          a.stateRows.toDouble / b.stateRows.toDouble else 0.0
+        // at equal input scale, state growing past ~2x the input ratio
+        // means the adversarial structure is accumulating in the store
+        val verdict =
+          if (rowsX > 0 && stateX > rowsX * 2.0) "**STATE-HEAVY**"
+          else "ok"
+        sb ++= f"| ${a.name} | ${a.wallS}%.2f | $wallX%.1f | ${a.rows} " +
+          f"| $rowsX%.1f | ${a.stateRows} | $stateX%.1f " +
+          f"| ${a.stateBytes / 1e6}%.2f | $verdict |\n"
       }
     }
     val out = java.nio.file.Paths.get(

@@ -26,15 +26,22 @@ object Verify {
   private[graft] def currentRound(root: String): Int =
     try {
       val rx = "CORRECTNESS_r(\\d+)\\.json".r
-      val seen = Files.list(Paths.get(root)).iterator()
-      var mx = 0
-      while (seen.hasNext) {
-        seen.next().getFileName.toString match {
-          case rx(n) => mx = math.max(mx, n.toInt)
-          case _ => ()
+      val stream = Files.list(Paths.get(root))
+      // mx stays 0 when no CORRECTNESS file matched: return 0 (root
+      // GATE_LOG.jsonl fallback) to agree with check_oracle.py's
+      // _current_round on an empty repo, not r01 (r12 advice).
+      val mx = try {
+        val seen = stream.iterator()
+        var m = 0
+        while (seen.hasNext) {
+          seen.next().getFileName.toString match {
+            case rx(n) => m = math.max(m, n.toInt)
+            case _ => ()
+          }
         }
-      }
-      mx + 1
+        m
+      } finally stream.close()
+      if (mx == 0) 0 else mx + 1
     } catch { case _: Throwable => 0 }
 
   private[graft] def gateLog(fields: (String, String)*): Unit =

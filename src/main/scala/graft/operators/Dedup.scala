@@ -216,18 +216,18 @@ object Dedup {
     * streaming near-dup, and incremental corpus probe — derives from this
     * one definition so the candidate generators cannot drift apart. */
   private[graft] val MinhashBandsCte: String =
-    """WITH d AS (
+    """WITH d AS MATERIALIZED (
          SELECT doc_id, list_distinct(list_transform(
            range(1, len(string_split(text,' ')) - 1),
            i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
          FROM documents),
-       sig AS (
+       sig AS MATERIALIZED (
          SELECT doc_id, list_transform(range(0, 16), p ->
            list_aggregate(list_transform(sh, s ->
              ((2*p + 3) * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) + p) % 2147483647),
            'min')) AS sg
          FROM d),
-       bands AS (
+       bands AS MATERIALIZED (
          SELECT doc_id, b,
            array_to_string(sg[2*b + 1 : 2*b + 2], ',') AS band_key
          FROM sig, (SELECT unnest(range(0, 8)) AS b) bs)"""
@@ -260,6 +260,58 @@ object Dedup {
            ON x.b = y.b AND x.band_key = y.band_key
             AND x.doc_id < y.doc_id
          WHERE y.doc_id - x.doc_id <= $NeardupTtlDocs)
+       SELECT c.a_id, c.b_id,
+         CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+           / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard
+       FROM cand c
+       JOIN d da ON da.doc_id = c.a_id
+       JOIN d db ON db.doc_id = c.b_id
+       ORDER BY a_id, b_id"""
+
+  /** Viral band-bucket cap for the TEXT banded-LSH self-join candidate
+    * generators (r13, verdict task #2 — Similarity.BandBucketCap ported
+    * to minhash banding). On a viral-template corpus (the `clique`
+    * CorpusGen mode: m near-identical family members) every band bucket
+    * of the family holds all m members, so the band self-join emits
+    * C(m,2) candidate rows PER BAND — one-key-quadratic at sf10 even
+    * where the verified OUTPUT needn't be. A bucket past the cap
+    * carries ~zero discrimination signal (the MaxShingleDF argument at
+    * the band grain): its members are either one template family —
+    * recovered wholesale by the cluster-representative forms — or a
+    * band-key coincidence that exact-Jaccard verification would reject
+    * anyway. Cap = 1000: far above every healthy/heaps bucket at the
+    * gate scales (every sf0.01 corpus bucket ≤ ~50 members, so every
+    * standing hash is unchanged), below the clique family size from
+    * sf1 up (m = 1%·N = 5 000 at sf1). Recall cost is MEASURED, not
+    * argued: dedup_planted_recall / dedup_recall_curve carry capped
+    * columns scored against planted truth on every corpus.
+    * `final val` (compile-time constant): interpolated into oracle
+    * strings below — the round-7 "val below defs" gotcha applies. */
+  private[graft] final val TextBandBucketCap = 1000
+
+  /** Capped-bands CTE suffix: compose after MinhashBandsCte. kbands is
+    * the band relation with viral buckets (df > TextBandBucketCap)
+    * dropped wholesale — the exact anti-join the Spark side performs. */
+  private[graft] val MinhashCappedBandsCte: String =
+    s""",
+       viralbands AS MATERIALIZED (
+         SELECT b, band_key FROM bands
+         GROUP BY b, band_key HAVING count(*) > $TextBandBucketCap),
+       kbands AS MATERIALIZED (
+         SELECT v.doc_id, v.b, v.band_key
+         FROM bands v LEFT JOIN viralbands w
+           ON w.b = v.b AND w.band_key = v.band_key
+         WHERE w.b IS NULL)"""
+
+  /** Capped banding pairs oracle: dedup_minhash_pairs' relation with the
+    * viral-bucket cap applied to candidate generation. */
+  private[graft] val MinhashPairsCappedOracleSql: String =
+    MinhashBandsCte + MinhashCappedBandsCte + """,
+       cand AS (
+         SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM kbands x JOIN kbands y
+           ON x.b = y.b AND x.band_key = y.band_key
+            AND x.doc_id < y.doc_id)
        SELECT c.a_id, c.b_id,
          CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
            / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard
@@ -1101,14 +1153,7 @@ object Dedup {
         // candidates): one disk-backed localCheckpoint materializes the
         // shingle frame so neither recomputes the shingle expression
         val sh = shingled(s, dir).localCheckpoint()
-        val withSig = signaturesFrom(sh)
-        val bands = bandsOf(withSig)
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band_id") === col("y.band_id") &&
-              col("x.band_key") === col("y.band_key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct()
+        val cand = bandCandidatesFrom(sh)
         val withSh = cand
           .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))
           .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
@@ -1122,6 +1167,37 @@ object Dedup {
           .orderBy("a_id", "b_id")
       },
       Some(MinhashPairsOracleSql)),
+
+    // The CAPPED banding pair generator (r13 — the embedding family's
+    // BandBucketCap ported to text banding): identical to
+    // dedup_minhash_pairs except band buckets holding more than
+    // TextBandBucketCap postings are dropped wholesale before the
+    // self-join. On every healthy/Heaps corpus at gate scales the cap
+    // never fires (buckets ≤ ~50 members) and the output is
+    // bit-identical to the uncapped form; on a viral-template corpus
+    // (clique mode) it is the form that survives sf10 — the uncapped
+    // band self-join there is one-key-quadratic (C(m,2) candidates per
+    // band for an m-member family) while this one's candidate count
+    // stays ∝ N·cap. Recall cost is measured per-J-decile by
+    // dedup_recall_curve's capped columns against planted truth.
+    QueryDef(
+      "dedup_minhash_pairs_capped",
+      (s, dir) => {
+        val sh = shingled(s, dir).localCheckpoint()
+        val cand = bandCandidatesFrom(sh, Some(TextBandBucketCap))
+        val withSh = cand
+          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))
+          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
+        withSh
+          .select(
+            col("a_id"), col("b_id"),
+            (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) -
+                size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"))
+              .as("jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(MinhashPairsCappedOracleSql)),
 
     // b-bit MinHash (Li & König, CACM 2011): keep only the low b=3 bits
     // of each of the 16 permutation minima, packed into ONE 48-bit
@@ -1419,6 +1495,66 @@ object Dedup {
               WHERE a.doc_id < b.doc_id
                 AND bit_count(xor(a.simhash, b.simhash)) <= 3
               ORDER BY a_id, b_id""")),
+
+    // The declarative Hamming join promoted to a full DEDUP PIPELINE
+    // (r13, verdict task #7): user-shaped code end to end — write the
+    // near-dup predicate the naive way (`bit_count(ha ^ hb) <= 3`),
+    // let the session-installed HammingJoinRewrite rule plan it as the
+    // union of 4 chunk equi-joins (PlanSpec asserts: no cartesian, no
+    // BNLJ), then collapse the resulting pair relation to the
+    // (doc_id, rep_id) representative map with connected components —
+    // the same end product as dedup_cluster, driven by the 60-bit
+    // SimHash modality. q_hamming_join_rule demonstrates the rewrite
+    // on the bare pair relation; this entry is the benched proof that
+    // a COMPLETE user pipeline (candidate join → closure → rep map)
+    // keeps the 100 TB shape with zero hand-blocking.
+    QueryDef(
+      "dedup_simhash_declarative",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id")
+        connectedComponents(docs, declarativeHammingPairs(s, dir))
+          .select(col("doc_id"), col("rep_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents),
+              h AS (
+                SELECT doc_id,
+                  CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+                  CAST(concat('0x', substr(md5(concat('x', t)), 1, 15)) AS BIGINT) % 2147483647 AS h2
+                FROM tok),
+              v AS (
+                SELECT doc_id, j,
+                  sum(CASE WHEN ((CASE WHEN j < 30 THEN h1 >> CAST(j AS INTEGER)
+                                       ELSE h2 >> CAST(j - 30 AS INTEGER) END) & 1) = 1
+                           THEN 1 ELSE -1 END) AS vote
+                FROM h, (SELECT unnest(range(0, 60)) AS j) js
+                GROUP BY doc_id, j),
+              sg AS (
+                SELECT doc_id,
+                  CAST(sum(CASE WHEN vote > 0
+                                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS simhash
+                FROM v GROUP BY doc_id),
+              pairs AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM sg a, sg b
+                WHERE a.doc_id < b.doc_id
+                  AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+              edges AS MATERIALIZED (
+                SELECT a_id AS u, b_id AS w FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+              reach(u, w) AS (
+                SELECT u, w FROM edges
+                UNION
+                SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u),
+              rep AS (
+                SELECT u AS doc_id, least(u, min(w)) AS rep_id
+                FROM reach GROUP BY u)
+              SELECT doc.doc_id, COALESCE(rep.rep_id, doc.doc_id) AS rep_id
+              FROM documents doc LEFT JOIN rep ON doc.doc_id = rep.doc_id
+              ORDER BY doc.doc_id""")),
 
     // Cluster collapse: near-dup candidate pairs -> connected components
     // -> one representative (min doc_id) per component -> the (doc_id,
@@ -2236,6 +2372,11 @@ object Dedup {
       (s, dir) => {
         val sh = shingled(s, dir).localCheckpoint()
         val cand = bandCandidatesFrom(sh).localCheckpoint()
+        // the CAPPED generator scored side by side (r13): what does the
+        // TextBandBucketCap cost against planted truth? On unplanted or
+        // sub-cap corpora the two columns are identical by construction.
+        val candC = bandCandidatesFrom(sh, Some(TextBandBucketCap))
+          .localCheckpoint()
         val truth = Tables.load(s, dir, "documents")
           .filter(col("source").startsWith("dupof"))
           .select(
@@ -2248,11 +2389,19 @@ object Dedup {
         val nTruth = truth.agg(count(lit(1)).as("n_truth"))
         val nHit = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
           .agg(count(lit(1)).as("n_hit"))
+        val nCandC = candC.agg(count(lit(1)).as("n_cand_capped"))
+        val nHitC = truth.join(candC, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit_capped"))
         nTruth.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+          .crossJoin(broadcast(nCandC)).crossJoin(broadcast(nHitC))
           .select(col("n_truth"), col("n_candidates"), col("n_hit"),
             when(col("n_truth") === 0, lit(0.0))
               .otherwise(col("n_hit").cast("double") /
-                col("n_truth").cast("double")).as("recall"))
+                col("n_truth").cast("double")).as("recall"),
+            col("n_cand_capped"), col("n_hit_capped"),
+            when(col("n_truth") === 0, lit(0.0))
+              .otherwise(col("n_hit_capped").cast("double") /
+                col("n_truth").cast("double")).as("recall_capped"))
       },
       Some(s"""WITH d AS (
              SELECT doc_id, list_distinct(list_transform(
@@ -2265,14 +2414,27 @@ object Dedup {
                  ((2*p + 3) * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) + p) % 2147483647),
                'min')) AS sg
              FROM d),
-           bands AS (
+           bands AS MATERIALIZED (
              SELECT doc_id, b,
                array_to_string(sg[$BandRows*b + 1 : $BandRows*b + $BandRows],
                  ',') AS band_key
              FROM sig, (SELECT unnest(range(0, ${NumPerms / BandRows})) AS b) bs),
-           cand AS (
+           cand AS MATERIALIZED (
              SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
              FROM bands x JOIN bands y
+               ON x.b = y.b AND x.band_key = y.band_key
+                AND x.doc_id < y.doc_id),
+           viralbands AS MATERIALIZED (
+             SELECT b, band_key FROM bands
+             GROUP BY b, band_key HAVING count(*) > $TextBandBucketCap),
+           kbands AS MATERIALIZED (
+             SELECT v.doc_id, v.b, v.band_key
+             FROM bands v LEFT JOIN viralbands w
+               ON w.b = v.b AND w.band_key = v.band_key
+             WHERE w.b IS NULL),
+           candc AS MATERIALIZED (
+             SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM kbands x JOIN kbands y
                ON x.b = y.b AND x.band_key = y.band_key
                 AND x.doc_id < y.doc_id),
            truth AS (
@@ -2287,11 +2449,21 @@ object Dedup {
                (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
                (SELECT CAST(count(*) AS BIGINT) FROM truth t
                   WHERE EXISTS (SELECT 1 FROM cand c
-                    WHERE c.a_id = t.a_id AND c.b_id = t.b_id)) AS n_hit)
+                    WHERE c.a_id = t.a_id AND c.b_id = t.b_id)) AS n_hit,
+               (SELECT CAST(count(*) AS BIGINT) FROM candc)
+                 AS n_cand_capped,
+               (SELECT CAST(count(*) AS BIGINT) FROM truth t
+                  WHERE EXISTS (SELECT 1 FROM candc c
+                    WHERE c.a_id = t.a_id AND c.b_id = t.b_id))
+                 AS n_hit_capped)
            SELECT n_truth, n_candidates, n_hit,
              CASE WHEN n_truth = 0 THEN 0.0
                ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
-               END AS recall
+               END AS recall,
+             n_cand_capped, n_hit_capped,
+             CASE WHEN n_truth = 0 THEN 0.0
+               ELSE CAST(n_hit_capped AS DOUBLE) / CAST(n_truth AS DOUBLE)
+               END AS recall_capped
            FROM c""")),
 
     // Per-J recall CURVE for the banding generator (round-12 stretch
@@ -2315,6 +2487,11 @@ object Dedup {
       (s, dir) => {
         val sh = shingled(s, dir).localCheckpoint()
         val cand = bandCandidatesFrom(sh).localCheckpoint()
+        // capped generator scored per decile next to the exact one
+        // (r13): WHERE on the J axis does the viral-bucket cap cost
+        // recall? Identical to cand wherever no bucket exceeds the cap.
+        val candC = bandCandidatesFrom(sh, Some(TextBandBucketCap))
+          .localCheckpoint()
         val truth = Tables.load(s, dir, "documents")
           .filter(col("source").startsWith("dupof"))
           .select(
@@ -2345,11 +2522,15 @@ object Dedup {
                 - coalesce(col("n_common"), lit(0L))).cast("double")).as("j"))
           .join(cand.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
           .withColumn("hit", coalesce(col("hit"), lit(0L)))
+          .join(candC.withColumn("hitc", lit(1L)), Seq("a_id", "b_id"),
+            "left")
+          .withColumn("hitc", coalesce(col("hitc"), lit(0L)))
           .withColumn("jq", floor(col("j") * 1000000.0).cast("long"))
           .withColumn("j_lo", floor(col("j") * 10.0) / 10.0)
         val agg = withJ.groupBy("j_lo").agg(
           count(lit(1)).as("n_truth"),
           sum(col("hit")).as("n_hit"),
+          sum(col("hitc")).as("n_hit_capped"),
           sum(col("jq")).as("sum_jq"))
         val curve = agg
           .withColumn("avg_j",
@@ -2357,21 +2538,27 @@ object Dedup {
               / 1000000.0)
           .withColumn("recall",
             col("n_hit").cast("double") / col("n_truth").cast("double"))
+          .withColumn("recall_capped",
+            col("n_hit_capped").cast("double") /
+              col("n_truth").cast("double"))
           // analytic banding S-curve at the decile mean: three squarings
           // — the same IEEE op sequence as the oracle text
           .withColumn("x1", lit(1.0) - col("avg_j") * col("avg_j"))
           .withColumn("x8", col("x1") * col("x1") * (col("x1") * col("x1"))
             * (col("x1") * col("x1") * (col("x1") * col("x1"))))
-          .select(col("j_lo"), col("n_truth"), col("n_hit"), col("avg_j"),
-            col("recall"), (lit(1.0) - col("x8")).as("expected"))
+          .select(col("j_lo"), col("n_truth"), col("n_hit"),
+            col("n_hit_capped"), col("avg_j"),
+            col("recall"), col("recall_capped"),
+            (lit(1.0) - col("x8")).as("expected"))
         // zero-convention row on corpora without planted truth (the
         // dedup_planted_recall discipline): the curve is empty, and one
         // all-zero row documents that instead of an empty relation
         val fallback = truth.agg(count(lit(1)).as("nt"))
           .filter(col("nt") === 0)
           .select(lit(0.0).as("j_lo"), lit(0L).as("n_truth"),
-            lit(0L).as("n_hit"), lit(0.0).as("avg_j"),
-            lit(0.0).as("recall"), lit(0.0).as("expected"))
+            lit(0L).as("n_hit"), lit(0L).as("n_hit_capped"),
+            lit(0.0).as("avg_j"), lit(0.0).as("recall"),
+            lit(0.0).as("recall_capped"), lit(0.0).as("expected"))
         curve.unionAll(fallback).orderBy("j_lo")
       },
       Some(s"""WITH d AS (
@@ -2385,14 +2572,27 @@ object Dedup {
                  ((2*p + 3) * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) + p) % 2147483647),
                'min')) AS sg
              FROM d),
-           bands AS (
+           bands AS MATERIALIZED (
              SELECT doc_id, b,
                array_to_string(sg[$BandRows*b + 1 : $BandRows*b + $BandRows],
                  ',') AS band_key
              FROM sig, (SELECT unnest(range(0, ${NumPerms / BandRows})) AS b) bs),
-           cand AS (
+           cand AS MATERIALIZED (
              SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
              FROM bands x JOIN bands y
+               ON x.b = y.b AND x.band_key = y.band_key
+                AND x.doc_id < y.doc_id),
+           viralbands AS MATERIALIZED (
+             SELECT b, band_key FROM bands
+             GROUP BY b, band_key HAVING count(*) > $TextBandBucketCap),
+           kbands AS MATERIALIZED (
+             SELECT v.doc_id, v.b, v.band_key
+             FROM bands v LEFT JOIN viralbands w
+               ON w.b = v.b AND w.band_key = v.band_key
+             WHERE w.b IS NULL),
+           candc AS MATERIALIZED (
+             SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM kbands x JOIN kbands y
                ON x.b = y.b AND x.band_key = y.band_key
                 AND x.doc_id < y.doc_id),
            truth AS (
@@ -2416,7 +2616,10 @@ object Dedup {
                      AS DOUBLE) AS j,
                CASE WHEN EXISTS (SELECT 1 FROM cand cd
                  WHERE cd.a_id = t.a_id AND cd.b_id = t.b_id)
-                 THEN 1 ELSE 0 END AS hit
+                 THEN 1 ELSE 0 END AS hit,
+               CASE WHEN EXISTS (SELECT 1 FROM candc cc
+                 WHERE cc.a_id = t.a_id AND cc.b_id = t.b_id)
+                 THEN 1 ELSE 0 END AS hitc
              FROM truth t
              LEFT JOIN com c ON c.a_id = t.a_id AND c.b_id = t.b_id
              JOIN sz sa ON sa.doc_id = t.a_id
@@ -2425,16 +2628,20 @@ object Dedup {
              SELECT floor(j * 10.0) / 10.0 AS j_lo,
                CAST(count(*) AS BIGINT) AS n_truth,
                CAST(sum(hit) AS BIGINT) AS n_hit,
+               CAST(sum(hitc) AS BIGINT) AS n_hit_capped,
                CAST(sum(CAST(floor(j * 1000000.0) AS BIGINT)) AS BIGINT)
                  AS sum_jq
              FROM wj GROUP BY 1),
            fin AS (
-             SELECT j_lo, n_truth, n_hit,
+             SELECT j_lo, n_truth, n_hit, n_hit_capped,
                (CAST(sum_jq AS DOUBLE) / CAST(n_truth AS DOUBLE))
                  / 1000000.0 AS avg_j,
-               CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+               CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
+               CAST(n_hit_capped AS DOUBLE) / CAST(n_truth AS DOUBLE)
+                 AS recall_capped
              FROM bkt)
-           SELECT j_lo, n_truth, n_hit, avg_j, recall,
+           SELECT j_lo, n_truth, n_hit, n_hit_capped, avg_j, recall,
+             recall_capped,
              1.0 - ((1.0 - avg_j * avg_j) * (1.0 - avg_j * avg_j)
                  * ((1.0 - avg_j * avg_j) * (1.0 - avg_j * avg_j))
                  * ((1.0 - avg_j * avg_j) * (1.0 - avg_j * avg_j)
@@ -2442,18 +2649,44 @@ object Dedup {
                AS expected
            FROM fin
            UNION ALL
-           SELECT 0.0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0, 0.0, 0.0
+           SELECT 0.0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), 0.0, 0.0, 0.0, 0.0
            WHERE (SELECT count(*) FROM truth) = 0
            ORDER BY j_lo"""))
   )
 
+  /** The USER-SHAPED declarative Hamming pair relation (a_id, b_id)
+    * feeding dedup_simhash_declarative: naive `bit_count(ha ^ hb) <= 3`
+    * join text, planned through the session-installed HammingJoinRewrite
+    * into the union of 4 chunk equi-joins. Exposed so PlanSpec can
+    * assert the rewritten shape on the PAIR stage directly (the
+    * downstream connected-components loop localCheckpoints its input,
+    * which truncates this subtree out of the final plan string). */
+  private[graft] def declarativeHammingPairs(
+      s: SparkSession, dir: String): DataFrame = {
+    if (!s.experimental.extraOptimizations
+        .contains(graft.plans.HammingJoinRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.HammingJoinRewrite
+    val sig = simhashedWide(s, dir).localCheckpoint()
+    val x = sig.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
+    val y = sig.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
+    x.join(y, expr("bit_count(ha ^ hb) <= 3") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+  }
+
   /** The 8-band × 2-row minhash banding candidate generator over a
-    * shared shingle frame — ONE definition for dedup_planted_recall and
+    * shared shingle frame — ONE definition for dedup_minhash_pairs,
+    * dedup_minhash_pairs_capped, dedup_planted_recall and
     * dedup_recall_curve (the same can't-drift discipline as
-    * prefixPairsFrom). */
-  private def bandCandidatesFrom(sh: DataFrame): DataFrame = {
+    * prefixPairsFrom), with the viral-bucket cap as a knob: cap=None is
+    * the exact (spec-output) generator, cap=Some(c) drops band buckets
+    * with more than c members before the self-join — the form whose
+    * candidate count stays bounded on viral-template corpora. */
+  private[graft] def bandCandidatesFrom(
+      sh: DataFrame, cap: Option[Int] = None): DataFrame = {
     val withSig = signaturesFrom(sh)
-    val bands = withSig.select(
+    val bands0 = withSig.select(
       col("doc_id"),
       explode(array((0 until NumPerms / BandRows).map { b =>
         struct(
@@ -2462,6 +2695,15 @@ object Dedup {
             .as("band_key"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val bands = cap match {
+      case None => bands0
+      case Some(c) =>
+        val viral = bands0.groupBy("band_id", "band_key")
+          .agg(count(lit(1)).as("df")).filter(col("df") > c)
+          .select("band_id", "band_key")
+        bands0.join(broadcast(viral), Seq("band_id", "band_key"),
+          "left_anti")
+    }
     bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_key") === col("y.band_key") &&

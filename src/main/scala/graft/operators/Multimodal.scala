@@ -961,7 +961,13 @@ object Multimodal {
             // ssq ≤ 255²·n — all < 2^64 to ~280 TB of text — so casting
             // them first keeps every int→double conversion in the
             // correctly-rounded range on both engines, and the float
-            // sequence is identical cross-engine. greatest(0): float
+            // sequence is identical cross-engine. Trade-off (r13 note):
+            // the double PRODUCTS beyond 2^53 are rounded, so a
+            // near-constant group suffers cancellation and can report a
+            // small positive std (~1e-6 range) instead of exactly 0 —
+            // cross-engine parity holds (both compute the same rounded
+            // sequence) but the value is approximate, not exact, past
+            // 2^53-sized products. greatest(0): float
             // rounding can push a ~zero-variance numerator a hair
             // negative (the skew corpus's identical texts); clamp on
             // BOTH engines before sqrt.

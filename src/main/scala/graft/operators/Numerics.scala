@@ -198,9 +198,11 @@ object Numerics {
         // group legitimately exceeds 2^64, where DuckDB's direct
         // HUGEINT->DOUBLE half-splitting cast is not correctly rounded.
         // Split-cast hi/lo at 2^32 on BOTH engines: each cast input
-        // stays < 2^64 (correctly rounded) up to sy2 < 2^96, the float
-        // sequence is identical cross-engine, and nothing throws at
-        // scale. For sy2 < 2^53 this reconstructs the direct cast
+        // stays < 2^64 (correctly rounded) up to sy2 < 2^95 — the hard
+        // edge is Spark's DIV yielding LongType, so the quotient
+        // overflows (loud, ANSI) at sy2 >= 2^95 while DuckDB's HUGEINT
+        // // succeeds; below that the float sequence is identical
+        // cross-engine and nothing throws at scale. For sy2 < 2^53 this reconstructs the direct cast
         // bit-exactly.
         val dsy2 =
           expr("CAST(sy2 DIV 4294967296 AS DOUBLE) * 4294967296.0D" +

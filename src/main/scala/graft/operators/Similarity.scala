@@ -26,7 +26,7 @@ object Similarity {
   private[graft] val NumQueries = 10
   private val MrlDims = 16 // Matryoshka prefix length for emb_mrl_eval
   private val NearDupThreshold = 0.4
-  private val NumHyperplanes = 8 // 256 buckets
+  private val RandProjDims = 8 // emb_rand_proj's fixed 64→8 JL reduction
   private val KnnGraphK = 3 // neighbors per vector in the k-NN graph
   // Planted near-neighbor id base of the clustered CorpusGen mode — the
   // in-band marker: vec_id >= PlantBase declares "perturbed copy of
@@ -75,37 +75,85 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16) % 2147483647L
   }
 
+  /** Corpus-scaled hyperplane count (r13, the IVF-√N treatment for the
+    * hash-bucket LSH family): p = max(8, ⌊log₂ N⌋ − 6), i.e. 2^p
+    * buckets ≈ N/64 — expected bucket occupancy pinned near 64 as the
+    * corpus grows, instead of the historical FIXED 256 buckets whose
+    * occupancy (and therefore per-query candidate cost) grows linearly
+    * with N. ⌊log₂ N⌋ is computed in EXACT integer arithmetic on both
+    * engines — Scala: 63 − numberOfLeadingZeros(n); DuckDB:
+    * length(bin(n)) − 1 — never an IEEE log2, so the plane count (and
+    * every bucket downstream) cannot drift cross-engine at a power-of-2
+    * boundary. At gate scales (N < 16 384) the floor keeps the
+    * historical 8 planes, so every small-corpus result is unchanged.
+    * Recall note (SCALE.md r13): per-PAIR home-bucket collision decays
+    * slowly as planes grow (each plane is a ~1.5% flip chance on the
+    * clustered corpus's planted pairs); the serving path that stays
+    * flat under this sizing is MULTIPROBE (home + 1-bit flips —
+    * sim_ann_lsh_multiprobe, measured by sim_planted_recall's
+    * lsh_probe1 row), whose candidate cost is (p+1)·occupancy ≈
+    * (p+1)·64 — logarithmic in N, the 100 TB shape. */
+  private def planesFor(n: Long): Int =
+    math.max(8,
+      (63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))) - 6)
+
+  /** DuckDB mirror of planesFor over the embeddings table: a scalar
+    * subquery every consumer oracle interpolates (the CentStrideSql
+    * recipe). length(bin(n)) − 1 = ⌊log₂ n⌋ exactly. */
+  private val PlanesSql =
+    "(SELECT greatest(8, length(bin(greatest(count(*), 1))) - 7) FROM embeddings)"
+
+  /** Spark-side plane count for a corpus dir — one bounded driver
+    * scalar per query build, same pre-flight discipline as
+    * centStride. */
+  private def planesOf(s: SparkSession, dir: String): Int =
+    planesFor(emb(s, dir).count())
+
   /** Hyperplane component r(j, k) in [-1.0, 1.0], derived from the
     * md5-based hash31 of "j_k" — engine-portable (the DuckDB oracle
     * recomputes the identical value from md5 in SQL). Folded to literal
     * constants HERE because higher-order-function lambdas are
     * interpreted per row: leaving the md5 inside the lambda re-hashed
-    * 8 x 64 strings for every input row. */
-  private lazy val planeConsts: IndexedSeq[IndexedSeq[Double]] =
-    IndexedSeq.tabulate(NumHyperplanes, 64) { (j, k) =>
-      (hash31Scala(s"${j}_$k") % 2001 - 1000).toDouble / 1000.0
-    }
+    * planes x 64 strings for every input row. Memoized per plane count
+    * (the count is now corpus-scaled). */
+  private val planeConstCache =
+    scala.collection.concurrent.TrieMap[Int, IndexedSeq[IndexedSeq[Double]]]()
 
-  /** LSH bucket id: bit j = sign of dot(v, r_j). The dot folds
-    * left-to-right in double (zero seed), same recipe as cosine, so the
-    * bucket — and everything downstream — is oracle-checkable. */
-  private def bucketCol: org.apache.spark.sql.Column =
-    (0 until NumHyperplanes).map { j =>
+  private def planeConstsFor(p: Int): IndexedSeq[IndexedSeq[Double]] =
+    planeConstCache.getOrElseUpdate(p,
+      IndexedSeq.tabulate(p, 64) { (j, k) =>
+        (hash31Scala(s"${j}_$k") % 2001 - 1000).toDouble / 1000.0
+      })
+
+  /** The 64→RandProjDims projection family (emb_rand_proj): a FIXED
+    * feature dimensionality, deliberately not corpus-scaled — a JL
+    * reduction is a schema choice, not an occupancy knob. */
+  private lazy val planeConsts: IndexedSeq[IndexedSeq[Double]] =
+    planeConstsFor(RandProjDims)
+
+  /** LSH bucket id over p corpus-scaled planes: bit j = sign of
+    * dot(v, r_j). The dot folds left-to-right in double (zero seed),
+    * same recipe as cosine, so the bucket — and everything downstream —
+    * is oracle-checkable. */
+  private def bucketColFor(p: Int): org.apache.spark.sql.Column =
+    (0 until p).map { j =>
       val dot = aggregate(
         zip_with(col("embedding"),
-          array(planeConsts(j).map(lit): _*),
+          array(planeConstsFor(p)(j).map(lit): _*),
           (v, r) => v.cast("double") * r),
         lit(0.0), (a, x) => a + x)
       when(dot > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** DuckDB mirror of bucketCol (same hash family, same fold order). */
+  /** DuckDB mirror of bucketColFor (same hash family, same fold order);
+    * the plane count is the PlanesSql scalar, evaluated by the oracle
+    * engine itself so it can never drift from the corpus. */
   private val bucketSql =
-    s"""CAST(list_sum(list_transform(range(0, $NumHyperplanes), j ->
+    s"""CAST(list_sum(list_transform(range(0, $PlanesSql), j ->
           CASE WHEN list_reduce(list_transform(list_zip(embedding, range(0, 64)), p ->
                  CAST(p[1] AS DOUBLE) * ((((CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', CAST(p[2] AS VARCHAR))), 1, 15)) AS BIGINT) % 2147483647) % 2001) - 1000) / 1000.0)),
                  (x, y) -> x + y) > 0
-               THEN (1 << j) ELSE 0 END)) AS BIGINT)"""
+               THEN (1 << CAST(j AS INTEGER)) ELSE 0 END)) AS BIGINT)"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -148,7 +196,7 @@ object Similarity {
       "sim_ann_lsh",
       (s, dir) => {
         val bucketed = embParallel(s, dir)
-          .withColumn("bucket", bucketCol.cast("long"))
+          .withColumn("bucket", bucketColFor(planesOf(s, dir)).cast("long"))
         val q = bucketed.filter(col("vec_id") < NumQueries)
           .select(
             col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -232,13 +280,14 @@ object Similarity {
     QueryDef(
       "sim_ann_lsh_multiprobe",
       (s, dir) => {
+        val p = planesOf(s, dir)
         val bucketed = embParallel(s, dir)
-          .withColumn("bucket", bucketCol.cast("long"))
-        // flip = -1 denotes the home bucket; 0..7 flip one hyperplane bit
+          .withColumn("bucket", bucketColFor(p).cast("long"))
+        // flip = -1 denotes the home bucket; 0..p-1 flip one plane bit
         val probes = bucketed.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
             col("bucket"),
-            explode(sequence(lit(-1), lit(NumHyperplanes - 1))).as("flip"))
+            explode(sequence(lit(-1), lit(p - 1))).as("flip"))
           .select(col("q_id"), col("q_emb"),
             when(col("flip") < 0, col("bucket"))
               .otherwise(expr("bucket ^ cast(shiftleft(1, flip) as bigint)"))
@@ -262,7 +311,7 @@ object Similarity {
                  SELECT q_id, q_emb,
                    CASE WHEN f < 0 THEN bucket
                         ELSE xor(bucket, CAST(1 << f AS BIGINT)) END AS bucket
-                 FROM q, (SELECT unnest(range(-1, $NumHyperplanes)) AS f) fs),
+                 FROM q, (SELECT unnest(range(-1, $PlanesSql)) AS f) fs),
                c AS (SELECT p.q_id, b.vec_id,
                        ${cosineSql("p.q_emb", "b.embedding")} AS cos
                      FROM b JOIN probes p
@@ -1170,7 +1219,7 @@ object Similarity {
     QueryDef(
       "emb_rand_proj",
       (s, dir) => {
-        val projections = (0 until NumHyperplanes).map { j =>
+        val projections = (0 until RandProjDims).map { j =>
           aggregate(
             zip_with(col("embedding"),
               array(planeConsts(j).map(lit): _*),
@@ -1186,7 +1235,7 @@ object Similarity {
                  list_reduce(list_transform(list_zip(embedding, range(0, 64)), p ->
                    CAST(p[1] AS DOUBLE) * ((((CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', CAST(p[2] AS VARCHAR))), 1, 15)) AS BIGINT) % 2147483647) % 2001) - 1000) / 1000.0)),
                    (x, y) -> x + y) AS proj
-               FROM embeddings, (SELECT unnest(range(0, $NumHyperplanes)) AS j) js
+               FROM embeddings, (SELECT unnest(range(0, $RandProjDims)) AS j) js
                ORDER BY vec_id, j""")),
 
     // Corpus-wide k-NN GRAPH (every vector's top-KnnGraphK neighbors, not
@@ -1355,8 +1404,17 @@ object Similarity {
         val exact = graft.Registry.byName("sim_topk_bruteforce")
           .run(s, dir).select(col("q_id"), col("vec_id")).localCheckpoint()
         val queries = embParallel(s, dir).filter(col("vec_id") < NumQueries)
+        // ONE corpus assignment pass shared by every nprobe leg (r13,
+        // verdict task #4): ivfCandidatesFor builds the N·√N
+        // ivfAssignTop1 per call, so the 2-leg sweep paid the
+        // quantizer twice — the dominant real cost after the r12 √N
+        // rewrite. The assignment is leg-invariant (only the QUERY
+        // probe count varies), so hoisting it is lossless.
+        val centroids = ivfCentroids(s, dir)
+        val assigned =
+          ivfAssignTop1(s, embParallel(s, dir), broadcast(centroids))
         def leg(nprobe: Int): DataFrame = {
-          val cand = ivfCandidatesFor(s, dir, nprobe, queries)
+          val cand = ivfCandidatesOn(s, nprobe, queries, centroids, assigned)
             .localCheckpoint() // feeds both the top-k and the cost count
           val ann = ivfTopKOf(cand)
             .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
@@ -1387,8 +1445,10 @@ object Similarity {
     // evaluator, with no generator-seed knowledge. This scores the
     // registry's three candidate-generation scale paths — did the
     // bucketed/probed generator co-locate the pairs we KNOW are
-    // nearest neighbors? One row per method: the 8-hyperplane LSH
-    // bucket (sim_ann_lsh's generator) and the IVF inverted lists at
+    // nearest neighbors? One row per method: the corpus-scaled-plane
+    // LSH home bucket (sim_ann_lsh's generator), its ≤1-bit multiprobe
+    // surface (sim_ann_lsh_multiprobe's — the row that stays flat as
+    // planes scale, r13), and the IVF inverted lists at
     // nprobe=1/2 (sim_ann_ivf's). sim_ann_recall scores ANN against
     // brute force on 10 FIXED queries; this is corpus-wide recall
     // against an independent, generator-planted answer key — the
@@ -1409,7 +1469,8 @@ object Similarity {
           .select((col("vec_id") - PlantBase).as("src"),
             col("vec_id").as("dup"))
           .localCheckpoint()
-        val buck = e.withColumn("bucket", bucketCol.cast("long"))
+        val buck = e
+          .withColumn("bucket", bucketColFor(planesOf(s, dir)).cast("long"))
           .select("vec_id", "bucket")
         // arn <= 2 covers both nprobe legs from ONE assignment pass.
         // Assignment input is RESTRICTED to the rows the scorecard
@@ -1426,12 +1487,25 @@ object Similarity {
           .filter(col("arn") <= 2).select("vec_id", "c_id", "arn")
           .localCheckpoint()
         val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-        val lshHit = truth
+        // one bucket join feeds BOTH lsh rows: home-bucket equality
+        // (sim_ann_lsh's generator) and the ≤1-bit multiprobe surface
+        // (sim_ann_lsh_multiprobe's — a pair is reachable iff the two
+        // buckets differ in at most one plane bit). The probe1 row is
+        // the one that stays flat under corpus-scaled planes (r13):
+        // per-pair home-bucket collision decays ~1.5%/plane, while
+        // home+1-flip absorbs exactly the single-plane flips that
+        // dominate that loss.
+        val bucketPairs = truth
           .join(buck.select(col("vec_id").as("dup"),
             col("bucket").as("bd")), "dup")
           .join(buck.select(col("vec_id").as("src"),
             col("bucket").as("bs")), "src")
+          .localCheckpoint()
+        val lshHit = bucketPairs
           .filter(col("bd") === col("bs"))
+          .agg(count(lit(1)).as("n_hit"))
+        val probe1Hit = bucketPairs
+          .filter(expr("bit_count(bd ^ bs) <= 1"))
           .agg(count(lit(1)).as("n_hit"))
         val srcList = ranked.filter(col("arn") === 1)
           .select(col("vec_id").as("src"), col("c_id").as("src_list"))
@@ -1456,6 +1530,7 @@ object Similarity {
           .unionAll(row("ivf_nprobe2",
             iv.agg(coalesce(sum("h2"), lit(0L)).cast("long").as("n_hit"))))
           .unionAll(row("lsh_bucket", lshHit))
+          .unionAll(row("lsh_probe1", probe1Hit))
           .orderBy("method")
       },
       Some(s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
@@ -1471,11 +1546,13 @@ object Similarity {
         b AS (SELECT vec_id, $bucketSql AS bucket FROM embeddings),
         truth AS (SELECT vec_id - $PlantBase AS src, vec_id AS dup
                   FROM embeddings WHERE vec_id >= $PlantBase),
-        lsh AS (SELECT t.dup
-                FROM truth t
-                JOIN b bd ON bd.vec_id = t.dup
-                JOIN b bs ON bs.vec_id = t.src
-                WHERE bd.bucket = bs.bucket),
+        bp AS (SELECT t.dup, bd.bucket AS bdb, bs.bucket AS bsb
+               FROM truth t
+               JOIN b bd ON bd.vec_id = t.dup
+               JOIN b bs ON bs.vec_id = t.src),
+        lsh AS (SELECT dup FROM bp WHERE bdb = bsb),
+        lshp1 AS (SELECT dup FROM bp
+                  WHERE bit_count(xor(bdb, bsb)) <= 1),
         sl AS (SELECT vec_id, c_id AS src_list FROM ranked WHERE arn = 1),
         iv AS (SELECT t.dup,
                  max(CASE WHEN r.arn = 1 AND r.c_id = s.src_list
@@ -1488,6 +1565,7 @@ object Similarity {
         c AS (SELECT
                 (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
                 (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS lsh_hit,
+                (SELECT CAST(count(*) AS BIGINT) FROM lshp1) AS lshp1_hit,
                 (SELECT CAST(coalesce(sum(h1), 0) AS BIGINT) FROM iv)
                   AS iv1_hit,
                 (SELECT CAST(coalesce(sum(h2), 0) AS BIGINT) FROM iv)
@@ -1499,7 +1577,8 @@ object Similarity {
         FROM (
           SELECT 'ivf_nprobe1' AS method, n_truth, iv1_hit AS n_hit FROM c
           UNION ALL SELECT 'ivf_nprobe2', n_truth, iv2_hit FROM c
-          UNION ALL SELECT 'lsh_bucket', n_truth, lsh_hit FROM c)
+          UNION ALL SELECT 'lsh_bucket', n_truth, lsh_hit FROM c
+          UNION ALL SELECT 'lsh_probe1', n_truth, lshp1_hit FROM c)
         ORDER BY method"""))
   )
 

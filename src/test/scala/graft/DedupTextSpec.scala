@@ -513,6 +513,11 @@ class DedupTextSpec extends AnyFunSuite {
       val (rec, exp) = (r.getAs[Double]("recall"), r.getAs[Double]("expected"))
       assert(rec >= 0.0 && rec <= 1.0 && exp >= 0.0 && exp <= 1.0)
       assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_truth"))
+      // capped column (r13): a strict candidate subset — never MORE hits;
+      // on this Heaps corpus (1000 docs, every bucket far below the cap)
+      // the capped generator is bit-identical to the exact one
+      assert(r.getAs[Long]("n_hit_capped") === r.getAs[Long]("n_hit"))
+      assert(r.getAs[Double]("recall_capped") === rec)
     }
     // decile totals = the planted-pair population (47 dups in 1000 docs:
     // ids 19,39,...,999 — every one lands in exactly one bucket)
@@ -523,6 +528,39 @@ class DedupTextSpec extends AnyFunSuite {
     val zr = Registry.byName("dedup_recall_curve")
       .run(spark, TestSpark.sf).collect()
     assert(zr.length === 1 && zr.head.getAs[Long]("n_truth") === 0L)
+  }
+
+  test("band bucket cap: viral family dropped from candidates, rest intact") {
+    // r13 (verdict task #2): a synthetic viral clique — 10 identical
+    // template docs (every band bucket holds all 10) plus one genuinely
+    // near-dup pair of distinct text. With cap=3 the template buckets
+    // exceed the cap and are dropped WHOLESALE; the near-dup pair's
+    // buckets (2 members) survive. The registry value (1000) is gate-
+    // checked against the oracle on every corpus; this exercises the
+    // MECHANISM at a unit scale where the cap actually fires.
+    import spark.implicits._
+    val template = "the viral template body repeats across the family " +
+      "with enough words to shingle cleanly and evenly"
+    val docs = (0 until 10).map(i => (i.toLong, template)) ++ Seq(
+      (100L, "a genuinely unique document about alpine marmots and their burrows"),
+      (101L, "a genuinely unique document about alpine marmots and their dens"))
+    val d = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val sh = graft.operators.Dedup.shingled(spark, d).localCheckpoint()
+    val exact = graft.operators.Dedup.bandCandidatesFrom(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.operators.Dedup.bandCandidatesFrom(sh, Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact), "cap invented candidate pairs")
+    // every template pair is in the exact set (identical signatures)...
+    assert(exact.contains((0L, 1L)) && exact.contains((8L, 9L)))
+    // ...and none survives the cap (family size 10 > cap 3 in all bands)
+    assert(!capped.exists { case (a, b) => a < 10L && b < 10L },
+      s"viral family pair survived the cap: $capped")
+    // the sub-cap near-dup pair is untouched
+    assert(exact.contains((100L, 101L)) && capped.contains((100L, 101L)),
+      s"sub-cap near-dup pair lost: exact=$exact capped=$capped")
   }
 
   test("ngram novelty scores first occurrence 1.0 and exact dup 0.0") {

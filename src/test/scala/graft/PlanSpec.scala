@@ -554,6 +554,21 @@ class PlanSpec extends AnyFunSuite {
       s"expected k+1=4 chunk-equality join branches:\n$p")
   }
 
+  test("declarative hamming PIPELINE pair stage: chunk equi-join union, no BNLJ") {
+    // r13 (verdict task #7): the benched dedup_simhash_declarative
+    // pipeline's candidate stage must plan through HammingJoinRewrite —
+    // asserted on the pair relation itself because the downstream
+    // connected-components loop checkpoints (truncates) this subtree
+    val df = graft.operators.Dedup.declarativeHammingPairs(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"naive hamming join survived as a quadratic join:\n$p")
+    assert(p.contains("Union"), s"no union of chunk branches:\n$p")
+    assert("Join".r.findAllIn(p).size >= 4,
+      s"expected k+1=4 chunk-equality join branches:\n$p")
+  }
+
   test("cms exact companion is partial-agg + top-k, no global sort") {
     val p = plan("q_cms_exact")
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")

@@ -16,7 +16,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   // Queries whose correct result may legitimately be empty at sf0.001.
-  private val mayBeEmpty = Set("dedup_minhash_pairs", "dedup_simhash_pairs")
+  private val mayBeEmpty = Set("dedup_minhash_pairs",
+    "dedup_minhash_pairs_capped", "dedup_simhash_pairs")
 
   // Conf keys an operator may legitimately leave set on the shared
   // session: the idempotent corpus-wide parquet-nanos read requirement

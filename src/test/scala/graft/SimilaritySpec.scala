@@ -538,10 +538,13 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getAs[String]("method") ->
         ((r.getAs[Long]("n_truth"), r.getAs[Long]("n_hit"),
           r.getAs[Double]("recall")))).toMap
-    assert(m.keySet === Set("ivf_nprobe1", "ivf_nprobe2", "lsh_bucket"))
+    assert(m.keySet ===
+      Set("ivf_nprobe1", "ivf_nprobe2", "lsh_bucket", "lsh_probe1"))
     assert(m("ivf_nprobe1")._1 === 25L) // 500/20 planted pairs
     // widening the probe set can only ADD candidate lists
     assert(m("ivf_nprobe2")._3 >= m("ivf_nprobe1")._3)
+    // the ≤1-bit multiprobe surface is a superset of the home bucket
+    assert(m("lsh_probe1")._3 >= m("lsh_bucket")._3)
     m.foreach { case (meth, (_, _, r)) =>
       assert(r >= 0.8 && r <= 1.0,
         s"$meth recall $r outside the designed band")
