@@ -144,7 +144,8 @@ object GrowthBench {
     // round-13 wave: the capped text-banding generator (verdict task
     // #2) and the declarative-hamming pipeline (task #7)
     "dedup_minhash_pairs_capped" -> "~linear (viral band buckets dropped: candidates ~ N x cap, never m^2)",
-    "dedup_simhash_declarative" -> "~linear x log(diameter) (rule-rewritten chunk equi-joins + pointer doubling)")
+    "dedup_simhash_declarative" -> "~linear x log(diameter) (rule-rewritten chunk equi-joins + pointer doubling)",
+    "pipeline_viral_clean" -> "~linear x stages (star-capped banding: viral buckets emit m-1 edges, never C(m,2))")
 
   /** sf dirs to measure, smallest first. Overridable so the 0.1->1
     * decade can run on generated same-seed corpora (round-7 verdict

@@ -2015,6 +2015,132 @@ object Dedup {
               FROM sp GROUP BY split, lang
               ORDER BY split, lang""")),
 
+    // The VIRAL-SAFE capstone (r13, verdict stretch #8): the corpus-
+    // cleaning pipeline a platform team runs when the corpus is
+    // suspected of boilerplate/template families — quality gate
+    // (map-only) → STAR-capped banded-LSH candidates (viral buckets
+    // emit anchor→member edges: m−1 rows, never C(m,2) — see
+    // bandCandidatesStarCapped) → exact-Jaccard verify → connected-
+    // components cluster collapse to one representative per family →
+    // token-budget sample over the representative corpus (the
+    // sample_token_budget allocator: B = ⌊Σtok/5⌋, per-source share
+    // ∝ ⌊√tok_s⌋, greedy fill by the md5 uniform). Output is the run
+    // MANIFEST — one row of exact stage counts (docs → kept → candidate
+    // pairs → verified pairs → representatives → sampled docs/tokens),
+    // which is what a pipeline orchestrator records per run and what
+    // the oracle replays end to end. Unlike pipeline_corpus_clean
+    // (exact dedup + wide-SimHash greedy drop), every stage here keeps
+    // its 100 TB shape ON A VIRAL CORPUS: the candidate join is bounded
+    // per bucket, the collapse still merges the whole template family
+    // through the star edges, and the budget never materializes
+    // corpus-sized state (k-row source aggregate + one window).
+    QueryDef(
+      "pipeline_viral_clean",
+      (s, dir) => viralCleanRun(s, dir),
+      Some(s"""WITH RECURSIVE q AS (
+                SELECT doc_id, text, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to','is','in'))) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+                  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+                  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) AS noise_ratio
+                FROM documents),
+              kept AS MATERIALIZED (
+                SELECT doc_id, text, source FROM q
+                WHERE n_tokens >= 8 AND stop_ratio <= 0.35
+                  AND noise_ratio <= 0.25 AND avg_word_len >= 3.0),
+              d AS MATERIALIZED (
+                SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(string_split(text,' ')) - 1),
+                  i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+                FROM kept),
+              sig AS MATERIALIZED (
+                SELECT doc_id, list_transform(range(0, 16), p ->
+                  list_aggregate(list_transform(sh, s ->
+                    ((2*p + 3) * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) + p) % 2147483647),
+                  'min')) AS sg
+                FROM d),
+              bands AS MATERIALIZED (
+                SELECT doc_id, b,
+                  array_to_string(sg[2*b + 1 : 2*b + 2], ',') AS band_key
+                FROM sig, (SELECT unnest(range(0, 8)) AS b) bs),
+              bstat AS MATERIALIZED (
+                SELECT doc_id, b, band_key,
+                  count(*) OVER (PARTITION BY b, band_key) AS bdf,
+                  min(doc_id) OVER (PARTITION BY b, band_key) AS anchor
+                FROM bands),
+              cand AS MATERIALIZED (
+                SELECT DISTINCT a_id, b_id FROM (
+                  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM bstat x JOIN bstat y
+                    ON x.b = y.b AND x.band_key = y.band_key
+                     AND x.doc_id < y.doc_id
+                  WHERE x.bdf <= $TextBandBucketCap
+                  UNION ALL
+                  SELECT anchor, doc_id FROM bstat
+                  WHERE bdf > $TextBandBucketCap AND doc_id != anchor)),
+              pairs AS MATERIALIZED (
+                SELECT c.a_id, c.b_id
+                FROM cand c
+                JOIN d da ON da.doc_id = c.a_id
+                JOIN d db ON db.doc_id = c.b_id
+                WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                  / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) >= $JaccardThreshold),
+              edges AS MATERIALIZED (
+                SELECT a_id AS u, b_id AS w FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+              reach(u, w) AS (
+                SELECT u, w FROM edges
+                UNION
+                SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u),
+              repmap AS (
+                SELECT u AS doc_id, least(u, min(w)) AS rep_id
+                FROM reach GROUP BY u),
+              reps AS MATERIALIZED (
+                SELECT k.doc_id, k.text, k.source FROM kept k
+                LEFT JOIN repmap r ON r.doc_id = k.doc_id
+                WHERE COALESCE(r.rep_id, k.doc_id) = k.doc_id),
+              dd AS MATERIALIZED (
+                SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+                FROM reps),
+              st AS (
+                SELECT source, sum(CAST(n_toks AS HUGEINT)) AS tok_s,
+                  CAST(floor(sqrt(CAST(sum(n_toks) AS DOUBLE))) AS BIGINT)
+                    AS wq
+                FROM dd GROUP BY source),
+              t AS (SELECT sum(CAST(wq AS HUGEINT)) AS wtot,
+                           sum(tok_s) AS btot FROM st),
+              bdg AS (
+                SELECT source,
+                  CAST(((t.btot // 5) * CAST(wq AS HUGEINT))
+                    // nullif(t.wtot, 0) AS BIGINT) AS budget_toks
+                FROM st CROSS JOIN t),
+              cum AS (
+                SELECT doc_id, source, n_toks,
+                  sum(n_toks) OVER (PARTITION BY source ORDER BY
+                    (CAST(concat('0x', substr(md5(concat('pclean', '|',
+                        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                      % 2147483647) ASC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_toks
+                FROM dd),
+              samp AS MATERIALIZED (
+                SELECT c.doc_id, c.n_toks
+                FROM cum c JOIN bdg b ON b.source = c.source
+                WHERE c.cum_toks - c.n_toks < b.budget_toks)
+              SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+                (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+                (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+                (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+                (SELECT CAST(count(*) AS BIGINT) FROM reps) AS n_reps,
+                (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sampled,
+                (SELECT CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM samp)
+                  AS n_toks_sampled""")),
+
     // Candidate-generator QA — the eval every dedup deployment needs
     // before trusting a sketch: precision/recall of each approximate
     // generator's CANDIDATE set against the exact n-gram-Jaccard truth
@@ -2685,16 +2811,7 @@ object Dedup {
     * candidate count stays bounded on viral-template corpora. */
   private[graft] def bandCandidatesFrom(
       sh: DataFrame, cap: Option[Int] = None): DataFrame = {
-    val withSig = signaturesFrom(sh)
-    val bands0 = withSig.select(
-      col("doc_id"),
-      explode(array((0 until NumPerms / BandRows).map { b =>
-        struct(
-          lit(b.toLong).as("band_id"),
-          concat_ws(",", slice(col("sig"), b * BandRows + 1, BandRows))
-            .as("band_key"))
-      }: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val bands0 = bandRows(sh)
     val bands = cap match {
       case None => bands0
       case Some(c) =>
@@ -2710,6 +2827,134 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+  }
+
+  /** The (doc_id, band_id, band_key) posting relation — the one banding
+    * layout every minhash candidate generator derives from. */
+  private def bandRows(sh: DataFrame): DataFrame =
+    signaturesFrom(sh).select(
+      col("doc_id"),
+      explode(array((0 until NumPerms / BandRows).map { b =>
+        struct(
+          lit(b.toLong).as("band_id"),
+          concat_ws(",", slice(col("sig"), b * BandRows + 1, BandRows))
+            .as("band_key"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+
+  /** STAR-capped banding candidates — the third viral posture (r13),
+    * for CLUSTER-collapse consumers. The wholesale-drop cap
+    * (bandCandidatesFrom(cap)) is right for a pair-EMITTING operator:
+    * a viral bucket's C(m,2) pairs are the quadratic output itself, so
+    * dropping the bucket is the point. A downstream connected-components
+    * collapse has the opposite need — it must keep the viral family
+    * CONNECTED (one representative for the whole template family) while
+    * refusing the quadratic join. Star topology does both: buckets at or
+    * under the cap self-join exactly as the exact generator; buckets
+    * past it emit (anchor=min doc_id, member) edges — m−1 rows instead
+    * of C(m,2), and the family stays one component by construction (a
+    * sampled cap would strand the ~(1−c/m)^bands fraction of members
+    * no sampled bucket retains). Per-bucket stats come from ONE window
+    * pass (count + min over the bucket partition — a single hash
+    * shuffle on (band_id, band_key); a viral bucket makes a large
+    * window partition but the work is linear in it, never joined
+    * against itself). Precision note: a star edge still passes exact-
+    * Jaccard verification downstream, so a band-key COINCIDENCE bucket
+    * (members not actually similar) contributes nothing — same as the
+    * all-pairs form, minus the within-bucket sub-family pairs a
+    * coincidence bucket would have surfaced (those co-land in their own
+    * non-viral buckets anyway). */
+  private[graft] def bandCandidatesStarCapped(
+      sh: DataFrame, cap: Int): DataFrame = {
+    val wB = Window.partitionBy("band_id", "band_key")
+    val stat = bandRows(sh)
+      .withColumn("bdf", count(lit(1)).over(wB))
+      .withColumn("anchor", min("doc_id").over(wB))
+    val small = stat.filter(col("bdf") <= cap)
+      .select("doc_id", "band_id", "band_key")
+    val smallPairs = small.as("x").join(small.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val starPairs = stat.filter(col("bdf") > cap &&
+        col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("a_id"), col("doc_id").as("b_id"))
+    smallPairs.unionAll(starPairs).distinct()
+  }
+
+  /** The pipeline_viral_clean stage driver — ONE implementation shared
+    * by the registry operator and the stage-wall harness
+    * (graft.PipelineBench), so the benched walls measure exactly the
+    * operator the oracle checks. Each stage is materialized with a
+    * localCheckpoint and its row count reported through the callback
+    * (stage, rowsOut, wallSeconds); every count is a bounded driver
+    * scalar (the same class as the manifest itself — this is the run
+    * record a pipeline orchestrator keeps, not row data). Returns the
+    * one-row manifest frame. */
+  private[graft] def viralCleanRun(
+      s: SparkSession, dir: String,
+      onStage: (String, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
+    import graft.operators.TextAnalysis.{avgWordLen, noiseRatio, stopwordRatio, tokenCount}
+    def stage(name: String)(f: => DataFrame): (DataFrame, Long) = {
+      val t0 = System.nanoTime()
+      val frame = f.localCheckpoint()
+      val n = frame.count()
+      onStage(name, n, (System.nanoTime() - t0) / 1e9)
+      (frame, n)
+    }
+    val (input, nDocs) = stage("read")(
+      docsParallel(s, dir).select("doc_id", "text", "source"))
+    val (kept, nKept) = stage("quality_gate")(input
+      .filter(tokenCount(col("text")) >= 8 &&
+        stopwordRatio(col("text")) <= 0.35 &&
+        noiseRatio(col("text")) <= 0.25 &&
+        avgWordLen(col("text")) >= 3.0))
+    val (sh, _) = stage("shingle")(
+      kept.select(col("doc_id"), shingles(col("text"), 3).as("sh")))
+    val (cand, nCand) = stage("band_candidates_star_capped")(
+      bandCandidatesStarCapped(sh, TextBandBucketCap))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val (verified, nPairs) = stage("jaccard_verify")(cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
+      .filter(inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double")
+        >= JaccardThreshold)
+      .select("a_id", "b_id"))
+    val (reps, nReps) = stage("cluster_collapse")(
+      connectedComponents(kept.select("doc_id"), verified)
+        .filter(col("doc_id") === col("rep_id")).select("doc_id"))
+    val d38 = "decimal(38,0)"
+    val (sampled, nSampled) = stage("token_budget_sample") {
+      val docs = kept.join(reps, Seq("doc_id"), "left_semi")
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      val st = docs.groupBy("source")
+        .agg(sum(col("n_toks").cast(d38)).as("tok_s"))
+        .withColumn("wq",
+          floor(sqrt(col("tok_s").cast("double"))).cast("long"))
+      val tot = st.agg(sum(col("wq").cast(d38)).as("wtot"),
+        sum(col("tok_s")).as("btot"))
+      val budget = st.crossJoin(broadcast(tot))
+        .select(col("source"), expr(
+          """CAST(((btot div 5) * CAST(wq AS DECIMAL(38,0)))
+               div nullif(wtot, 0) AS BIGINT)""").as("budget_toks"))
+      val u = hash31(
+        concat_ws("|", lit("pclean"), col("doc_id").cast("string")))
+      val w = Window.partitionBy("source").orderBy(u.asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("cum_toks", sum(col("n_toks")).over(w))
+        .join(broadcast(budget), Seq("source"))
+        .filter(col("cum_toks") - col("n_toks") < col("budget_toks"))
+        .select("doc_id", "n_toks")
+    }
+    val nToks = sampled.agg(coalesce(sum("n_toks"), lit(0L)).cast("long"))
+      .first().getLong(0)
+    import s.implicits._
+    Seq((nDocs, nKept, nCand, nPairs, nReps, nSampled, nToks))
+      .toDF("n_docs", "n_kept", "n_cand", "n_pairs", "n_reps",
+        "n_sampled", "n_toks_sampled")
   }
 
   /** THE SSJoin prefix-filter pipeline over a shared shingle frame,

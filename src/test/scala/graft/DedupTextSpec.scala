@@ -561,6 +561,20 @@ class DedupTextSpec extends AnyFunSuite {
     // the sub-cap near-dup pair is untouched
     assert(exact.contains((100L, 101L)) && capped.contains((100L, 101L)),
       s"sub-cap near-dup pair lost: exact=$exact capped=$capped")
+    // STAR cap (r13, the cluster-pipeline posture): the viral family is
+    // NOT dropped — it collapses to anchor->member edges (9 rows for the
+    // 10-member family, vs C(10,2)=45 in the exact set), so a downstream
+    // connected-components still merges the whole family while the
+    // candidate count stays linear in the bucket
+    val star = graft.operators.Dedup.bandCandidatesStarCapped(sh, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val famStar = star.filter { case (a, b) => a < 10L && b < 10L }
+    assert(famStar === (1L to 9L).map(i => (0L, i)).toSet,
+      s"expected the 9 anchor edges of the viral family, got $famStar")
+    assert(star.contains((100L, 101L)), "sub-cap near-dup pair lost in star form")
+    // and on buckets under the cap the star form IS the exact form
+    assert(graft.operators.Dedup.bandCandidatesStarCapped(sh, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === exact)
   }
 
   test("ngram novelty scores first occurrence 1.0 and exact dup 0.0") {
