@@ -19,6 +19,26 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread an under-split scan across every core before heavy per-row
+    * expression work (md5 ladders, shingle explosion, image decode).
+    * The corpus ships each table as ONE parquet file = one input split,
+    * so everything upstream of the first exchange otherwise runs on a
+    * single task — measured in round 13 as ~89 s of serial wall across
+    * 56 benched queries. Conditional exactly like Dedup.docsParallel
+    * (round-2 advice): a pre-split production input (a 100 TB table is
+    * thousands of splits) skips the repartition entirely, so this is a
+    * no-op at scale and never an extra shuffle there. Results are
+    * unaffected: every registry query closes with a total-order sort or
+    * a keyed aggregate, neither of which sees input partitioning. */
+  def parallel(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
+  /** load + parallel — for operators whose scan feeds heavy map work. */
+  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
+    parallel(spark, load(spark, dir, name))
+
   /** events.ts normalized to TimestampType micros whatever the parquet
     * physical type. The corpus has shipped it two ways across driver
     * rounds: timestamp[ns] (which Spark 4 refuses to read natively —

@@ -330,7 +330,9 @@ object Analytics {
     QueryDef(
       "q_sketch_exact",
       (s, dir) =>
-        t(s, dir, "orders")
+        // spread the under-split scan feeding the distinct/percentile
+        // partials (conditional; no-op on a pre-split input)
+        Tables.parallel(s, t(s, dir, "orders"))
           .groupBy("o_orderstatus")
           .agg(
             countDistinct(col("o_custkey")).as("exact_cust"),
@@ -899,7 +901,7 @@ object Analytics {
     QueryDef(
       "q_profile_table",
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
+        val li = Tables.parallel(s, t(s, dir, "lineitem"))
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
         val aggs = cols.flatMap { c =>
           Seq(
@@ -1055,7 +1057,7 @@ object Analytics {
     QueryDef(
       "q_hll_union",
       (s, dir) => {
-        val o = t(s, dir, "orders")
+        val o = Tables.parallel(s, t(s, dir, "orders"))
         val perStatus = o.groupBy("o_orderstatus")
           .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"),
             countDistinct(col("o_custkey")).as("exact_cust"))
@@ -1247,7 +1249,9 @@ object Analytics {
     QueryDef(
       "q_item_cooccurrence",
       (s, dir) => {
-        val ev = t(s, dir, "events")
+        // per-row JSON extraction ran on the single input split —
+        // spread it (conditional; no-op on a pre-split input)
+        val ev = Tables.parallel(s, t(s, dir, "events"))
         val baskets = ev.select(col("user_id"),
             get_json_object(col("props"), "$.k").cast("long").as("item"))
           .distinct()
@@ -1903,7 +1907,11 @@ object Analytics {
     * line items, probed with min-over-depth-rows. */
   private[graft] def cmsFreqRaw(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.CountMinAgg
-    val li = t(s, dir, "lineitem").select(col("l_partkey"))
+    // the depth-row md5 slot ladder is the dominant cost and ran on the
+    // single input split (round-13 baseline: 3.0 s wall ≈ 2.7 s serial
+    // CPU) — spread it; the sketch merge is depth*width ints per partial
+    val li = Tables.parallel(s,
+      t(s, dir, "lineitem").select(col("l_partkey")))
     val cms = udaf(new CountMinAgg(CmsDepth, CmsWidth))
     // the depth hash slots are computed in the codegen projection
     // feeding the aggregate — the typed reduce is pure increments

@@ -80,7 +80,9 @@ object Numerics {
     QueryDef(
       "q_bootstrap_ci",
       (s, dir) => {
-        val e = Tables.loadEvents(s, dir)
+        // under-split scan feeds a 32x explode + md5 ladder: parallelize
+        // (round-13 baseline: 3.4 s wall ≈ 3.1 s single-task CPU)
+        val e = Tables.parallel(s, Tables.loadEvents(s, dir))
           .filter(col("event_type").isin("purchase", "signup", "click"))
           .select(col("event_type"), col("event_id"),
             (dec(col("value")) * 100).cast("long").as("cents"))
@@ -509,7 +511,9 @@ object Numerics {
       "q_peak_concurrency",
       (s, dir) => {
         val DayUs = 86400000000L
-        val sess = Tables.loadEvents(s, dir)
+        // spread the under-split scan feeding the session_window partial
+        // aggregate (conditional; no-op on a pre-split input)
+        val sess = Tables.parallel(s, Tables.loadEvents(s, dir))
           .groupBy(col("user_id"),
             session_window(col("ts"), "30 minutes").as("sw"))
           .agg(count(lit(1)).as("n"))
@@ -611,7 +615,9 @@ object Numerics {
     QueryDef(
       "q_mad_outliers",
       (s, dir) => {
-        val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        // spread the under-split scan read by all three percentile
+        // passes (conditional; no-op on a pre-split input)
+        val li = Tables.parallel(s, t(s, dir, "lineitem")).select(col("l_returnflag"),
           col("l_quantity").as("x"))
         val med = li.groupBy("l_returnflag")
           .agg(expr("percentile(x, 0.5)").as("med"))
@@ -1125,7 +1131,7 @@ object Numerics {
     QueryDef(
       "q_iqr_outliers",
       (s, dir) => {
-        val g = Tables.loadEvents(s, dir)
+        val g = Tables.parallel(s, Tables.loadEvents(s, dir))
           .select(col("event_type"),
             (col("value").cast("decimal(12,2)") * 100).cast("long")
               .as("cents"))

@@ -86,7 +86,9 @@ object Relational {
     QueryDef(
       "q1_agg",
       (s, dir) =>
-        t(s, dir, "lineitem")
+        // spread the under-split scan feeding the exact-decimal partial
+        // aggregate (conditional; no-op on a pre-split 100 TB input)
+        Tables.parallel(s, t(s, dir, "lineitem"))
           .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
@@ -400,7 +402,7 @@ object Relational {
     QueryDef(
       "q_math_fns",
       (s, dir) =>
-        t(s, dir, "lineitem")
+        Tables.parallel(s, t(s, dir, "lineitem"))
           .select(
             col("l_orderkey"), col("l_linenumber"),
             round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
@@ -741,7 +743,7 @@ object Relational {
     QueryDef(
       "q_variant_json",
       (s, dir) =>
-        t(s, dir, "events")
+        Tables.parallel(s, t(s, dir, "events"))
           .select(
             col("event_id"),
             expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_long"),

@@ -200,7 +200,7 @@ object TextAnalysis {
     QueryDef(
       "text_fingerprint",
       (s, dir) =>
-        Tables.load(s, dir, "documents")
+        Tables.loadParallel(s, dir, "documents")
           .select(
             col("doc_id"),
             md5(concat_ws(" ", array_sort(split(lower(col("text")), " ")))
@@ -584,7 +584,7 @@ object TextAnalysis {
           .when(noiseRatio(col("text")) > 0.25, "noisy")
           .when(avgWordLen(col("text")) < 3.0, "short_words")
           .otherwise("keep")
-        Tables.load(s, dir, "documents")
+        Tables.loadParallel(s, dir, "documents")
           .select(col("doc_id"), reason.as("verdict"),
             (reason === "keep").as("kept"))
           .orderBy("doc_id")
@@ -675,7 +675,7 @@ object TextAnalysis {
     QueryDef(
       "text_bm25",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
+        val docs = Tables.loadParallel(s, dir, "documents")
         val stats = docs.agg(
           count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("s_tokens"))
@@ -1079,7 +1079,7 @@ object TextAnalysis {
     QueryDef(
       "text_to_ids",
       (s, dir) => {
-        val terms = Tables.load(s, dir, "documents")
+        val terms = Tables.loadParallel(s, dir, "documents")
           .select(col("doc_id"),
             posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
           .localCheckpoint() // feeds vocab count and the id join once
@@ -1206,7 +1206,7 @@ object TextAnalysis {
     QueryDef(
       "text_lm_score",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
+        val d = Tables.loadParallel(s, dir, "documents")
         val ts = split(col("text"), " ")
         // slice+arrays_zip, NOT a transform() lambda: higher-order
         // lambdas run interpreted and re-evaluate the split per element
@@ -1296,7 +1296,7 @@ object TextAnalysis {
         val lex = aggregate(
           transform(toksC, t => hash31(t) % 201L - 100L),
           lit(0L), (a, x) => a + x)
-        Tables.load(s, dir, "documents")
+        Tables.loadParallel(s, dir, "documents")
           .select(col("doc_id"),
             tokenCount(col("text")).as("n_tokens"),
             size(filter(toksC, t => t.isin(stopwords.map(x => x: Any): _*)))
@@ -1525,7 +1525,7 @@ object TextAnalysis {
     QueryDef(
       "text_keywords",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
+        val d = Tables.loadParallel(s, dir, "documents")
         val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -1579,7 +1579,7 @@ object TextAnalysis {
     QueryDef(
       "text_pmi",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
+        val d = Tables.loadParallel(s, dir, "documents")
         val toks = tokens(col("text"))
         val ug = d.select(explode(toks).as("tok"))
         val cx = ug.groupBy("tok").agg(count(lit(1)).as("c"))
@@ -1644,7 +1644,7 @@ object TextAnalysis {
     QueryDef(
       "sample_dsir",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
+        val d = Tables.loadParallel(s, dir, "documents")
         val ts = tokens(col("text"))
         // slice+arrays_zip, not a transform() lambda (the interpreted-
         // lambda hazard documented at text_lm_score)
@@ -1749,7 +1749,7 @@ object TextAnalysis {
           transform(sequence(lit(0), size(ts) - W),
             i => concat_ws(" ", slice(ts, i + lit(1), lit(W)))))
           .otherwise(slice(ts, lit(1), lit(0)))
-        val postings = Tables.load(s, dir, "documents")
+        val postings = Tables.loadParallel(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("ts"))
           .select(col("doc_id"), explode(array_distinct(wins)).as("w"))
           .localCheckpoint() // windows feed the DF cap and both join sides
@@ -1800,7 +1800,7 @@ object TextAnalysis {
     QueryDef(
       "text_ngram_novelty",
       (s, dir) => {
-        val postings = Tables.load(s, dir, "documents")
+        val postings = Tables.loadParallel(s, dir, "documents")
           .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
           .localCheckpoint() // feeds the first-seen agg AND the probe side
         val firstSeen = postings.groupBy("sh")
@@ -1848,7 +1848,7 @@ object TextAnalysis {
       "text_winnowing",
       (s, dir) => {
         val W = 4
-        val grams = Tables.load(s, dir, "documents")
+        val grams = Tables.loadParallel(s, dir, "documents")
           .select(col("doc_id"),
             (size(tokens(col("text"))) - 2).cast("long").as("n_grams"),
             graft.functions.NGramsGenerator(s, col("text"), 3))

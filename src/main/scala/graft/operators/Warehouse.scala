@@ -1175,7 +1175,9 @@ object Warehouse {
       (s, dir) => {
         val x = dec(col("l_quantity"))
         val y = dec(col("l_extendedprice"))
-        val g = t(s, dir, "lineitem")
+        // spread the under-split scan feeding the widening-multiply
+        // moment partials (conditional; no-op on a pre-split input)
+        val g = Tables.parallel(s, t(s, dir, "lineitem"))
           .groupBy(col("l_returnflag"))
           .agg(
             count(lit(1)).as("n"),

@@ -46,7 +46,13 @@ object Formats {
 
   private def roundTrip(s: SparkSession, dir: String, fmt: String,
       opts: Map[String, String] = Map.empty): DataFrame = {
-    val sub = Tables.load(s, dir, "lineitem")
+    // Parallelize the under-split scan so BOTH legs of the round-trip
+    // spread across cores: the write leg encodes with one task per
+    // partition, and the read leg gets one split per written file. The
+    // text formats (xml especially: 4.45 s wall ≈ 4.0 s single-task CPU
+    // in the round-13 baseline) were serializing the entire
+    // encode+decode on one core. The aggregate output is unchanged.
+    val sub = Tables.loadParallel(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
     val scratch = scratchFor(fmt)
     sub.write.mode("overwrite").options(opts).format(fmt).save(scratch)
@@ -87,7 +93,7 @@ object Formats {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, concat_ws, count, length, lit, split, sum}
         val scratch = scratchFor("text")
-        Tables.load(s, dir, "documents")
+        Tables.loadParallel(s, dir, "documents")
           .select(concat_ws("|", col("lang"), col("text")).as("value"))
           .write.mode("overwrite").text(scratch)
         val parts = split(col("value"), "\\|", 2)
