@@ -14,8 +14,12 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: PlanDump <tag> <query> [query...]")
     val tag = args.head
+    // plans dir defaults to a per-ROUND subdir via SPARK_GRAFT_ROUND
+    // (r13 advice: a fixed r13 default silently overwrote that round's
+    // committed evidence when a later round forgot the env var)
+    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r14")
     val outDir = Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r13"))
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", s"/root/repo/plans/$round"))
     Files.createDirectories(outDir)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,7 +30,9 @@ object PlanDump {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", "/dev/shm/graft_spark")
+      .config("spark.local.dir",
+        if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm/graft_spark"
+        else System.getProperty("java.io.tmpdir") + "/graft_spark")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- args.tail) {

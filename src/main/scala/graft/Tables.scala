@@ -32,7 +32,21 @@ object Tables {
     * a keyed aggregate, neither of which sees input partitioning. */
   def parallel(spark: SparkSession, df: DataFrame): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    if (scanPartitions(df, p) >= p) df else df.repartition(p)
+  }
+
+  /** Measured scan partition count, cached per (input file set,
+    * parallelism): `df.rdd.getNumPartitions` forces a second full
+    * analyze/optimize/physical-planning pass PER INVOCATION just to
+    * read the split count (r13 advice) — the count depends only on the
+    * scanned files and the session parallelism, so measure once per
+    * distinct file set and JVM. The file list itself comes from the
+    * already-analyzed plan (no extra planning pass). */
+  private val splitCounts = scala.collection.concurrent.TrieMap[String, Int]()
+
+  private def scanPartitions(df: DataFrame, p: Int): Int = {
+    val key = df.inputFiles.sorted.mkString("|") + "#" + p
+    splitCounts.getOrElseUpdate(key, df.rdd.getNumPartitions)
   }
 
   /** load + parallel — for operators whose scan feeds heavy map work. */

@@ -1249,9 +1249,9 @@ object Analytics {
     QueryDef(
       "q_item_cooccurrence",
       (s, dir) => {
-        // per-row JSON extraction ran on the single input split —
-        // spread it (conditional; no-op on a pre-split input)
-        val ev = Tables.parallel(s, t(s, dir, "events"))
+        // plain load (r14): the r13 repartition regressed this 0.88x —
+        // the JSON extraction feeds a distinct() that shuffles anyway
+        val ev = t(s, dir, "events")
         val baskets = ev.select(col("user_id"),
             get_json_object(col("props"), "$.k").cast("long").as("item"))
           .distinct()

@@ -105,11 +105,8 @@ object Dedup {
     * it was an unconditional extra full shuffle baked into every dedup
     * operator — pure waste on a pre-split 100 TB input). Results stay
     * deterministic — every query ends in a total-order sort. */
-  private def docsParallel(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
-    val p = s.sparkContext.defaultParallelism
-    if (d.rdd.getNumPartitions >= p) d else d.repartition(p)
-  }
+  private def docsParallel(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
 
   /** (doc_id, p_idx, para): fixed 4-token pseudo-paragraph relation of a
     * documents frame — shared by the batch window pass
@@ -457,6 +454,24 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Materialize a pair relation that is about to feed BOTH legs of a
+    * symmetric union — conf-gated, default OFF (r14, measured): with
+    * idle cores at bench scale the two legs compute IN PARALLEL inside
+    * one job, so wall ≈ max(leg) and a localCheckpoint only SERIALIZES
+    * that work (one eager barrier + block write before the union job —
+    * driver-measured as a net wall loss on every cluster-family query
+    * at sf0.1, while halving taskCpu). At 100 TB the posting self-join
+    * behind the pair relation is the dominant shuffle and computing it
+    * twice doubles real network/disk bytes, so a production deployment
+    * sets spark.graft.materializePairs=true and pays one barrier to
+    * halve the heavy pass — the scale-vs-local tradeoff the round
+    * rules ask to parameterize rather than hard-code either way. */
+  private[graft] def matPairs(pairs: DataFrame): DataFrame =
+    if (pairs.sparkSession.conf
+        .getOption("spark.graft.materializePairs").exists(_.toBoolean))
+      pairs.localCheckpoint()
+    else pairs
+
   /** Exact Jaccard for pairs sharing >= 1 shingle, via inverted index.
     * Shingles with document frequency above `maxDf` are dropped from the
     * index (stop-shingle cap — see MaxShingleDF). The viral-shingle set
@@ -471,7 +486,20 @@ object Dedup {
     // and every consumer reads the materialized blocks
     val sh = shIn.localCheckpoint()
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val allPostings = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // At production scale, explode + hash-partition ON THE JOIN KEY
+    // once and materialize (§2.4): the posting relation feeds the DF
+    // aggregate and BOTH sides of the self-join, and a checkpointed
+    // frame keeps its physical partitioning — one posting exchange
+    // total instead of three. Conf-gated DEFAULT OFF like matPairs
+    // (r14, measured): locally the three computes run in parallel
+    // inside one job over the sh checkpoint blocks, and the eager
+    // barrier costs more wall than the redundant explode.
+    val allPostings0 = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val allPostings =
+      if (sh.sparkSession.conf
+          .getOption("spark.graft.materializePairs").exists(_.toBoolean))
+        allPostings0.repartition(col("shingle")).localCheckpoint()
+      else allPostings0
     val viral = allPostings.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
@@ -630,14 +658,15 @@ object Dedup {
         val sh = d.filter(size(toks) >= 3).select(col("doc_id"),
           explode(transform(sequence(lit(0), size(toks) - lit(3)), i =>
             array_join(slice(toks, i + 1, lit(3)), " "))).as("shingle"))
+        // reuse the pre-flight count; materialize only w and dots — the
+        // same two-barrier treatment as dedup_tfidf_nn_capped (r14)
         val tf = sh.groupBy("doc_id", "shingle").agg(count(lit(1)).as("tf"))
         val dfr = tf.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= MaxShingleDF)
-        val n = d.agg(count(lit(1)).as("n_docs"))
-        val w = tf.join(dfr, "shingle").crossJoin(broadcast(n))
+        val w = tf.join(dfr, "shingle")
           .select(col("doc_id"), col("shingle"),
             (col("tf") *
-              expr("(1000 * (2*n_docs - 2*df + 1)) div (2*df + 1)")).as("w"))
+              expr(s"(1000 * (2*${nDocs}L - 2*df + 1)) div (2*df + 1)")).as("w"))
         // norm/dot sums in DECIMAL(38,0) (oracle: HUGEINT): weights
         // scale with 1000*2N/df, so at corpus sizes far beyond this
         // suite a 64-bit sum could exceed Long range — Spark would wrap
@@ -646,13 +675,15 @@ object Dedup {
         // on BOTH engines keeps the arithmetic exact to ~1e38, and past
         // that Spark's ANSI decimal overflow THROWS — loud, never wrong.
         val w19 = col("w").cast("decimal(19,0)")
-        val norms = w.groupBy("doc_id")
+        val wm = w.localCheckpoint() // feeds norms + both dot-join sides
+        val norms = wm.groupBy("doc_id")
           .agg(sum(w19 * w19).as("n2"))
-        val dots = w.as("a").join(w.as("b"), Seq("shingle"))
+        val dots = wm.as("a").join(wm.as("b"), Seq("shingle"))
           .filter(col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .agg(sum(col("a.w").cast("decimal(19,0)") *
             col("b.w").cast("decimal(19,0)")).as("dot"))
+          .localCheckpoint()
         val directed = dots
           .select(col("a_id").as("src"), col("b_id").as("dst"), col("dot"))
           .unionAll(dots
@@ -787,14 +818,25 @@ object Dedup {
         val sh = d.filter(size(toks) >= 3).select(col("doc_id"),
           explode(transform(sequence(lit(0), size(toks) - lit(3)), i =>
             array_join(slice(toks, i + 1, lit(3)), " "))).as("shingle"))
+        // materialize wc and dots ONCE (r14): without it, every
+        // downstream consumer re-runs the scan + shingle explode +
+        // aggregates — the r13 before-plan of this query is 1,580 lines
+        // with 36 parquet scans and 140 exchanges because wc feeds
+        // norms + both dot-join sides and dots feeds both directed
+        // legs: the shared subtrees multiply out (§2/§5; driver-
+        // measured taskCpu 40.7 s → 24.8 s). Only TWO eager barriers:
+        // tf/norms recomputes over materialized blocks are cheap, and
+        // each extra localCheckpoint is a serialized job (measured —
+        // the 4-checkpoint variant was wall-slower).
         val tf = sh.groupBy("doc_id", "shingle").agg(count(lit(1)).as("tf"))
         val dfr = tf.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= MaxShingleDF)
-        val n = d.agg(count(lit(1)).as("n_docs"))
-        val w = tf.join(dfr, "shingle").crossJoin(broadcast(n))
+        // n_docs is already in hand from the pre-flight aggregate —
+        // interpolate it instead of a second full-corpus count subtree
+        val w = tf.join(dfr, "shingle")
           .select(col("doc_id"), col("shingle"),
             (col("tf") *
-              expr("(1000 * (2*n_docs - 2*df + 1)) div (2*df + 1)")).as("w"))
+              expr(s"(1000 * (2*${nDocs}L - 2*df + 1)) div (2*df + 1)")).as("w"))
         // the posting sample: one window over the linear posting
         // relation, partitioned on the shingle (the same key the dot
         // join shuffles on, so at scale the sample and the join share
@@ -804,6 +846,7 @@ object Dedup {
           col("doc_id").asc)
         val wc = w.withColumn("prn", row_number().over(ws))
           .filter(col("prn") <= TfidfPostingCap).drop("prn")
+          .localCheckpoint()
         val w19 = col("w").cast("decimal(19,0)")
         val norms = wc.groupBy("doc_id")
           .agg(sum(w19 * w19).as("n2"))
@@ -812,6 +855,7 @@ object Dedup {
           .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .agg(sum(col("a.w").cast("decimal(19,0)") *
             col("b.w").cast("decimal(19,0)")).as("dot"))
+          .localCheckpoint()
         val directed = dots
           .select(col("a_id").as("src"), col("b_id").as("dst"), col("dot"))
           .unionAll(dots
@@ -2158,7 +2202,11 @@ object Dedup {
           .filter(col("jaccard") >= JaccardThreshold)
           .select("a_id", "b_id").localCheckpoint()
         val nTruth = truth.count()
+        // bands materialized once, partitioned on the self-join key
+        // (r14, §2.4): the signature pipeline otherwise ran twice —
+        // once per join side — and both sides re-exchanged
         val bands = bandsOf(signaturesFrom(sh))
+          .repartition(col("band_id"), col("band_key")).localCheckpoint()
         val mhCand = bands.as("x").join(bands.as("y"),
             col("x.band_id") === col("y.band_id") &&
               col("x.band_key") === col("y.band_key") &&
@@ -2811,7 +2859,14 @@ object Dedup {
     * candidate count stays bounded on viral-template corpora. */
   private[graft] def bandCandidatesFrom(
       sh: DataFrame, cap: Option[Int] = None): DataFrame = {
+    // band rows materialized ONCE, hash-partitioned on the self-join
+    // key (r14, §2.4): the banded relation feeds both self-join sides
+    // (plus the viral aggregate + anti-join in the capped form), so the
+    // un-checkpointed signature pipeline ran 2–4x per call and both
+    // join sides re-exchanged; the slim (doc_id, band_id, band_key)
+    // checkpoint feeds every consumer exchange-free.
     val bands0 = bandRows(sh)
+      .repartition(col("band_id"), col("band_key")).localCheckpoint()
     val bands = cap match {
       case None => bands0
       case Some(c) =>
@@ -2867,9 +2922,16 @@ object Dedup {
   private[graft] def bandCandidatesStarCapped(
       sh: DataFrame, cap: Int): DataFrame = {
     val wB = Window.partitionBy("band_id", "band_key")
+    // materialized ONCE (r14): stat feeds the small-bucket self-join
+    // (both sides) and the star leg — un-checkpointed, the whole
+    // signature pipeline (shingle explode → md5 → 16 min-aggregates →
+    // band explode) ran three times. The window already shuffled the
+    // relation onto (band_id, band_key), so the checkpoint keeps that
+    // partitioning and the self-join below runs exchange-free (§2.4).
     val stat = bandRows(sh)
       .withColumn("bdf", count(lit(1)).over(wB))
       .withColumn("anchor", min("doc_id").over(wB))
+      .localCheckpoint()
     val small = stat.filter(col("bdf") <= cap)
       .select("doc_id", "band_id", "band_key")
     val smallPairs = small.as("x").join(small.as("y"),
@@ -3315,8 +3377,19 @@ object Dedup {
     // are the right scale choice too: one extra generation of blocks,
     // no HDFS round-trip; a 100 TB deployment with preemptible
     // executors would switch to reliable checkpoint() on the same loop.
-    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    // the caller's pair relation optionally materializes BEFORE the
+    // symmetric union (r14): both union legs otherwise re-run the whole
+    // candidate-generation plan — one full pass each. See matPairs for
+    // why the default keeps the redundant-but-PARALLEL shape locally.
+    val p0 = matPairs(pairs)
+    // edges hash-partitioned ON THE ITERATION JOIN KEY before the
+    // checkpoint (r14, §2.4): every iteration equi-joins edges on v,
+    // and a checkpointed frame keeps its physical partitioning, so the
+    // edge side of that join never re-exchanges — one edge shuffle
+    // total across all iterations instead of one per iteration.
+    val edges = p0.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(p0.select(col("b_id").as("u"), col("a_id").as("v")))
+      .repartition(col("v"))
       .localCheckpoint()
     // iterate ONLY over vertices that appear in an edge: every other
     // document is trivially its own representative and joins back in at
@@ -3333,6 +3406,14 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("u").as("v"), col("rep_id").as("n_rep")), Seq("v"))
         .groupBy("u").agg(min(col("n_rep")).as("n_rep"))
+      // stepped feeds both sides of the pointer-doubling join below —
+      // the two computes run IN PARALLEL inside the one checkpoint job
+      // (r14 note: materializing stepped separately was measured as a
+      // net wall loss — an extra eager barrier per iteration costs more
+      // than the parallel recompute at any corpus this loop has seen;
+      // the edges side is already exchange-free via the pre-partitioned
+      // checkpoint above, which is where the per-iteration shuffle
+      // actually went)
       val stepped = labels.join(neighborMin, Seq("u"), "left")
         .select(col("u"), col("rep_id").as("old_rep"),
           least(col("rep_id"), coalesce(col("n_rep"), col("rep_id"))).as("rep_id"))

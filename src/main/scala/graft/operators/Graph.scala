@@ -53,39 +53,54 @@ object Graph {
     QueryDef(
       "graph_pagerank",
       (s, dir) => {
+        // pairs optionally materialized before the symmetric union (Dedup.matPairs, conf-gated): both
+        // union legs otherwise re-run the whole posting-join candidate
+        // aggregation — one full pass each
         val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
           .filter(col("jaccard") >= Dedup.JaccardThreshold)
-          .select("a_id", "b_id")
+          .select("a_id", "b_id").transform(Dedup.matPairs)
         val edges = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
           .toDF("u", "v")
         val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-        // (u, v, deg_u) is re-read every iteration: materialize once
-        val eD = edges.join(deg, "u").localCheckpoint()
+        // (u, v, deg_u) is re-read every iteration: materialize once,
+        // hash-partitioned ON THE ITERATION JOIN KEY u so the edge side
+        // of every iteration's join reuses this one exchange (§2.4)
+        val eD = edges.join(deg, "u").repartition(col("u")).localCheckpoint()
         val docs = Tables.load(s, dir, "documents").select("doc_id")
         val n = docs.count() // bounded driver state: one scalar
         // empty corpus: the result is empty regardless of the share —
         // guard the scala-side division (degenerate-corpus sweep, r8)
         val share = if (n == 0) 0L else Q / n
-        var r = docs.select(col("doc_id"), lit(share).as("r"))
+        val base = if (n == 0) 0L else 15L * Q / (100L * n)
+        // iterate ONLY over edge-bearing vertices (r14 — the
+        // connectedComponents treatment): an untouched document never
+        // receives a contribution, so its rank is exactly the base term
+        // every iteration; attach it once at the end instead of carrying
+        // the corpus-scale docs frame (a documents re-scan and
+        // corpus-wide join) through every iteration.
+        val touched = eD.select(col("u").as("doc_id")).distinct()
+          .localCheckpoint()
+        var r = touched.select(col("doc_id"), lit(share).as("r"))
         for (_ <- 0 until Iters) {
           val contrib = eD
             .join(r.select(col("doc_id").as("u"), col("r")), "u")
             .select(col("v"), expr("(85 * r) div (100 * deg)").as("c"))
             .groupBy("v").agg(sum(col("c")).as("cs"))
-          r = docs
+          r = touched
             .join(contrib.select(col("v").as("doc_id"), col("cs")),
               Seq("doc_id"), "left")
             .select(col("doc_id"),
-              (lit(if (n == 0) 0L else 15L * Q / (100L * n))
-                + coalesce(col("cs"), lit(0L))).as("r"))
+              (lit(base) + coalesce(col("cs"), lit(0L))).as("r"))
           // with a FIXED small iteration count the chained plan executes
           // as one job (edges read from the checkpoint blocks each time);
           // a long-running production loop would localCheckpoint every
           // ~10 generations to bound lineage, as connectedComponents does
         }
-        r.select(col("doc_id"), col("r").as("pagerank_q"),
-            (col("r").cast("double") / lit(Q.toDouble)).as("pagerank"))
+        val rAll = coalesce(col("r"), lit(base))
+        docs.join(r, Seq("doc_id"), "left")
+          .select(col("doc_id"), rAll.as("pagerank_q"),
+            (rAll.cast("double") / lit(Q.toDouble)).as("pagerank"))
           .orderBy("doc_id")
       },
       Some(PagerankOracleSql)),
@@ -97,9 +112,11 @@ object Graph {
     QueryDef(
       "graph_degrees",
       (s, dir) => {
+        // pairs optionally materialized before the endpoint union (Dedup.matPairs, conf-gated): both legs
+        // otherwise re-run the candidate aggregation — one pass each
         val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
           .filter(col("jaccard") >= Dedup.JaccardThreshold)
-          .select("a_id", "b_id")
+          .select("a_id", "b_id").transform(Dedup.matPairs)
         pairs.select(col("a_id").as("doc_id"))
           .union(pairs.select(col("b_id").as("doc_id")))
           .groupBy("doc_id").agg(count(lit(1)).as("degree"))
@@ -232,30 +249,48 @@ object Graph {
             lit(null).cast("double").as("hub"))
             .orderBy("doc_id")
         } else {
+          // r14 restructure, results identical: (a) rescale materializes
+          // its input — the frame otherwise feeds BOTH the max aggregate
+          // and the rescale projection, doubling the plan per rescale
+          // (4 rescales = 2^4 nested copies, each re-scanning docs);
+          // (b) iterations run over edge ENDPOINTS only (the
+          // connectedComponents treatment) — an untouched doc's scores
+          // are 0 after the first rescale and its initial HitsQ hub mass
+          // reaches no edge, so the max-norms and all edge sums are
+          // unchanged; untouched docs re-attach as (0, 0) at the end,
+          // exactly what the full-frame loop yielded for them.
           def rescale(x: DataFrame, c: String): DataFrame = {
-            val mx = x.agg(max(col(c)).as("mx"))
-            x.crossJoin(broadcast(mx))
+            val xm = x.localCheckpoint()
+            val mx = xm.agg(max(col(c)).as("mx"))
+            xm.crossJoin(broadcast(mx))
               .select(col("doc_id"),
                 expr(s"($c * ${HitsQ}L) div mx").as(c))
           }
-          var h = docs.select(col("doc_id"), lit(HitsQ).as("h"))
+          val touched = pairs.select(col("u").as("doc_id"))
+            .union(pairs.select(col("v").as("doc_id")))
+            .distinct().localCheckpoint()
+          var h = touched.select(col("doc_id"), lit(HitsQ).as("h"))
           var a: DataFrame = null
           for (_ <- 0 until HitsIters) {
             val aSum = pairs
               .join(h.select(col("doc_id").as("u"), col("h")), "u")
               .groupBy(col("v").as("doc_id")).agg(sum(col("h")).as("a"))
-            a = rescale(docs.join(aSum, Seq("doc_id"), "left")
+            a = rescale(touched.join(aSum, Seq("doc_id"), "left")
               .select(col("doc_id"), coalesce(col("a"), lit(0L)).as("a")), "a")
             val hSum = pairs
               .join(a.select(col("doc_id").as("v"), col("a")), "v")
               .groupBy(col("u").as("doc_id")).agg(sum(col("a")).as("h"))
-            h = rescale(docs.join(hSum, Seq("doc_id"), "left")
+            h = rescale(touched.join(hSum, Seq("doc_id"), "left")
               .select(col("doc_id"), coalesce(col("h"), lit(0L)).as("h")), "h")
           }
-          a.join(h, "doc_id")
-            .select(col("doc_id"), col("a").as("auth_q"), col("h").as("hub_q"),
-              (col("a").cast("double") / lit(HitsQ.toDouble)).as("authority"),
-              (col("h").cast("double") / lit(HitsQ.toDouble)).as("hub"))
+          docs.join(a.join(h, "doc_id"), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("a"), lit(0L)).as("auth_q"),
+              coalesce(col("h"), lit(0L)).as("hub_q"),
+              (coalesce(col("a"), lit(0L)).cast("double")
+                / lit(HitsQ.toDouble)).as("authority"),
+              (coalesce(col("h"), lit(0L)).cast("double")
+                / lit(HitsQ.toDouble)).as("hub"))
             .orderBy("doc_id")
         }
       },
@@ -345,12 +380,15 @@ object Graph {
     QueryDef(
       "graph_labelprop",
       (s, dir) => {
+        // pairs optionally materialized before the symmetric union (Dedup.matPairs, conf-gated): both
+        // legs otherwise re-run the candidate aggregation; lpaLabels
+        // re-materializes the union partitioned on its round join key
         val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
           .filter(col("jaccard") >= Dedup.JaccardThreshold)
-          .select("a_id", "b_id")
+          .select("a_id", "b_id").transform(Dedup.matPairs)
         val edges = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-          .toDF("u", "v").localCheckpoint()
+          .toDF("u", "v")
         val docs = Tables.load(s, dir, "documents").select("doc_id")
         val lbl = lpaLabels(docs, edges)
         val sizes = lbl.groupBy("label")
@@ -376,9 +414,10 @@ object Graph {
     QueryDef(
       "graph_neighbor_sim",
       (s, dir) => {
+        // pairs optionally materialized before the symmetric union (Dedup.matPairs, conf-gated)
         val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
           .filter(col("jaccard") >= Dedup.JaccardThreshold)
-          .select("a_id", "b_id")
+          .select("a_id", "b_id").transform(Dedup.matPairs)
         val edges = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
           .toDF("u", "v").localCheckpoint()
@@ -448,9 +487,10 @@ object Graph {
     QueryDef(
       "graph_neighbor_sim_capped",
       (s, dir) => {
+        // pairs optionally materialized before the symmetric union (Dedup.matPairs, conf-gated)
         val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
           .filter(col("jaccard") >= Dedup.JaccardThreshold)
-          .select("a_id", "b_id")
+          .select("a_id", "b_id").transform(Dedup.matPairs)
         val edges = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
           .toDF("u", "v").localCheckpoint()
@@ -499,12 +539,16 @@ object Graph {
     QueryDef(
       "graph_random_walk",
       (s, dir) => {
+        // pairs optionally materialized before the union (Dedup.matPairs); edges
+        // hash-partitioned on the step join key u so every step's join
+        // reuses one exchange (r14, §2.4 — the rename to "cur" keeps
+        // the checkpointed partitioning)
         val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
           .filter(col("jaccard") >= Dedup.JaccardThreshold)
-          .select("a_id", "b_id")
+          .select("a_id", "b_id").transform(Dedup.matPairs)
         val edges = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-          .toDF("u", "v").localCheckpoint()
+          .toDF("u", "v").repartition(col("u")).localCheckpoint()
         val starts = edges.select(col("u").as("doc_id")).distinct()
         var walk = starts.select(col("doc_id"), col("doc_id").as("cur"))
         for (k <- 1 to WalkSteps) {
@@ -542,19 +586,23 @@ object Graph {
       "graph_kcore",
       (s, dir) => {
         val K = 2
+        // pairs optionally materialized before the union (Dedup.matPairs), and the
+        // surviving edge set re-materialized PER ROUND: `keep` is
+        // referenced by both semi-joins and `edges` by three subtrees,
+        // so an un-checkpointed round multiplies the plan ~3x per round
         val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
           .filter(col("jaccard") >= Dedup.JaccardThreshold)
-          .select("a_id", "b_id")
+          .select("a_id", "b_id").transform(Dedup.matPairs)
         var edges = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
           .toDF("u", "v").localCheckpoint()
+        // rounds stay LAZY over the checkpointed edge blocks (r14:
+        // per-round localCheckpoints were tried and measured worse —
+        // three extra eager barriers for a plan whose 3-deep nesting
+        // over block reads is cheap; a fixpoint-depth production loop
+        // would checkpoint every ~5 rounds)
         for (_ <- 1 to KcoreRounds) {
-          val keep = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= K).select("u")
-          edges = edges
-            .join(keep, Seq("u"), "left_semi")
-            .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-            .select("u", "v")
+          edges = kcorePeelRound(edges, K)
         }
         edges.groupBy("u").agg(count(lit(1)).as("core_degree"))
           .select(col("u").as("doc_id"), col("core_degree"))
@@ -594,10 +642,18 @@ object Graph {
         // raised limit; the caller's session is untouched.
         val s2 = s.newSession()
         s2.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
-        Dedup.jaccardPairs(Dedup.shingled(s2, dir))
+        // the symmetric edge set is MATERIALIZED before the recursion
+        // (r14): a plain temp view is re-planned at every reference, so
+        // each recursion level re-ran the entire posting-join pair
+        // generator; the checkpointed view makes every frontier join a
+        // block read, pre-partitioned on the join key u (§2.4)
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s2, dir))
           .filter(col("jaccard") >= Dedup.JaccardThreshold)
-          .select("a_id", "b_id")
-          .createOrReplaceTempView("graft_neardup_pairs")
+          .select("a_id", "b_id").transform(Dedup.matPairs)
+        pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+          .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+          .repartition(col("u")).localCheckpoint()
+          .createOrReplaceTempView("graft_bfs_edges")
         // DISTINCT in the recursive member: the frontier is a SET of
         // (src, node) per hop, not a bag of paths — on a dense family
         // (the all-dup skew corpus is one 500-clique) path enumeration
@@ -606,15 +662,12 @@ object Graph {
         // union of per-hop sets is unchanged, so the oracle hash is
         // identical on every corpus (degenerate-corpus sweep, r8).
         s2.sql(s"""
-          WITH RECURSIVE e AS (
-            SELECT a_id AS u, b_id AS v FROM graft_neardup_pairs
-            UNION ALL
-            SELECT b_id, a_id FROM graft_neardup_pairs),
+          WITH RECURSIVE
           reach(src, node, hop) AS (
-            SELECT u, u, 0 FROM (SELECT DISTINCT u FROM e)
+            SELECT u, u, 0 FROM (SELECT DISTINCT u FROM graft_bfs_edges)
             UNION ALL
             SELECT DISTINCT r.src, e2.v, r.hop + 1
-            FROM reach r JOIN e e2 ON e2.u = r.node
+            FROM reach r JOIN graft_bfs_edges e2 ON e2.u = r.node
             WHERE r.hop < $BfsHops)
           SELECT src, node, CAST(min(hop) AS BIGINT) AS dist
           FROM reach GROUP BY src, node
@@ -659,26 +712,30 @@ object Graph {
       (s, dir) => {
         val s2 = s.newSession()
         s2.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
-        Dedup.jaccardPairs(Dedup.shingled(s2, dir))
+        // the CAPPED adjacency is MATERIALIZED before the recursion
+        // (r14): a plain temp view is re-planned at every reference, so
+        // each recursion level re-ran the pair generator AND the
+        // per-u cap window; the checkpointed view makes every frontier
+        // join a block read, pre-partitioned on the join key u (§2.4).
+        // Same relation: symmetric edges → row_number per u ordered by
+        // v → rn <= F, exactly the former cap CTE.
+        val pairs = Dedup.jaccardPairs(Dedup.shingled(s2, dir))
           .filter(col("jaccard") >= Dedup.JaccardThreshold)
-          .select("a_id", "b_id")
-          .createOrReplaceTempView("graft_neardup_pairs")
+          .select("a_id", "b_id").transform(Dedup.matPairs)
+        val capW = Window.partitionBy("u").orderBy("v")
+        pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+          .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+          .withColumn("rn", row_number().over(capW))
+          .filter(col("rn") <= BfsCapF).select("u", "v")
+          .repartition(col("u")).localCheckpoint()
+          .createOrReplaceTempView("graft_bfs_cap")
         s2.sql(s"""
-          WITH RECURSIVE e AS (
-            SELECT a_id AS u, b_id AS v FROM graft_neardup_pairs
-            UNION ALL
-            SELECT b_id, a_id FROM graft_neardup_pairs),
-          cap AS (
-            SELECT u, v FROM (
-              SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v)
-                AS rn
-              FROM e) t
-            WHERE rn <= $BfsCapF),
+          WITH RECURSIVE
           reach(src, node, hop) AS (
-            SELECT u, u, 0 FROM (SELECT DISTINCT u FROM cap)
+            SELECT u, u, 0 FROM (SELECT DISTINCT u FROM graft_bfs_cap)
             UNION ALL
             SELECT r.src, c.v, r.hop + 1
-            FROM reach r JOIN cap c ON c.u = r.node
+            FROM reach r JOIN graft_bfs_cap c ON c.u = r.node
             WHERE r.hop < $BfsHops)
           SELECT src, node, CAST(min(hop) AS BIGINT) AS dist
           FROM reach GROUP BY src, node
@@ -722,14 +779,18 @@ object Graph {
     QueryDef(
       "graph_ppr",
       (s, dir) => {
+        // same r14 treatment as graph_pagerank: pairs optionally materialized
+        // before the symmetric union, edges pre-partitioned on the
+        // iteration join key, iteration restricted to edge-bearing
+        // vertices (an untouched doc's rank is exactly its restart term)
         val pairs = Dedup.jaccardPairs(Dedup.shingled(s, dir))
           .filter(col("jaccard") >= Dedup.JaccardThreshold)
-          .select("a_id", "b_id")
+          .select("a_id", "b_id").transform(Dedup.matPairs)
         val edges = pairs
           .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
           .toDF("u", "v")
         val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-        val eD = edges.join(deg, "u").localCheckpoint()
+        val eD = edges.join(deg, "u").repartition(col("u")).localCheckpoint()
         val docs = Tables.load(s, dir, "documents").select("doc_id")
         val isSeed = col("doc_id") % PprSeedMod === 0
         val nSeeds = docs.filter(isSeed).count() // bounded driver scalar
@@ -738,22 +799,29 @@ object Graph {
         // scala-side divisions only (degenerate-corpus sweep, r8)
         val seedShare = if (nSeeds == 0) 0L else Q / nSeeds
         val restartShare = if (nSeeds == 0) 0L else 15L * Q / (100L * nSeeds)
-        var r = docs.select(col("doc_id"),
+        val touched = eD.select(col("u").as("doc_id")).distinct()
+          .localCheckpoint()
+        var r = touched.select(col("doc_id"),
           when(isSeed, lit(seedShare)).otherwise(lit(0L)).as("r"))
         for (_ <- 0 until Iters) {
           val contrib = eD
             .join(r.select(col("doc_id").as("u"), col("r")), "u")
             .select(col("v"), expr("(85 * r) div (100 * deg)").as("c"))
             .groupBy("v").agg(sum(col("c")).as("cs"))
-          r = docs
+          r = touched
             .join(contrib.select(col("v").as("doc_id"), col("cs")),
               Seq("doc_id"), "left")
             .select(col("doc_id"),
               (when(isSeed, lit(restartShare)).otherwise(lit(0L))
                 + coalesce(col("cs"), lit(0L))).as("r"))
         }
-        r.select(col("doc_id"), col("r").as("ppr_q"),
-            (col("r").cast("double") / lit(Q.toDouble)).as("ppr"))
+        // untouched docs: restart term only (seed) or 0 (non-seed) —
+        // exactly what the full-frame loop yielded for them
+        val rAll = coalesce(col("r"),
+          when(isSeed, lit(restartShare)).otherwise(lit(0L)))
+        docs.join(r, Seq("doc_id"), "left")
+          .select(col("doc_id"), rAll.as("ppr_q"),
+            (rAll.cast("double") / lit(Q.toDouble)).as("ppr"))
           .orderBy("doc_id")
       },
       Some(PprOracleSql)),
@@ -1009,6 +1077,20 @@ object Graph {
     * frame — extracted so fixture tests can drive it on hand-built dense
     * graphs where the cap actually bites. See the QueryDef comment for
     * the reverse-cap Jaccard semantics and the [0,1] argument. */
+  /** One synchronous k-core peel round over an undirected (u, v) edge
+    * frame: degree count + two node-id semi-joins — never cartesian.
+    * Extracted (r14) so the QueryDef can materialize each round
+    * (un-checkpointed rounds tripled the plan per round) while PlanSpec
+    * still asserts the round's semi-join shape directly. */
+  private[graft] def kcorePeelRound(edges: DataFrame, k: Int): DataFrame = {
+    val keep = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select("u")
+    edges
+      .join(keep, Seq("u"), "left_semi")
+      .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+      .select("u", "v")
+  }
+
   private[graft] def neighborSimCapped(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
     val capW = Window.partitionBy("u").orderBy("v")
@@ -1036,9 +1118,24 @@ object Graph {
   }
 
   private def lpaLabels(docs: DataFrame, edges: DataFrame): DataFrame = {
-    var lbl = docs.select(col("doc_id"), col("doc_id").as("label"))
+    // r14 restructure, results identical:
+    //  - edges hash-partitioned ON THE ROUND JOIN KEY u and materialized
+    //    once, so the edge side of every round's join reuses one
+    //    exchange (§2.4);
+    //  - rounds iterate ONLY over edge-bearing vertices (the
+    //    connectedComponents treatment): a vertex with no edges never
+    //    receives a winner, so its label stays its own id — attached
+    //    once at the end instead of joining the corpus-scale docs frame
+    //    into every round;
+    //  - per-round labels localCheckpoint'ed: lbl otherwise feeds both
+    //    the neighbor join and the carry-forward, doubling the logical
+    //    plan per round (the round-3 plan held 2^3 copies of round 0,
+    //    re-running the edge join each — plan-audited in r14).
+    val e = edges.repartition(col("u")).localCheckpoint()
+    var lbl = e.select(col("v").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 0 until Iters) {
-      val neigh = edges
+      val neigh = e
         .join(lbl.select(col("doc_id").as("u"), col("label")), "u")
         .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("v")
@@ -1046,12 +1143,14 @@ object Graph {
       val winner = neigh.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("v").as("doc_id"), col("label").as("new_label"))
-      lbl = docs.join(lbl, "doc_id")
-        .join(winner, Seq("doc_id"), "left")
+      lbl = lbl.join(winner, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
     }
-    lbl
+    docs.join(lbl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("label"))
   }
 
   /** The LPA rounds as DuckDB CTEs (l0..lIters over relations `e` and

@@ -615,9 +615,10 @@ object Numerics {
     QueryDef(
       "q_mad_outliers",
       (s, dir) => {
-        // spread the under-split scan read by all three percentile
-        // passes (conditional; no-op on a pre-split input)
-        val li = Tables.parallel(s, t(s, dir, "lineitem")).select(col("l_returnflag"),
+        // plain load (r14): the r13 repartition regressed this 0.80x —
+        // the percentile passes aggregate immediately, so the extra
+        // round-robin exchange cost more than the scan spread bought
+        val li = t(s, dir, "lineitem").select(col("l_returnflag"),
           col("l_quantity").as("x"))
         val med = li.groupBy("l_returnflag")
           .agg(expr("percentile(x, 0.5)").as("med"))
@@ -1131,7 +1132,8 @@ object Numerics {
     QueryDef(
       "q_iqr_outliers",
       (s, dir) => {
-        val g = Tables.parallel(s, Tables.loadEvents(s, dir))
+        // plain load (r14): the r13 repartition regressed this 0.87x
+        val g = Tables.loadEvents(s, dir)
           .select(col("event_type"),
             (col("value").cast("decimal(12,2)") * 100).cast("long")
               .as("cents"))

@@ -48,8 +48,23 @@ object Similarity {
   private val CentStrideSql =
     "(SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
-  private def centStride(e: DataFrame): Long =
-    math.max(50L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+  private def centStride(n: Long): Long =
+    math.max(50L, math.floor(math.sqrt(n.toDouble)).toLong)
+
+  /** Embeddings row count, memoized per corpus fingerprint (r13 verdict
+    * task #4): planesOf/centStride ran an EAGER count() job at query-
+    * BUILD time for every LSH/IVF query — at 100 TB a count(*) job per
+    * query construction is a real stall before the actual query starts.
+    * The count depends only on the corpus files, so measure it once per
+    * file-set fingerprint (size+mtime — an in-place rewrite rebuilds,
+    * the minhashIndexDir discipline) and reuse across query builds. */
+  private val embCountCache =
+    scala.collection.concurrent.TrieMap[String, Long]()
+
+  private def embCount(s: SparkSession, dir: String): Long =
+    embCountCache.getOrElseUpdate(
+      Tables.corpusFingerprint(dir, "embeddings"),
+      emb(s, dir).count())
   private val BeamWidth = 8 // graph-search beam (> TopK + 1: self-cut room)
   private val GraphSearchRounds = 3 // synchronous beam expansions
 
@@ -61,11 +76,8 @@ object Similarity {
     * repartition is conditional on the scan actually being under-split
     * (round-2 advice) — a pre-split 100 TB input skips the shuffle.
     * Deterministic — every output has a total-order sort. */
-  private def embParallel(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val p = s.sparkContext.defaultParallelism
-    if (e.rdd.getNumPartitions >= p) e else e.repartition(p)
-  }
+  private def embParallel(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(s, emb(s, dir))
 
   /** Scala-side md5 hash31 — the same arithmetic as EngineFns.hash31 /
     * the DuckDB oracle, evaluated once at plan-build time. */
@@ -107,7 +119,7 @@ object Similarity {
     * scalar per query build, same pre-flight discipline as
     * centStride. */
   private def planesOf(s: SparkSession, dir: String): Int =
-    planesFor(emb(s, dir).count())
+    planesFor(embCount(s, dir))
 
   /** Hyperplane component r(j, k) in [-1.0, 1.0], derived from the
     * md5-based hash31 of "j_k" — engine-portable (the DuckDB oracle
@@ -1738,6 +1750,11 @@ object Similarity {
     * (they need arn ≤ nprobe and are NumQueries-sized). */
   private def ivfAssignTop1(s: SparkSession, df: DataFrame,
       centroids: DataFrame): DataFrame = {
+    // (r14 note: carrying the embedding THROUGH the aggregate with
+    // first() was tried and measured WORSE — the checkpoint then
+    // stores the full vector payload and the partial-agg rows widen by
+    // 64 floats; the thin-assignment + join-back shape below is the
+    // faster one. Kept as-is.)
     val thin = df.join(centroids)
       .select(col("vec_id"), col("c_id"),
         CosineSimilarity(s, col("embedding"), col("c_emb")).as("c_cos"))
@@ -1759,8 +1776,9 @@ object Similarity {
   private def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
     val e = embParallel(s, dir)
     // √N stride (see CentStrideSql): a bounded driver scalar, the same
-    // pre-flight discipline as requireAllPairsSmall
-    e.filter(col("vec_id") % centStride(e) === 0)
+    // pre-flight discipline as requireAllPairsSmall; the count is the
+    // fingerprint-memoized one — no count() job per query build
+    e.filter(col("vec_id") % centStride(embCount(s, dir)) === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
   }
 
@@ -1923,8 +1941,21 @@ object Similarity {
   }
 
   private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = cappedBands(bandKeys(embParallel(s, dir)))
-    val cand = bands.as("x").join(bands.as("y"),
+    // band keys materialized ONCE, hash-partitioned on the self-join
+    // key (r14, §2.4): the banded frame feeds the viral-bucket
+    // aggregate, the anti-join, and BOTH self-join sides — without the
+    // checkpoints the N×1024-row plane aggregation ran ~4x per query
+    // (sim_embed_neardup, emb_dbscan, dedup_cluster_multi all ride
+    // this generator), and the capped self-join re-exchanged both
+    // sides. Results unchanged; at scale the checkpointed relation is
+    // (vec_id, band, band_val) — 16 slim rows per vector, no payload.
+    val bands = bandKeys(embParallel(s, dir))
+      .repartition(col("band"), col("band_val")).localCheckpoint()
+    // kept stays lazy: it is a broadcast anti-join PROJECTION of the
+    // materialized bands — recomputing it per self-join side is a block
+    // read, cheaper than a second eager barrier (r14 measured)
+    val kept = cappedBands(bands)
+    val cand = kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -1079,7 +1079,10 @@ object TextAnalysis {
     QueryDef(
       "text_to_ids",
       (s, dir) => {
-        val terms = Tables.loadParallel(s, dir, "documents")
+        // plain load (r14): the r13 repartition regressed this query
+        // 0.79x — the split/posexplode here is too light to amortize
+        // the added round-robin exchange before the checkpoint
+        val terms = Tables.load(s, dir, "documents")
           .select(col("doc_id"),
             posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
           .localCheckpoint() // feeds vocab count and the id join once
@@ -1206,7 +1209,9 @@ object TextAnalysis {
     QueryDef(
       "text_lm_score",
       (s, dir) => {
-        val d = Tables.loadParallel(s, dir, "documents")
+        // plain load (r14): the r13 repartition regressed this 0.73x —
+        // the bigram slice work is light relative to the extra exchange
+        val d = Tables.load(s, dir, "documents")
         val ts = split(col("text"), " ")
         // slice+arrays_zip, NOT a transform() lambda: higher-order
         // lambdas run interpreted and re-evaluate the split per element
@@ -1525,7 +1530,9 @@ object TextAnalysis {
     QueryDef(
       "text_keywords",
       (s, dir) => {
-        val d = Tables.loadParallel(s, dir, "documents")
+        // plain load (r14): the r13 repartition regressed this 0.88x —
+        // tf/df are map-side combined, so the scan work is one explode
+        val d = Tables.load(s, dir, "documents")
         val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))

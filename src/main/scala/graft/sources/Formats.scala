@@ -45,14 +45,20 @@ object Formats {
     })
 
   private def roundTrip(s: SparkSession, dir: String, fmt: String,
-      opts: Map[String, String] = Map.empty): DataFrame = {
+      opts: Map[String, String] = Map.empty,
+      parallel: Boolean = false): DataFrame = {
     // Parallelize the under-split scan so BOTH legs of the round-trip
-    // spread across cores: the write leg encodes with one task per
-    // partition, and the read leg gets one split per written file. The
-    // text formats (xml especially: 4.45 s wall ≈ 4.0 s single-task CPU
-    // in the round-13 baseline) were serializing the entire
-    // encode+decode on one core. The aggregate output is unchanged.
-    val sub = Tables.loadParallel(s, dir, "lineitem")
+    // spread across cores — but ONLY for formats whose per-row
+    // encode/decode is heavy enough to amortize the added round-robin
+    // exchange. XML is (4.45 s wall ≈ 4.0 s single-task CPU in the
+    // round-13 baseline; the repartition bought 2.8x); the binary/cheap
+    // text codecs are not (r13 measured orc 0.77x, json 0.82x when
+    // repartitioned — the exchange cost more than the spread bought).
+    // The aggregate output is unchanged either way.
+    val loaded =
+      if (parallel) Tables.loadParallel(s, dir, "lineitem")
+      else Tables.load(s, dir, "lineitem")
+    val sub = loaded
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
     val scratch = scratchFor(fmt)
     sub.write.mode("overwrite").options(opts).format(fmt).save(scratch)
@@ -67,7 +73,11 @@ object Formats {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q_fmt_csv", (s, dir) => roundTrip(s, dir, "csv"), Some(RoundTripAgg)),
+    // csv/avro keep the r13 parallel write path (measured flat-to-
+    // positive there); json/orc revert to the plain scan (r13 measured
+    // 0.82x/0.77x with the repartition — VERDICT r13 task #3)
+    QueryDef("q_fmt_csv", (s, dir) => roundTrip(s, dir, "csv", parallel = true),
+      Some(RoundTripAgg)),
     QueryDef("q_fmt_json", (s, dir) => roundTrip(s, dir, "json"), Some(RoundTripAgg)),
     QueryDef("q_fmt_orc", (s, dir) => roundTrip(s, dir, "orc"), Some(RoundTripAgg)),
     // Avro (row-oriented interchange — the Kafka/stream-bus format) and
@@ -77,10 +87,12 @@ object Formats {
     // FileFormat class is present but not service-registered in this
     // distribution (no spark-avro jar), so it is addressed by class name.
     QueryDef("q_fmt_avro", (s, dir) =>
-      roundTrip(s, dir, "org.apache.spark.sql.avro.AvroFileFormat"),
+      roundTrip(s, dir, "org.apache.spark.sql.avro.AvroFileFormat",
+        parallel = true),
       Some(RoundTripAgg)),
     QueryDef("q_fmt_xml", (s, dir) =>
-      roundTrip(s, dir, "xml", Map("rowTag" -> "row")), Some(RoundTripAgg)),
+      roundTrip(s, dir, "xml", Map("rowTag" -> "row"), parallel = true),
+      Some(RoundTripAgg)),
 
     // Line-oriented text round-trip — the raw-log shape. One string
     // column per line out and back; a `lang|text` line plus a limit-2
@@ -93,7 +105,9 @@ object Formats {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, concat_ws, count, length, lit, split, sum}
         val scratch = scratchFor("text")
-        Tables.loadParallel(s, dir, "documents")
+        // plain load (r14): the r13 repartition regressed this 0.81x —
+        // a concat_ws + text write is too light for the extra exchange
+        Tables.load(s, dir, "documents")
           .select(concat_ws("|", col("lang"), col("text")).as("value"))
           .write.mode("overwrite").text(scratch)
         val parts = split(col("value"), "\\|", 2)

@@ -672,9 +672,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("k-core peel rounds are semi-joins on node ids, never cartesian") {
-    val p = plan("graph_kcore")
+    // r14: graph_kcore materializes each peel round (the
+    // un-checkpointed loop tripled the plan per round), so the FINAL
+    // query plan only shows the closing aggregate over the checkpointed
+    // edges — assert the round's own shape on the shared helper the
+    // QueryDef executes.
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+      (3L, 2L), (4L, 1L)).toDF("u", "v")
+    val p = operators.Graph.kcorePeelRound(edges, 2)
+      .queryExecution.executedPlan.toString
     assert(p.contains("LeftSemi"), s"peel should plan as semi joins:\n$p")
     assert(!p.contains("CartesianProduct"))
+    // and the registry query still plans without a cartesian anywhere
+    val full = plan("graph_kcore")
+    assert(!full.contains("CartesianProduct"))
   }
 
   test("daily-active cumulative window runs on the day grain, no funnel") {
