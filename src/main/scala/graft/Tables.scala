@@ -53,6 +53,41 @@ object Tables {
   def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
     parallel(spark, load(spark, dir, name))
 
+  /** Table row count, memoized per corpus fingerprint (r14 — the same
+    * discipline as Similarity.embCount / r13 verdict #4): registry-gate
+    * pre-flights (requireAllPairsSmall, text_shard_pack's salt width)
+    * otherwise launch a count() job at EVERY query build. The count
+    * depends only on the table files (size+mtime — an in-place rewrite
+    * rebuilds), so measure once per file set and JVM. */
+  private val rowCounts = scala.collection.concurrent.TrieMap[String, Long]()
+
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    rowCounts.getOrElseUpdate(corpusFingerprint(dir, name),
+      load(spark, dir, name).count())
+
+  /** Long metric from an `Observation` attached to a frame that was
+    * just eagerly materialized (localCheckpoint): the aggregate is
+    * collected DURING the materialization job, replacing the second
+    * count job previously paid per convergence check / stage count.
+    * Listener delivery is asynchronous — poll briefly and fall back to
+    * the caller's equivalent recompute over the materialized blocks
+    * (identical value, just a spare job) if the metric never lands.
+    * A null metric value (sum over zero rows) reads as 0. */
+  def observedLong(obs: org.apache.spark.sql.Observation, key: String)(
+      fallback: => Long): Long =
+    try {
+      import scala.concurrent.Await
+      import scala.concurrent.duration.DurationInt
+      val row = Await.result(obs.future, 2.seconds)
+      row.getAs[Any](key) match {
+        case n: Long => n
+        case null => 0L
+        case _ => fallback
+      }
+    } catch {
+      case _: java.util.concurrent.TimeoutException => fallback
+    }
+
   /** events.ts normalized to TimestampType micros whatever the parquet
     * physical type. The corpus has shipped it two ways across driver
     * rounds: timestamp[ns] (which Spark 4 refuses to read natively —

@@ -1390,7 +1390,7 @@ object Dedup {
         // with corpus size), so this didactic variant gets a hard
         // registry-level gate; the production 60-bit
         // dedup_simhash_wide_pairs has no such cliff.
-        requireAllPairsSmall(Tables.load(s, dir, "documents").count(),
+        requireAllPairsSmall(Tables.rowCount(s, dir, "documents"),
           "dedup_simhash_pairs (16-bit, saturating)", "docs",
           "dedup_simhash_wide_pairs")
         simhashChunkPairs(simhashed(s, dir))
@@ -2198,10 +2198,13 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         val sh = shingled(s, dir).localCheckpoint()
+        // the truth count rides the checkpoint job via observe (r14)
+        val obsT = new org.apache.spark.sql.Observation()
         val truth = jaccardPairs(sh)
           .filter(col("jaccard") >= JaccardThreshold)
-          .select("a_id", "b_id").localCheckpoint()
-        val nTruth = truth.count()
+          .select("a_id", "b_id")
+          .observe(obsT, count(lit(1)).as("n")).localCheckpoint()
+        val nTruth = Tables.observedLong(obsT, "n")(truth.count())
         // bands materialized once, partitioned on the self-join key
         // (r14, §2.4): the signature pipeline otherwise ran twice —
         // once per join side — and both sides re-exchanged
@@ -2960,8 +2963,11 @@ object Dedup {
     import graft.operators.TextAnalysis.{avgWordLen, noiseRatio, stopwordRatio, tokenCount}
     def stage(name: String)(f: => DataFrame): (DataFrame, Long) = {
       val t0 = System.nanoTime()
-      val frame = f.localCheckpoint()
-      val n = frame.count()
+      // the stage row count rides the checkpoint job via observe (r14)
+      // instead of a second count job per stage — 7 jobs saved per run
+      val obs = new org.apache.spark.sql.Observation()
+      val frame = f.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      val n = Tables.observedLong(obs, "n")(frame.count())
       onStage(name, n, (System.nanoTime() - t0) / 1e9)
       (frame, n)
     }
@@ -3422,14 +3428,23 @@ object Dedup {
       // label(rep) is in the same component as rep, so the min-label
       // invariant is preserved while the hop count to the component
       // minimum halves.
+      // convergence metric rides the checkpoint job itself (r14):
+      // the filter+count previously ran as a SECOND job per iteration
+      // over the checkpoint blocks — pure fixed job overhead ×2 per
+      // generation in a loop every clustering query runs 3–6 times
+      // (observe passes rows through unchanged; results identical)
+      val obs = new org.apache.spark.sql.Observation()
       val next = stepped
         .join(
           stepped.select(col("u").as("rep_id"), col("rep_id").as("rep2")),
           Seq("rep_id"), "left")
         .select(col("u"), col("old_rep"),
           least(col("rep_id"), coalesce(col("rep2"), col("rep_id"))).as("rep_id"))
+        .observe(obs, sum(when(col("rep_id") =!= col("old_rep"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint()
-      changed = next.filter(col("rep_id") =!= col("old_rep")).count()
+      changed = Tables.observedLong(obs, "changed")(
+        next.filter(col("rep_id") =!= col("old_rep")).count())
       labels = next.select("u", "rep_id")
       iters += 1
     }

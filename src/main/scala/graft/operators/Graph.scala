@@ -1130,7 +1130,13 @@ object Graph {
     //  - per-round labels localCheckpoint'ed: lbl otherwise feeds both
     //    the neighbor join and the carry-forward, doubling the logical
     //    plan per round (the round-3 plan held 2^3 copies of round 0,
-    //    re-running the edge join each — plan-audited in r14).
+    //    re-running the edge join each — plan-audited in r14). A
+    //    stride-2 variant (checkpoint every other round, matPairs-style
+    //    parallel recompute of the skipped round) was A/B-measured 13%
+    //    WORSE on all three LPA queries: unlike a map-only subtree, the
+    //    duplicated round carries its own window EXCHANGE, so the
+    //    recompute doubles shuffled bytes rather than soaking idle
+    //    cores. Per-round barriers are the measured optimum here.
     val e = edges.repartition(col("u")).localCheckpoint()
     var lbl = e.select(col("v").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))

@@ -631,7 +631,7 @@ object Multimodal {
         // dedup_simhash_pairs; the production form is
         // mm_phash_neardup_wide (60-bit, 15-bit chunks).
         Dedup.requireAllPairsSmall(
-          Tables.load(s, dir, "documents").count(),
+          Tables.rowCount(s, dir, "documents"),
           "mm_phash_neardup (16-bit, saturating)", "docs",
           "mm_phash_neardup_wide")
         phashChunkPairs(phashSigs(s, dir),

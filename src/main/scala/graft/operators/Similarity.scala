@@ -825,7 +825,7 @@ object Similarity {
         // gate) so the baseline cannot be pointed at a large corpus by
         // accident — the production path is sim_embed_neardup (LSH).
         Dedup.requireAllPairsSmall(
-          Tables.load(s, dir, "embeddings").count(),
+          embCount(s, dir),
           "sim_embed_neardup_exact", "vectors", "sim_embed_neardup")
         val base = embParallel(s, dir)
         val a = base.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))

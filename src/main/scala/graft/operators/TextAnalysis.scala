@@ -1475,7 +1475,9 @@ object TextAnalysis {
       "text_shard_pack",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val nSalt = math.max(1L, docs.count() / 2048L)
+        // memoized pre-flight (r14): the salt width depends only on the
+        // corpus row count — no count() job per query build
+        val nSalt = math.max(1L, Tables.rowCount(s, dir, "documents") / 2048L)
         val nTok = tokenCount(col("text"))
         val u = hash31(concat_ws("|", lit("spack"), col("doc_id").cast("string")))
         val salt = hash31(concat_ws("|", lit("ssalt"), col("doc_id").cast("string"))) % nSalt

@@ -13,6 +13,25 @@ class DedupTextSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("observe-backed counts ride the checkpoint job and match direct counts") {
+    // r14: connectedComponents' convergence check and viralCleanRun's
+    // stage counts read an Observation collected DURING localCheckpoint
+    // materialization instead of running a second count job. The -1
+    // fallback asserts the metric actually DELIVERED (a fallback hit
+    // would return -1 and fail loudly here).
+    val obs = new org.apache.spark.sql.Observation()
+    val df = (0L until 1000L).toDF("x").filter(col("x") % 3 === 0)
+      .observe(obs, count(lit(1)).as("n")).localCheckpoint()
+    assert(Tables.observedLong(obs, "n")(-1L) === df.count())
+    // empty frame: a sum-style metric comes back null -> reads as 0
+    val obs2 = new org.apache.spark.sql.Observation()
+    val empty = (0L until 10L).toDF("x").filter(col("x") > 100)
+      .observe(obs2, sum(when(col("x") > 5, 1L).otherwise(0L)).as("c"))
+      .localCheckpoint()
+    assert(empty.count() === 0L)
+    assert(Tables.observedLong(obs2, "c")(-1L) === 0L)
+  }
+
   test("paragraph dedup empties an exact-duplicate doc, keeps the first") {
     val out = Registry.byName("text_dedup_paragraph").run(spark, plantedDir)
       .collect()
