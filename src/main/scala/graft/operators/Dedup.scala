@@ -2196,7 +2196,6 @@ object Dedup {
     QueryDef(
       "dedup_eval",
       (s, dir) => {
-        import s.implicits._
         val sh = shingled(s, dir).localCheckpoint()
         // the truth count rides the checkpoint job via observe (r14)
         val obsT = new org.apache.spark.sql.Observation()
@@ -2219,25 +2218,32 @@ object Dedup {
         val shCand = simhashChunkPairs(
             simhashedWide(s, dir), numChunks = 4, chunkBits = 15)
           .select("a_id", "b_id")
-        def scorecard(name: String, cand: DataFrame): (String, Long, Long, Long, Double, Double) = {
-          // one pass: candidate count and truth-hit count fold into a
-          // single aggregate over a broadcast-truth left join (truth is
-          // pair-scale, ≪ corpus), so each generator costs one job and
-          // its candidate frame is never materialized twice
-          val r = cand
+        // one pass per generator: candidate count and truth-hit count
+        // fold into a single aggregate over a broadcast-truth left join
+        // (truth is pair-scale, ≪ corpus), so each candidate frame has
+        // exactly ONE consumer and never needs materializing. The two
+        // scorecards stay LAZY 1-row frames unioned into the final
+        // result (r14): the previous per-generator collect() serialized
+        // them as two driver actions — now both generators compute in
+        // parallel inside the one closing job. Same values, same types.
+        def scorecard(name: String, cand: DataFrame): DataFrame =
+          cand
             .join(broadcast(truth.withColumn("t", lit(1))),
               Seq("a_id", "b_id"), "left")
             .agg(count(lit(1)).as("n"),
-              sum(coalesce(col("t"), lit(0))).as("hit"))
-            .collect()(0)
-          val n = r.getLong(0)
-          val hit = if (r.isNullAt(1)) 0L else r.getLong(1)
-          (name, n, nTruth, hit,
-            if (n == 0) 0.0 else hit.toDouble / n.toDouble,
-            if (nTruth == 0) 0.0 else hit.toDouble / nTruth.toDouble)
-        }
-        Seq(scorecard("minhash_lsh", mhCand), scorecard("simhash_wide", shCand))
-          .toDF("generator", "n_cand", "n_truth", "n_hit", "precision", "recall")
+              coalesce(sum(coalesce(col("t"), lit(0))), lit(0L)).as("hit"))
+            .select(lit(name).as("generator"),
+              col("n").as("n_cand"),
+              lit(nTruth).as("n_truth"),
+              col("hit").as("n_hit"),
+              when(col("n") === 0, lit(0.0))
+                .otherwise(col("hit").cast("double") / col("n").cast("double"))
+                .as("precision"),
+              (if (nTruth == 0) lit(0.0)
+               else col("hit").cast("double") / lit(nTruth.toDouble))
+                .as("recall"))
+        scorecard("minhash_lsh", mhCand)
+          .unionAll(scorecard("simhash_wide", shCand))
           .orderBy("generator")
       },
       Some(DedupEvalOracleSql)),
@@ -2438,9 +2444,20 @@ object Dedup {
       (s, dir) => {
         val sh = shingled(s, dir).localCheckpoint()
         val withSig = signaturesFrom(sh).localCheckpoint()
+        // truth count rides the checkpoint job via observe (r14)
+        val obsT = new org.apache.spark.sql.Observation()
         val truth = jaccardPairs(sh)
           .filter(col("jaccard") >= JaccardThreshold)
-          .select("a_id", "b_id").localCheckpoint()
+          .select("a_id", "b_id")
+          .observe(obsT, count(lit(1)).as("n")).localCheckpoint()
+        val nTruth = Tables.observedLong(obsT, "n")(truth.count())
+        // one pass per leg (r14, the dedup_eval scorecard shape):
+        // candidate count and truth-hit count fold into a single
+        // aggregate over a broadcast-truth left join, so each leg's
+        // banding self-join has exactly ONE consumer — the previous
+        // per-leg cand localCheckpoint (3 eager barriers serializing
+        // the legs) is gone and all three legs compute in parallel
+        // inside the one closing job. Same counts, same types.
         def leg(rows: Int): DataFrame = {
           val bands = withSig.select(
             col("doc_id"),
@@ -2456,21 +2473,23 @@ object Dedup {
                 col("x.band_key") === col("y.band_key") &&
                 col("x.doc_id") < col("y.doc_id"))
             .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-            .distinct().localCheckpoint()
-          val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-          val nHit = cand.join(truth, Seq("a_id", "b_id"), "left_semi")
-            .agg(count(lit(1)).as("n_hit"))
-          val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-          nCand.crossJoin(broadcast(nHit)).crossJoin(broadcast(nTruth))
+            .distinct()
+          cand
+            .join(broadcast(truth.withColumn("t", lit(1))),
+              Seq("a_id", "b_id"), "left")
+            .agg(count(lit(1)).as("n_candidates"),
+              coalesce(sum(coalesce(col("t"), lit(0))), lit(0L)).as("hit"))
             .select(lit(rows.toLong).as("band_rows"),
               lit((NumPerms / rows).toLong).as("n_bands"),
-              col("n_candidates"), col("n_truth"), col("n_hit"),
+              col("n_candidates"),
+              lit(nTruth).as("n_truth"),
+              col("hit").as("n_hit"),
               when(col("n_candidates") === 0, lit(0.0))
-                .otherwise(col("n_hit").cast("double") /
+                .otherwise(col("hit").cast("double") /
                   col("n_candidates").cast("double")).as("prec"),
-              when(col("n_truth") === 0, lit(0.0))
-                .otherwise(col("n_hit").cast("double") /
-                  col("n_truth").cast("double")).as("recall"))
+              (if (nTruth == 0) lit(0.0)
+               else col("hit").cast("double") / lit(nTruth.toDouble))
+                .as("recall"))
         }
         LshTuneRows.map(leg).reduce(_ union _).orderBy("band_rows")
       },
@@ -2548,12 +2567,17 @@ object Dedup {
       "dedup_planted_recall",
       (s, dir) => {
         val sh = shingled(s, dir).localCheckpoint()
-        val cand = bandCandidatesFrom(sh).localCheckpoint()
+        // ONE banded checkpoint shared by both generator legs (r14):
+        // the exact and capped legs previously each rebuilt the whole
+        // signature pipeline and eagerly checkpointed their candidate
+        // sets — 4 serialized jobs; now both legs stay lazy over the
+        // shared bands and compute in parallel inside the closing job.
+        val bands0 = bandRowsChk(sh)
+        val cand = bandCandidatesFromRows(bands0, None)
         // the CAPPED generator scored side by side (r13): what does the
         // TextBandBucketCap cost against planted truth? On unplanted or
         // sub-cap corpora the two columns are identical by construction.
-        val candC = bandCandidatesFrom(sh, Some(TextBandBucketCap))
-          .localCheckpoint()
+        val candC = bandCandidatesFromRows(bands0, Some(TextBandBucketCap))
         val truth = Tables.load(s, dir, "documents")
           .filter(col("source").startsWith("dupof"))
           .select(
@@ -2663,12 +2687,15 @@ object Dedup {
       "dedup_recall_curve",
       (s, dir) => {
         val sh = shingled(s, dir).localCheckpoint()
-        val cand = bandCandidatesFrom(sh).localCheckpoint()
+        // shared banded checkpoint + lazy legs (r14) — see
+        // dedup_planted_recall; here each candidate set has exactly one
+        // consumer (its withJ join), so laziness costs no recompute.
+        val bands0 = bandRowsChk(sh)
+        val cand = bandCandidatesFromRows(bands0, None)
         // capped generator scored per decile next to the exact one
         // (r13): WHERE on the J axis does the viral-bucket cap cost
         // recall? Identical to cand wherever no bucket exceeds the cap.
-        val candC = bandCandidatesFrom(sh, Some(TextBandBucketCap))
-          .localCheckpoint()
+        val candC = bandCandidatesFromRows(bands0, Some(TextBandBucketCap))
         val truth = Tables.load(s, dir, "documents")
           .filter(col("source").startsWith("dupof"))
           .select(
@@ -2861,15 +2888,24 @@ object Dedup {
     * with more than c members before the self-join — the form whose
     * candidate count stays bounded on viral-template corpora. */
   private[graft] def bandCandidatesFrom(
-      sh: DataFrame, cap: Option[Int] = None): DataFrame = {
-    // band rows materialized ONCE, hash-partitioned on the self-join
-    // key (r14, §2.4): the banded relation feeds both self-join sides
-    // (plus the viral aggregate + anti-join in the capped form), so the
-    // un-checkpointed signature pipeline ran 2–4x per call and both
-    // join sides re-exchanged; the slim (doc_id, band_id, band_key)
-    // checkpoint feeds every consumer exchange-free.
-    val bands0 = bandRows(sh)
+      sh: DataFrame, cap: Option[Int] = None): DataFrame =
+    bandCandidatesFromRows(bandRowsChk(sh), cap)
+
+  /** The banded relation materialized ONCE, hash-partitioned on the
+    * self-join key (r14, §2.4): it feeds both self-join sides (plus the
+    * viral aggregate + anti-join in the capped form), so the
+    * un-checkpointed signature pipeline ran 2–4x per call and both
+    * join sides re-exchanged; the slim (doc_id, band_id, band_key)
+    * checkpoint feeds every consumer exchange-free. Exposed separately
+    * so scorecards that run the exact AND capped generators side by
+    * side (dedup_planted_recall, dedup_recall_curve) share ONE
+    * checkpoint instead of rebuilding the signature pipeline per leg. */
+  private[graft] def bandRowsChk(sh: DataFrame): DataFrame =
+    bandRows(sh)
       .repartition(col("band_id"), col("band_key")).localCheckpoint()
+
+  private[graft] def bandCandidatesFromRows(
+      bands0: DataFrame, cap: Option[Int]): DataFrame = {
     val bands = cap match {
       case None => bands0
       case Some(c) =>
