@@ -32,6 +32,12 @@ import graft.{QueryDef, Tables}
   * quadratic. Ranks stay distributed; the driver holds only N.
   */
 object Graph {
+  /** PPR seed count memoized per corpus fingerprint (r14 — the
+    * Tables.rowCount discipline): the seed census depends only on the
+    * documents files, not the query, so measure once per file set. */
+  private val pprSeedCounts =
+    scala.collection.concurrent.TrieMap[String, Long]()
+
 
   private val Q = 1000000000000L // 10^12 rank quantization
   private val Iters = 3
@@ -68,7 +74,9 @@ object Graph {
         // of every iteration's join reuses this one exchange (§2.4)
         val eD = edges.join(deg, "u").repartition(col("u")).localCheckpoint()
         val docs = Tables.load(s, dir, "documents").select("doc_id")
-        val n = docs.count() // bounded driver state: one scalar
+        // bounded driver state: one scalar, memoized per corpus
+        // fingerprint (r14) — no count() job per query build
+        val n = Tables.rowCount(s, dir, "documents")
         // empty corpus: the result is empty regardless of the share —
         // guard the scala-side division (degenerate-corpus sweep, r8)
         val share = if (n == 0) 0L else Q / n
@@ -793,7 +801,10 @@ object Graph {
         val eD = edges.join(deg, "u").repartition(col("u")).localCheckpoint()
         val docs = Tables.load(s, dir, "documents").select("doc_id")
         val isSeed = col("doc_id") % PprSeedMod === 0
-        val nSeeds = docs.filter(isSeed).count() // bounded driver scalar
+        // bounded driver scalar, memoized per corpus fingerprint (r14)
+        val nSeeds = pprSeedCounts.getOrElseUpdate(
+          Tables.corpusFingerprint(dir, "documents"),
+          docs.filter(isSeed).count())
         // no seeds (e.g. an empty corpus): every rank is 0 and the
         // seed-share literals are never applied to any row — guard the
         // scala-side divisions only (degenerate-corpus sweep, r8)
